@@ -11,12 +11,29 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs int64 timestamps in the dump (not INT96) so the driver's
+      // DuckDB/pyarrow compare sees the same logical type it computes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // LTZ → NTZ on output: session TZ is UTC, so the wall-clock equals
+    // the instant; the dump then carries naive µs timestamps, matching
+    // what DuckDB computes for the oracle (TIMESTAMPTZ vs TIMESTAMP
+    // would never compare equal even for identical instants).
+    def naiveTs(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      val cols = df.schema.fields.map {
+        case f if f.dataType == TimestampType =>
+          col(f.name).cast("timestamp_ntz").as(f.name)
+        case f => col(f.name)
+      }
+      df.select(cols.toSeq: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension get-or-create (K4,
+  * /root/reference/internal/repository/task.go:13-45).
+  *
+  * The reference does select-by-name → on miss, race-safe
+  * insert-ON-CONFLICT-DO-NOTHING → re-select, one name at a time. The
+  * dataflow form: distinct incoming names, left-anti against the
+  * dimension, assign ids above the current max, append.
+  *
+  * Id assignment uses `row_number` over a GLOBAL name ordering — an
+  * intentional single-partition window. A dimension is small by
+  * definition (task types, priorities); if a "dimension" is large
+  * enough for that to matter it is a fact table and persistent keys
+  * must come from the store's sequence instead (SURVEY.md K4: never
+  * `monotonically_increasing_id` for persistent keys — it is
+  * partition-dependent and collides across appends).
+  */
+object Dimension {
+
+  /** Returns the dimension after get-or-create: existing rows plus new
+    * names with ids `max(existing)+1 ..` in name order (deterministic).
+    *
+    * @param dim      current dimension `(idCol, nameCol)`
+    * @param incoming any DataFrame containing `nameCol`
+    */
+  def getOrCreate(dim: DataFrame, incoming: DataFrame,
+      idCol: String, nameCol: String): DataFrame = {
+    val newNames = incoming.select(nameCol).where(col(nameCol).isNotNull)
+      .distinct()
+      .join(dim, Seq(nameCol), "left_anti")
+    val maxId = dim.agg(coalesce(max(col(idCol)), lit(0)).as("__max_id"))
+    val created = newNames
+      .withColumn("__rn", row_number().over(Window.orderBy(nameCol)))
+      .crossJoin(maxId) // 1-row broadcast, not a real cross product
+      .select((col("__max_id") + col("__rn")).cast("int").as(idCol), col(nameCol))
+    dim.select(col(idCol).cast("int"), col(nameCol)).unionByName(created)
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** General analytic capability queries (SURVEY.md §2.5 notes these are
+  * "absent entirely" in the reference and come free via Spark SQL —
+  * these queries prove the engine delivers them, oracle-checked).
+  *
+  * All money math in DECIMAL (exact in both engines, see ParityQueries
+  * scaladoc); final decimal outputs cast to DECIMAL(38,s) so schemas
+  * agree.
+  *
+  * Scale notes per query are in each def's scaladoc: these are the
+  * plans whose shape must survive 100 TB (partial aggregation before
+  * shuffle, broadcast for dimension joins, AQE skew handling).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: String, p: Int = 12, s: Int = 2) =
+    col(c).cast(DecimalType(p, s))
+
+  private val one = lit(1).cast(DecimalType(4, 2))
+
+  /** TPC-H Q1-style pricing summary. Scale: partial (map-side) agg on
+    * (returnflag, linestatus) — 6 groups — then a 6-row shuffle; scan
+    * reads only the 7 referenced columns (check ReadSchema).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec("l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+          * (one + dec("l_tax", 4, 2)))
+          .cast(DecimalType(38, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: fact-fact join on the order key
+    * + dimension filter. Scale: customer filter pushed to scan; orders
+    * ⋈ lineitem co-shuffles on the key; AQE coalesces the 10-row tail.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > cutoff)
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-table join. Scale:
+    * region/nation/supplier are broadcast (dimension-sized); the
+    * lineitem⋈orders shuffle carries only pruned columns.
+    */
+  def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** Windowed running totals per user over the event stream. Scale: one
+    * shuffle on user_id, sort within partitions; no global sort until
+    * the (bounded) output ORDER BY.
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      col("value").cast(DecimalType(12, 2)).as("v"),
+      date_trunc("SECOND", col("ts")).as("ts_sec"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    e.select(
+      col("event_id"), col("user_id"),
+      row_number().over(w).cast("long").as("rn"),
+      sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(DecimalType(38, 2)).as("running"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) — lag + cumulative
+    * sum, the classic streaming-analytics shape. Scale: single shuffle
+    * on user_id; state is per-partition sort, no driver involvement.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      date_trunc("SECOND", col("ts")).as("ts_sec"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val prev = lag(col("ts_sec"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      (unix_timestamp(col("ts_sec")) - unix_timestamp(prev)) > 1800, 1)
+      .otherwise(0)
+    e.withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sessionize" -> (qSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_running" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(value AS DECIMAL(12,2)) AS v,
+        |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS rn,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |FROM e ORDER BY user_id, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |                   OR date_diff('second', lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id), ts_sec) > 1800
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_sec) AS session_start, max(ts_sec) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}
