@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All pure `functions._` column expressions — codegen'd, fully
+  * distributed, no UDFs. Each has a DuckDB-expressible equivalent used
+  * by the oracle queries in [[graft.queries.ExtensionQueries]].
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text ⇒ empty array (a bare split
+    * would yield `[""]`).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles over the token array. Shorter-than-n texts
+    * produce a single shingle of whatever is there (mirrors the
+    * index range `1 .. max(len-n+1, 1)`).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Distinct shingle set — the unit of Jaccard/minhash dedup. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(wordShingles(tokens(text), n))
+
+  /** ASCII-punctuation count (Java `\p{Punct}` ≡ RE2 `[[:punct:]]`). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+
+  /** Multiplicity-preserving count of tokens found in `dict`. */
+  def dictHits(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(dict), t)))
+
+  // Tiny function-word dictionaries for the language-ID heuristic.
+  val EnWords = Seq("the", "and", "of", "to", "in", "is", "that", "it")
+  val EsWords = Seq("el", "la", "de", "que", "y", "en", "un", "es")
+  val FrWords = Seq("le", "la", "de", "et", "les", "des", "une", "dans")
+  val DeWords = Seq("der", "die", "und", "das", "ist", "von", "ein", "mit")
+
+  /** n-gram/function-word language-ID heuristic. CJK presence wins
+    * outright; otherwise argmax of dictionary hits with the fixed
+    * priority en ≥ es ≥ fr ≥ de (deterministic ties). Returns 'und'
+    * when nothing matches.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = dictHits(toks, EnWords)
+    val es = dictHits(toks, EsWords)
+    val fr = dictHits(toks, FrWords)
+    val de = dictHits(toks, DeWords)
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(cjk > 0, "zh")
+      .when(en === 0 && es === 0 && fr === 0 && de === 0, "und")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace,
+    * trim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
+
+  /** Polynomial rolling hash of the normalized text:
+    * `h := (h·131 + code(char)) mod P` left-to-right. Portable: DuckDB
+    * reproduces it with list_reduce; every intermediate stays < 2^38.
+    */
+  def rollingHash(text: Column): Column = {
+    val t = normalizeText(text)
+    val codes = transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))))
+    // empty-text guard: sequence(1, 0) would produce a DESCENDING [1,0]
+    when(length(t) === 0, lit(0L))
+      .otherwise(aggregate(codes, lit(0L), (h, c) => (h * 131 + c) % HashFunctions.P))
+  }
+}

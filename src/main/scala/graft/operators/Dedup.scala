@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for the training-data pipeline (driver
+  * mandate, SURVEY.md §7 step 6): exact, MinHash+LSH, n-gram Jaccard,
+  * SimHash, embedding-cosine.
+  *
+  * Scale design (100 TB): nothing here compares all pairs. Exact dedup
+  * is a hash-keyed groupBy (one shuffle). MinHash/LSH generates
+  * candidates via band-bucket equi-joins — cost scales with bucket
+  * collision count, not n². Jaccard verification runs only on
+  * candidates. The only O(n²) routine, [[embeddingDupPairsBrute]], is
+  * the correctness baseline; its scale path is bucketing through
+  * [[Similarity.hyperplaneBucket]] first.
+  *
+  * Skew: a hot shingle/band (boilerplate text) explodes its bucket;
+  * AQE skew-join handles moderate cases, and [[lshCandidates]] caps
+  * bucket width defensively.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * deterministic survivor (min id) and the duplicate count.
+    * `keepAll = false` would be a `dropDuplicates`; this form keeps the
+    * group stats the pipeline reports.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** (id, shingle) exploded rows over the distinct word-n-gram set. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), explode(T.shingleSet(col(textCol), n)).as("shingle"))
+
+  /** MinHash signatures: k portable hashes (one md5 per shingle, then
+    * the affine family — see [[graft.functions.HashFunctions]]),
+    * min-aggregated per document. One shuffle on the id.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val base = sh.withColumn("__b", H.md5Mod(col("shingle")))
+    val aggs = (0 until k).map(i => min(H.seeded(col("__b"), i)).as(s"sig_$i"))
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k signatures split into bands of `rowsPerBand`; docs
+    * sharing any band key become candidate pairs (i < j, distinct).
+    * The self-join is an equi-join on the band key — the whole point:
+    * candidates come from hash buckets, never from a cross product.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      concat_ws(":", lit(b) +: parts: _*)
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .distinct()
+  }
+
+  /** Jaccard verification of candidate pairs against the distinct
+    * shingle sets; keeps pairs with similarity ≥ threshold. Runs only
+    * on candidates (post-LSH or post-blocking), never all pairs.
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("__sid"),
+      T.shingleSet(col(textCol), n).as("__set"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val jac = inter.cast("double") /
+      (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
+    candidates
+      .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
+      .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidate join → Jaccard verify.
+    */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(shingleRows(docs, idCol, textCol, n), idCol, k)
+    jaccardVerify(lshCandidates(sigs, idCol, k, rowsPerBand),
+      docs, idCol, textCol, n, threshold)
+  }
+
+  /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are
+    * pairs sharing ≥1 distinct n-gram — an inverted-index equi-join.
+    * Selective for n ≥ 5 on natural text; for tiny vocabularies use
+    * [[minhashDupPairs]] whose banding keeps buckets bounded.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .distinct()
+    jaccardVerify(cand, docs, idCol, textCol, n, threshold)
+  }
+
+  /** 16-bit SimHash fingerprint of the token stream — computed with
+    * per-row array folds (no explode, no shuffle): for each bit, sum
+    * ±1 votes from every token hash, set the bit if the sum is
+    * positive. Near-dups land at small Hamming distance.
+    */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(T.tokens(text), t => H.md5Long(t))
+    val bits = (0 until 16).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
+    * and small-n path. Norms are computed once per row before the
+    * join; only the dot product is per-pair.
+    */
+  def embeddingDupPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = emb.select(col(idCol).as("__id"),
+      V.asDouble(col(vecCol)).as("__v")).withColumn("__nsq", V.normSq(col("__v")))
+    n.as("a").join(n.as("b"), col("a.__id") < col("b.__id"))
+      .withColumn("cos", V.cosinePrenormed(
+        V.dot(col("a.__v"), col("b.__v")), col("a.__nsq"), col("b.__nsq")))
+      .where(col("cos") > threshold)
+      .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
+  }
+
+  /** Embedding near-dup pairs with hyperplane-LSH bucket prefiltering —
+    * the scale path: the pair join is an equi-join on the bucket id,
+    * so cost is Σ bucket² instead of n². Exact duplicates always share
+    * a bucket; near-dups below cos 1.0 can straddle a plane and be
+    * missed — that recall trade-off is inherent to LSH blocking and
+    * tunable via nPlanes (fewer planes → bigger buckets → higher
+    * recall).
+    */
+  def embeddingDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val n = emb.select(col(idCol).as("__id"), V.asDouble(col(vecCol)).as("__v"))
+      .withColumn("__nsq", V.normSq(col("__v")))
+      .withColumn("__bucket", Similarity.hyperplaneBucket(col("__v"), planes))
+    n.as("a").join(n.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .withColumn("cos", V.cosinePrenormed(
+        V.dot(col("a.__v"), col("b.__v")), col("a.__nsq"), col("b.__nsq")))
+      .where(col("cos") > threshold)
+      .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
+  }
+}

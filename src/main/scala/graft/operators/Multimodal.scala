@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H}
+
+/** Multimodal column handling: media payloads travel as opaque
+  * `binary` columns with typed metadata alongside (driver mandate,
+  * SURVEY.md §7 step 6).
+  *
+  * The container has no image/audio codecs, so the actual decode is a
+  * STUB — [[StubDecoder]] produces deterministic fake dimensions from
+  * the byte content. Everything around it is the real plumbing: the
+  * schema contract, the per-partition batch loop (one decoder instance
+  * per partition, the shape a JNI/FFmpeg binding needs), and a
+  * pure-column variant ([[fakeMediaMeta]]) for metadata that needs no
+  * codec.
+  */
+object Multimodal {
+
+  /** Media row: payload + metadata columns. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded metadata contract (what a real image decode would emit). */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, n_frames: Long, content_md5: String)
+
+  /** Pluggable codec boundary. A real implementation wraps an image/
+    * audio library and is instantiated once per partition (expensive
+    * native init amortized over the batch).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta
+  }
+
+  /** STUB: deterministic fake decode — dimensions derived from the md5
+    * of the payload, so results are stable across runs/engines. Marks
+    * exactly where a real codec plugs in.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      MediaMeta(id, payload.length.toLong,
+        h % 640 + 16, (h / 640) % 480 + 16, payload.length % 30 + 1, hex)
+    }
+  }
+
+  /** Attach a binary payload column (here: utf8 bytes of a text column
+    * standing in for real media bytes).
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String): DataFrame =
+    df.withColumn(binCol, col(srcCol).cast("binary"))
+
+  /** Batch decode through the codec boundary: mapPartitions so the
+    * decoder is constructed once per partition and rows stream through
+    * it. This is the distributed shape — no collect, no driver loop;
+    * partition count controls decoder parallelism.
+    */
+  def decodeBatch(rows: Dataset[MediaRow], decoder: MediaDecoder)(
+      implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it => it.map(r => decoder.decode(r.doc_id, r.payload)) }
+  }
+
+  /** Pure-column metadata (no codec needed): byte count, content hash,
+    * fake dimensions via the portable md5 hash — oracle-checkable.
+    * Integer division must be `div` (exact on int64) — a double `/`
+    * would silently lose precision above 2^53.
+    */
+  def withFakeMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__h",
+        conv(substring(md5(col(binCol)), 1, 15), 16, 10).cast("long"))
+      .withColumn("n_bytes", octet_length(col(binCol)).cast("long"))
+      .withColumn("content_md5", md5(col(binCol)))
+      .withColumn("width", col("__h") % 640 + 16)
+      .withColumn("height", expr("(__h div 640) % 480 + 16"))
+      .withColumn("n_frames", col("n_bytes") % 30 + 1)
+      .withColumn("magic", upper(hex(substring(col(binCol), 1, 4))))
+      .drop("__h")
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * [[bruteTopK]] is the exact baseline: broadcast the (small) query
+  * set against the candidate table — a map-only pass over candidates
+  * (no shuffle of the big side) followed by a per-query top-k window.
+  *
+  * [[bucketedTopK]] is the scale path: random-hyperplane LSH assigns
+  * every vector a bucket; the search joins on bucket equality, so cost
+  * is (bucket size × queries-in-bucket), not n·q. Recall is tunable
+  * via plane count (fewer planes → bigger buckets → higher recall).
+  * A production IVF variant would k-means the space instead; the
+  * hyperplane form is deterministic and dependency-free.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes, derived from md5 so the
+    * DuckDB oracle reproduces them exactly: component (h, j) is
+    * `((md5_int("h:j") mod 2001) − 1000) / 1000 ∈ [−1, 1]`.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { h =>
+      (1 to dim).map { j =>
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(s"$h:$j".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** LSH bucket id: bit h = (v · plane_h ≥ 0). Pure column fold —
+    * codegen'd, no UDF, no shuffle.
+    */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, h) =>
+      val dotP = aggregate(
+        zip_with(V.asDouble(vec), typedLit(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame =
+    pairs.withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries`
+    * must be broadcast-sized (it is hinted); candidates stream
+    * map-side. Ties broken by neighbor id — fully deterministic.
+    */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), V.asDouble(col(vecCol)).as(v))
+        .withColumn(n, V.normSq(col(v)))
+    val q = prep(queries, "query_id", "__qv", "__qn")
+    val c = prep(candidates, "neighbor_id", "__cv", "__cn")
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", V.cosinePrenormed(
+        V.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    ranked(pairs, k)
+  }
+
+  /** ANN top-k restricted to hyperplane-LSH bucket mates. Same output
+    * shape as [[bruteTopK]]; neighbors outside the query's bucket are
+    * (by design) not considered.
+    */
+  def bucketedTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), V.asDouble(col(vecCol)).as(v))
+        .withColumn(n, V.normSq(col(v)))
+        .withColumn("__bucket", hyperplaneBucket(col(v), planes))
+    val q = prep(queries, "query_id", "__qv", "__qn")
+    val c = prep(candidates, "neighbor_id", "__cv", "__cn")
+    // equi-join on bucket (plus self-exclusion) — Catalyst plans a
+    // hash join on __bucket, not a cross product:
+    val joined = c.as("c").join(broadcast(q.as("q")),
+        col("c.__bucket") === col("q.__bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", V.cosinePrenormed(
+        V.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    ranked(joined, k)
+  }
+}

@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data-pipeline operators (driver mandate beyond the
+  * reference): dedup family, similarity search, text analysis,
+  * multimodal metadata — each oracle-checked against DuckDB.
+  *
+  * Portability notes (see ParityQueries for the general contract):
+  * numeric hashing is md5-prefix-based ([[graft.functions.HashFunctions]])
+  * because Spark's native hashes aren't reproducible elsewhere; vector
+  * math folds left-to-right in double so scores are bit-identical;
+  * thresholds compare RAW doubles and only the output column is
+  * rounded.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 1000000007L
+
+  // ---- shared DuckDB fragments -------------------------------------------
+
+  /** tokens CTE: tk(doc_id, text, lang, toks). */
+  private val tokCte =
+    """WITH tk AS (
+      |  SELECT doc_id, text, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)
+      |""".stripMargin
+
+  /** 5-gram distinct shingle sets: sh(doc_id, s). */
+  private val shingleCte = tokCte +
+    """, sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 4, 1) + 1),
+      |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS s
+      |  FROM tk)
+      |""".stripMargin
+
+  private val jaccardTailSql =
+    """, jc AS (
+      |  SELECT c.i, c.j,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+      |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jac
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
+      |SELECT i, j, round(jac, 6) AS jaccard FROM jc WHERE jac >= 0.7 ORDER BY i, j""".stripMargin
+
+  private val enListSql = T.EnWords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  // ---- text analysis ------------------------------------------------------
+
+  private def xTextStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(T.punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double"), 6).as("punct_ratio"),
+      round(T.dictHits(toks, T.EnWords).cast("double") /
+        size(toks).cast("double"), 6).as("stopword_ratio"),
+      round(aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+        .cast("double") / size(toks).cast("double"), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private def xTextLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      T.langGuess(col("text")).as("lang_guess"),
+      col("lang").as("lang_declared"))
+      .orderBy("doc_id")
+
+  private def xTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      T.fingerprintMd5(col("text")).as("fp_md5"),
+      T.rollingHash(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  // ---- dedup --------------------------------------------------------------
+
+  /** Injected-duplicate source: every 5th doc appears again under a
+    * shifted id — gives exact dedup deterministic signal (the table
+    * itself has no byte-identical rows).
+    */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private def xDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(dupDocs(s, dir), "doc_id", "text")
+      .where(col("n") > 1)
+      .select(col("content_md5"), col("keep_id"), col("n"))
+      .orderBy("keep_id")
+
+  private def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("i", "j")
+
+  private def xDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("i", "j")
+
+  private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Injected identical embeddings (every 50th vec re-appears under a
+    * shifted id): the natural data has no near-dup pairs (max cosine
+    * ≈ 0.48), so signal is planted to make the operator observable.
+    * Uses the LSH-bucketed scale path (the oracle applies the same
+    * bucket prefilter, so both engines see identical candidate sets).
+    */
+  private def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingDupPairsBucketed(src, "vec_id", "embedding", 0.95, 4, 64)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .orderBy("i", "j")
+  }
+
+  // ---- similarity search --------------------------------------------------
+
+  private def xSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def xSimTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bucketedTopK(e.where(col("vec_id") < 10), e,
+      "vec_id", "embedding", 5, 4, 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  private def xMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val b = Multimodal.withBinaryPayload(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "payload")
+    Multimodal.withFakeMediaMeta(b, "payload")
+      .select(col("doc_id"), col("n_bytes"), col("content_md5"),
+        col("width"), col("height"), col("n_frames"), col("magic"))
+      .orderBy("doc_id")
+  }
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  /** minhash signature select list: sig_i = min((b·(2i+1) + 7919i+13) mod P). */
+  private def sigSelectSql(k: Int): String =
+    (0 until k).map { i =>
+      s"min((b * ${2 * i + 1} + ${7919L * i + 13}) % $P) AS sig_$i"
+    }.mkString(", ")
+
+  private def bandListSql(k: Int, rowsPerBand: Int): String =
+    (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)")
+      (s"'$b'" +: parts).mkString(" || ':' || ")
+    }.mkString("[", ", ", "]")
+
+  private def simhashBitsSql: String =
+    (0 until 16).map(i => s"sum(2 * ((h >> $i) & 1) - 1) AS b_$i").mkString(", ")
+
+  private def simhashValueSql: String =
+    (0 until 16).map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Left-fold double dot product of q.v and c.v (same association as
+    * Spark's aggregate(zip_with(...)): ((0+p1)+p2)+…).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len($a) + 1),
+       |        i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
+
+  /** Hyperplane component (h, j): ((md5_int('h:j') mod 2001) − 1000)/1000. */
+  private def planeSql(h: Int): String =
+    s"""((CAST('0x' || substr(md5('$h:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) / 1000.0"""
+
+  private def bucketSql(v: String): String =
+    (0 until 4).map { h =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len($v) + 1),
+         |        j -> $v[CAST(j AS INT)] * ${planeSql(h)})), (x, y) -> x + y) >= 0
+         |  THEN ${1L << h} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private val embCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, v,
+      |""".stripMargin +
+      s"    ${dotSql("v", "v")} AS nsq\n  FROM e)\n"
+
+  val queries: Map[String, Q] = Map(
+    "x_text_stats" -> (xTextStats _),
+    "x_text_langid" -> (xTextLangid _),
+    "x_text_fingerprint" -> (xTextFingerprint _),
+    "x_dedup_exact" -> (xDedupExact _),
+    "x_dedup_minhash_lsh" -> (xDedupMinhash _),
+    "x_dedup_jaccard" -> (xDedupJaccard _),
+    "x_dedup_simhash" -> (xDedupSimhash _),
+    "x_dedup_embedding" -> (xDedupEmbedding _),
+    "x_sim_topk_brute" -> (xSimTopkBrute _),
+    "x_sim_topk_lsh" -> (xSimTopkLsh _),
+    "x_multimodal_meta" -> (xMultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "x_text_stats" -> (tokCte +
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+         |FROM tk ORDER BY doc_id""".stripMargin),
+
+    "x_text_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(list_transform(toks, t -> lower(t)), t -> list_contains(${words.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
+      tokCte +
+        s""", h AS (
+           |  SELECT doc_id, lang, text,
+           |    ${hits(T.EnWords)} AS en, ${hits(T.EsWords)} AS es,
+           |    ${hits(T.FrWords)} AS fr, ${hits(T.DeWords)} AS de
+           |  FROM tk)
+           |SELECT doc_id,
+           |  CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+           |       WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+           |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+           |       WHEN es >= fr AND es >= de THEN 'es'
+           |       WHEN fr >= de THEN 'fr'
+           |       ELSE 'de' END AS lang_guess,
+           |  lang AS lang_declared
+           |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "x_text_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents)
+         |SELECT doc_id, md5(t) AS fp_md5,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(t) + 1),
+         |      i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (a, b) -> (a * 131 + b) % $P) AS fp_roll
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_exact" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n
+        |FROM src GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "x_dedup_minhash_lsh" -> (shingleCte +
+      s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |bs AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $P AS b FROM ex),
+         |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)""".stripMargin
+      + jaccardTailSql),
+
+    "x_dedup_jaccard" -> (shingleCte +
+      """, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+        |  FROM ex a JOIN ex b2 ON a.g = b2.g AND a.doc_id < b2.doc_id)""".stripMargin
+      + jaccardTailSql),
+
+    "x_dedup_simhash" -> (tokCte +
+      s""", ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |hh AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM ex),
+         |bits AS (SELECT doc_id, $simhashBitsSql FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin),
+
+    "x_dedup_embedding" ->
+      ("""WITH e0 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
+         |nn AS (SELECT vec_id, v, """.stripMargin
+        + dotSql("v", "v") + s""" AS nsq FROM e),
+         |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v")} AS bucket FROM nn),
+         |p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    ${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cs
+         |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND a.bucket = b.bucket)
+         |SELECT i, j, round(cs, 6) AS cos FROM p WHERE cs > 0.95 ORDER BY i, j""".stripMargin),
+
+    "x_sim_topk_brute" -> (embCte +
+      s""", p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+         |  FROM nn q JOIN nn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    "x_sim_topk_lsh" -> (embCte +
+      s""", bk AS (SELECT vec_id, v, nsq, ${bucketSql("v")} AS bucket FROM nn),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+         |  FROM bk q JOIN bk c ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND q.bucket = c.bucket),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    "x_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  h % 640 + 16 AS width,
+        |  (h // 640) % 480 + 16 AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
+        |  upper(hex(encode(substr(text, 1, 4)))) AS magic
+        |FROM m ORDER BY doc_id""".stripMargin)
+}
