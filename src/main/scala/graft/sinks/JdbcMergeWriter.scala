@@ -1,0 +1,167 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** Executor-side JDBC MERGE writer — the `foreachBatch` body of the
+  * pipelines (SURVEY.md §7.2: Spark's native jdbc writer can't MERGE,
+  * so this is custom by necessity).
+  *
+  * Distribution model: [[upsert]] runs per partition on the executors
+  * — each partition opens one connection, prepares its statements
+  * once, and streams rows through inside a single transaction. No
+  * global transaction exists across partitions (neither does one in
+  * the reference, which writes row-by-row); replay safety comes from
+  * the MERGE being idempotent, the same argument the reference makes
+  * (SURVEY.md §2.6 "Progress/exactly-once").
+  *
+  * [[overwriteGroups]] implements the bridge-table rewrite (K5):
+  * repartition by the group key so a group never spans partitions,
+  * then per partition DELETE the incoming group keys + INSERT the new
+  * rows in one transaction — an idempotent group overwrite.
+  */
+object JdbcMergeWriter {
+
+  type ConnFactory = () => Connection
+
+  def connFactory(url: String): ConnFactory = {
+    val u = url
+    () => DriverManager.getConnection(u)
+  }
+
+  private val BatchSize = 500
+
+  private def setParam(ps: PreparedStatement, idx: Int, v: Any,
+      conn: Connection): Unit = v match {
+    case null => ps.setObject(idx, null)
+    case s: String => ps.setString(idx, s)
+    case l: Long => ps.setLong(idx, l)
+    case i: Int => ps.setInt(idx, i)
+    case d: Double => ps.setDouble(idx, d)
+    case b: Boolean => ps.setBoolean(idx, b)
+    case t: Timestamp => ps.setTimestamp(idx, t)
+    case d: java.math.BigDecimal => ps.setBigDecimal(idx, d)
+    case seq: scala.collection.Seq[_] => // comments text[] (task.go:114-117)
+      ps.setArray(idx, conn.createArrayOf("varchar",
+        seq.map(_.asInstanceOf[AnyRef]).toArray))
+    case other => ps.setObject(idx, other)
+  }
+
+  private def bind(ps: PreparedStatement, params: Seq[String], r: Row,
+      conn: Connection): Unit =
+    params.zipWithIndex.foreach { case (c, i) =>
+      setParam(ps, i + 1, r.getAs[Any](c), conn)
+    }
+
+  /** Stream rows through the merge plan on one connection. */
+  private def mergeRows(rows: Iterator[Row], plan: MergePlan,
+      conn: Connection): Unit = plan match {
+    case SingleStatementMerge(sql, params) =>
+      val ps = conn.prepareStatement(sql)
+      try {
+        var pending = 0
+        rows.foreach { r =>
+          bind(ps, params, r, conn)
+          ps.addBatch()
+          pending += 1
+          if (pending >= BatchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+      } finally ps.close()
+
+    case UpdateThenInsertMerge(uSql, uPar, eSql, ePar, iSql, iPar) =>
+      val upd = conn.prepareStatement(uSql)
+      val exi = conn.prepareStatement(eSql)
+      val ins = conn.prepareStatement(iSql)
+      try {
+        rows.foreach { r =>
+          bind(upd, uPar, r, conn)
+          if (upd.executeUpdate() == 0) {
+            bind(exi, ePar, r, conn)
+            val rs = exi.executeQuery()
+            val exists = try rs.next() finally rs.close()
+            if (!exists) { bind(ins, iPar, r, conn); ins.executeUpdate() }
+            // exists-but-no-update = skip-if-identical leg: nothing to do
+          }
+        }
+      } finally { upd.close(); exi.close(); ins.close() }
+  }
+
+  private def inTxn(conn: Connection)(body: => Unit): Unit =
+    try {
+      conn.setAutoCommit(false)
+      body
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+
+  /** MERGE every row of `df` through `spec` — K1/K2/K3/K6 semantics.
+    * Rows must be key-unique (callers dedupe with A4 first; MERGE
+    * requires unique source keys).
+    */
+  def upsert(df: DataFrame, spec: MergeSpec, dialect: SqlDialect,
+      cf: ConnFactory): Unit = {
+    val plan = dialect.mergePlan(spec) // built driver-side; plan is Serializable
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val conn = cf()
+        inTxn(conn) { mergeRows(it, plan, conn) }
+      }
+    }
+  }
+
+  /** Bridge rewrite (K5): per group key, delete-then-reinsert. */
+  def overwriteGroups(df: DataFrame, table: String, groupCol: String,
+      cols: Seq[String], dialect: SqlDialect, cf: ConnFactory): Unit = {
+    val repartitioned = df.repartition(col(groupCol))
+    repartitioned.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val rows = it.toSeq
+        val keys = rows.map(_.getAs[Any](groupCol)).distinct
+        val conn = cf()
+        inTxn(conn) {
+          keys.grouped(BatchSize).foreach { ks =>
+            val del = conn.prepareStatement(
+              dialect.deleteGroupsSql(table, groupCol, ks.size))
+            try {
+              ks.zipWithIndex.foreach { case (k, i) => setParam(del, i + 1, k, conn) }
+              del.executeUpdate()
+            } finally del.close()
+          }
+          val insSql = dialect.insertSql(table, cols)
+          val ps = conn.prepareStatement(insSql)
+          try {
+            rows.grouped(BatchSize).foreach { group =>
+              group.foreach { r => bind(ps, cols, r, conn); ps.addBatch() }
+              ps.executeBatch()
+            }
+          } finally ps.close()
+        }
+      }
+    }
+  }
+
+  /** Dimension get-or-create (K4, task.go:13-45): INSERT-if-absent the
+    * distinct names, race-safe by the store's conflict handling. Names
+    * are collected to the driver — a dimension is small by definition
+    * (SURVEY.md §2.2 K4 keeps id assignment in the store's serial,
+    * never in Spark).
+    */
+  def ensureDimension(names: Seq[String], table: String, nameCol: String,
+      dialect: SqlDialect, cf: ConnFactory): Unit = {
+    if (names.nonEmpty) {
+      val plan = dialect.insertIgnorePlan(table, Seq(nameCol), Seq(nameCol))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(nameCol,
+          org.apache.spark.sql.types.StringType)))
+      val rows = names.distinct.map(n =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](n), schema): Row)
+      val conn = cf()
+      inTxn(conn) { mergeRows(rows.iterator, plan, conn) }
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Extension-operator behavior on controlled fixtures: recall of the
+  * LSH paths, fingerprint locality, vector math identities.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight") // 1-word edit
+  private val unrelated = "completely different content with no overlap whatsoever at all here now"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical docs, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .where($"n" > 1).select($"keep_id", $"n").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash-LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))        // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
+  }
+
+  test("ngram jaccard blocking agrees with minhash on exact dup score") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 1.0))
+  }
+
+  test("simhash: near dups at small hamming distance, unrelated far") {
+    val fp = docs.select($"doc_id", Dedup.simhash16($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(4L)) // identical text → identical fingerprint
+    assert(hamming(fp(1L), fp(2L)) <= 4)
+    assert(hamming(fp(1L), fp(3L)) >= hamming(fp(1L), fp(2L)))
+  }
+
+  test("cosine identities: self = 1, orthogonal = 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", V.cosine($"a", $"b").as("c")).as[(Long, Double)]
+      .collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+  }
+
+  test("bruteTopK ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(2.0f, 0.0f)),   // cos 1 (tie with 2)
+      (2L, Array(5.0f, 0.0f)),   // cos 1 (tie with 1)
+      (3L, Array(1.0f, 1.0f)),   // cos ~0.707
+      (4L, Array(-1.0f, 0.0f))   // cos -1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(vecs.where($"vec_id" === 0), vecs,
+        "vec_id", "embedding", 3)
+      .select($"neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // ties broken by id, -1 excluded by k
+  }
+
+  test("bucketedTopK returns a subset of brute results (same bucket ⇒ same score)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 50)
+      .select($"query_id", $"neighbor_id", $"score")
+      .as[(Long, Long, Double)].collect().toMap_2
+    val lsh = Similarity.bucketedTopK(q, e, "vec_id", "embedding", 10, 4, 64)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (qid, nid, s) =>
+      brute.get((qid, nid)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+  }
+
+  private implicit class MapHelper(rows: Array[(Long, Long, Double)]) {
+    def toMap_2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, s) => (a, b) -> s }.toMap
+  }
+
+  test("text functions: tokens, shingles, language, fingerprint locality") {
+    val df = Seq((1L, "  The quick   brown fox  ")).toDF("id", "text")
+    assert(df.select(T.tokenCount($"text")).as[Int].head() == 4)
+    val sh = df.select(T.shingleSet($"text", 2).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("The quick", "quick brown", "brown fox"))
+    assert(Seq((1L, "")).toDF("id", "text")
+      .select(T.tokenCount($"text")).as[Int].head() == 0)
+    val lang = Seq((1L, "the cat and the dog of it"), (2L, "el perro y la casa que es"))
+      .toDF("id", "text").select(T.langGuess($"text")).as[String].collect()
+    assert(lang.toSeq == Seq("en", "es"))
+    // fingerprint: whitespace/case-insensitive, content-sensitive
+    val fp = Seq((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("id", "text").select(T.fingerprintMd5($"text")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(1) != fp(2))
+  }
+}
