@@ -81,11 +81,6 @@ object TextFunctions {
     * `h := (h·131 + code(char)) mod P` left-to-right. Portable: DuckDB
     * reproduces it with list_reduce; every intermediate stays < 2^38.
     */
-  def rollingHash(text: Column): Column = {
-    val t = normalizeText(text)
-    val codes = transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))))
-    // empty-text guard: sequence(1, 0) would produce a DESCENDING [1,0]
-    when(length(t) === 0, lit(0L))
-      .otherwise(aggregate(codes, lit(0L), (h, c) => (h * 131 + c) % HashFunctions.P))
-  }
+  def rollingHash(text: Column): Column =
+    graft.expressions.RollingHash(normalizeText(text))
 }

@@ -118,15 +118,9 @@ object Dedup {
     * ±1 votes from every token hash, set the bit if the sum is
     * positive. Near-dups land at small Hamming distance.
     */
-  def simhash16(text: Column): Column = {
-    val hashes = transform(T.tokens(text), t => H.md5Long(t))
-    val bits = (0 until 16).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash16(text: Column): Column =
+    graft.expressions.SimHashBits(
+      transform(T.tokens(text), t => H.md5Long(t)), 16)
 
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
     * and small-n path. Norms are computed once per row before the
@@ -135,7 +129,7 @@ object Dedup {
   def embeddingDupPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val n = emb.select(col(idCol).as("__id"),
-      V.asDouble(col(vecCol)).as("__v")).withColumn("__nsq", V.normSq(col("__v")))
+      col(vecCol).as("__v")).withColumn("__nsq", V.normSq(col("__v")))
     n.as("a").join(n.as("b"), col("a.__id") < col("b.__id"))
       .withColumn("cos", V.cosinePrenormed(
         V.dot(col("a.__v"), col("b.__v")), col("a.__nsq"), col("b.__nsq")))
@@ -154,7 +148,7 @@ object Dedup {
   def embeddingDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val planes = Similarity.hyperplanes(nPlanes, dim)
-    val n = emb.select(col(idCol).as("__id"), V.asDouble(col(vecCol)).as("__v"))
+    val n = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__nsq", V.normSq(col("__v")))
       .withColumn("__bucket", Similarity.hyperplaneBucket(col("__v"), planes))
     n.as("a").join(n.as("b"),

@@ -43,10 +43,7 @@ object Similarity {
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, h) =>
-      val dotP = aggregate(
-        zip_with(V.asDouble(vec), typedLit(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP >= 0, lit(1L << h)).otherwise(lit(0L))
+      when(V.dot(vec, typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   private def ranked(pairs: DataFrame, k: Int): DataFrame =
@@ -61,8 +58,10 @@ object Similarity {
     */
   def bruteTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // vectors stay float arrays end-to-end: VectorDotProduct widens
+    // per element, so no doubled copy of the embedding column is made
     def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), V.asDouble(col(vecCol)).as(v))
+      df.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, V.normSq(col(v)))
     val q = prep(queries, "query_id", "__qv", "__qn")
     val c = prep(candidates, "neighbor_id", "__cv", "__cn")
@@ -80,7 +79,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), V.asDouble(col(vecCol)).as(v))
+      df.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, V.normSq(col(v)))
         .withColumn("__bucket", hyperplaneBucket(col(v), planes))
     val q = prep(queries, "query_id", "__qv", "__qn")

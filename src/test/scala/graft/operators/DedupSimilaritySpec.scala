@@ -51,6 +51,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) >= hamming(fp(1L), fp(2L)))
   }
 
+  test("VectorDotProduct expression is bit-identical to the built-in fold") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .where($"i" < 20 && $"j" < 20)
+    val diff = pairs.select(
+      V.dot($"a", $"b").as("fused"),
+      V.dotBuiltins($"a", $"b").as("builtin"))
+      .where(!($"fused" <=> $"builtin")).count()
+    assert(diff == 0, "fused expression must produce identical doubles")
+    // null/length-mismatch semantics also mirror zip_with
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f), null.asInstanceOf[Array[Float]])
+    ).toDF("a", "b")
+    val out = edge.select(V.dot($"a", $"b").as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("cosine identities: self = 1, orthogonal = 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
