@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape audit: the properties that make these queries survive a
+  * 100 TB scale-up, asserted against the actual physical plans so a
+  * regression (lost pushdown, broadcast degraded to shuffle, partial
+  * aggregation disappearing) fails CI — not just a slower benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("point lookup pushes the key predicate into the parquet scan (S4)") {
+    val p = plan("s4_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"),
+      s"predicate not pushed:\n$p")
+    // column pruning: only the three selected columns are read
+    assert(p.contains("ReadSchema") && !p.contains("c_acctbal"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q1 aggregates map-side before the shuffle (partial aggregation)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no partial aggregation before exchange:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter not pushed to scan")
+    assert(!p.contains("l_orderkey"), "scan reads pruned column")
+  }
+
+  test("q5 joins dimensions via broadcast, not shuffle (6-table join)") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"dimension joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian products allowed")
+  }
+
+  test("bridge resolve keeps the explicit broadcast hash join (K5/J1)") {
+    val p = plan("k5_explode_bridge")
+    assert(p.contains("BroadcastHashJoin"), s"employee dim join must broadcast:\n$p")
+  }
+
+  test("minhash-LSH candidate generation is an equi-join on the band key") {
+    val p = plan("x_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must come from hash buckets, not cross products:\n$p")
+  }
+
+  test("windowed queries shuffle once on the partition key") {
+    val p = plan("q_window_running")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+  }
+}
