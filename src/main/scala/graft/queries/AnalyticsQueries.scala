@@ -126,12 +126,84 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** ROLLUP subtotals (grouping-set nulls coalesced to 'ALL' so both
+    * engines compare identically).
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** INTERSECT / EXCEPT over derived key sets. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val building = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("id"))
+    val frequent = o.groupBy(col("o_custkey").as("id"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 2).select("id")
+    building.intersect(frequent).withColumn("tag", lit("both"))
+      .unionByName(building.except(frequent).withColumn("tag", lit("only_building")))
+      .select("tag", "id")
+      .orderBy("tag", "id")
+  }
+
+  /** Top-3 orders by total price per priority (ranking window). */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("price"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** JSON extraction from the events props payload + aggregation. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("k_mod")
+
+  /** NOT EXISTS as a left-anti join: customers with no orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .orderBy("id")
+
+  /** Exact multi-column DISTINCT aggregation. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_linestatus")
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q_window_running" -> (qWindowRunning _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_rollup" -> (qRollup _),
+    "q_setops" -> (qSetOps _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_distinct_agg" -> (qDistinctAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -181,6 +253,48 @@ object AnalyticsQueries {
         |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
         |FROM e ORDER BY user_id, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_setops" ->
+      """WITH building AS (SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |frequent AS (SELECT o_custkey AS id FROM orders GROUP BY o_custkey HAVING count(*) > 2)
+        |SELECT 'both' AS tag, id FROM (SELECT id FROM building INTERSECT SELECT id FROM frequent)
+        |UNION ALL
+        |SELECT 'only_building' AS tag, id FROM (SELECT id FROM building EXCEPT SELECT id FROM frequent)
+        |ORDER BY tag, id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey AS id, c_name AS name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY id""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_linestatus,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
