@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Structured Streaming behavior with the memory source/sink: windowed
+  * aggregation under a watermark, and explicit-state sessionization.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed aggregation emits closed windows only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    val q = EventStreams.windowedCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("winout")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+        (2L, ts("2024-01-01 00:02:00"), "click", 2.0),
+        (3L, ts("2024-01-01 00:07:00"), "view", 3.0))
+      q.processAllAvailable()
+      // watermark still at max(ts)-10m < first window end ⇒ nothing final
+      assert(spark.table("winout").count() == 0)
+
+      // an event far ahead advances the watermark past both windows
+      input.addData((4L, ts("2024-01-01 01:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("winout")
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "click", 2L),
+        (ts("2024-01-01 00:05:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap closes a session, state emits it once") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        EventStreams.Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0),
+        // > 30 min gap ⇒ first session closes when this arrives
+        EventStreams.Event(3, ts("2024-01-01 01:00:00"), 7, "view", 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessout")
+        .as[EventStreams.SessionOut].collect().sortBy(_.session_start.getTime)
+      assert(sessions.length == 1, "only the closed session is emitted")
+      assert(sessions.head.n_events == 2 && sessions.head.total_value == 3.0)
+      assert(sessions.head.session_start == ts("2024-01-01 00:00:00"))
+      assert(sessions.head.session_end == ts("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+}
