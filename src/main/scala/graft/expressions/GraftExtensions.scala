@@ -1,0 +1,48 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT graft_vector_dot(a, b) ...")` works alongside
+  * the Column API. Install either per session via [[register]] or at
+  * build time with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_vector_dot",
+      info("graft_vector_dot", "dot product of two float/double arrays (double fold)"),
+      (args: Seq[Expression]) => VectorDotProduct(args(0), args(1))),
+    ("graft_rolling_hash",
+      info("graft_rolling_hash", "polynomial rolling hash mod 1e9+7"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("graft_simhash",
+      info("graft_simhash", "simhash over an array of int64 token hashes"),
+      (args: Seq[Expression]) => SimHashBits(args.head, 16)),
+    ("graft_sorted_jaccard",
+      info("graft_sorted_jaccard", "jaccard of two sorted distinct int64 arrays"),
+      (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))),
+    ("graft_lang_guess",
+      info("graft_lang_guess", "function-word language-ID heuristic"),
+      (args: Seq[Expression]) => LangGuess(args.head)))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

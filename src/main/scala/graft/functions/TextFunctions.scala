@@ -51,22 +51,11 @@ object TextFunctions {
   /** n-gram/function-word language-ID heuristic. CJK presence wins
     * outright; otherwise argmax of dictionary hits with the fixed
     * priority en ≥ es ≥ fr ≥ de (deterministic ties). Returns 'und'
-    * when nothing matches.
+    * when nothing matches. Fused one-pass kernel
+    * ([[graft.expressions.LangGuess]]) — the column composition
+    * re-tokenized once per dictionary after CollapseProject inlining.
     */
-  def langGuess(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val en = dictHits(toks, EnWords)
-    val es = dictHits(toks, EsWords)
-    val fr = dictHits(toks, FrWords)
-    val de = dictHits(toks, DeWords)
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    when(cjk > 0, "zh")
-      .when(en === 0 && es === 0 && fr === 0 && de === 0, "und")
-      .when(en >= es && en >= fr && en >= de, "en")
-      .when(es >= fr && es >= de, "es")
-      .when(fr >= de, "fr")
-      .otherwise("de")
-  }
+  def langGuess(text: Column): Column = graft.expressions.LangGuess(text)
 
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.

@@ -37,6 +37,16 @@ object Dedup {
       n: Int): DataFrame =
     docs.select(col(idCol), explode(T.shingleSet(col(textCol), n)).as("shingle"))
 
+  /** Hashed shingle set: sorted distinct xxhash64 of each n-gram.
+    * Equality on the 64-bit hash ≡ equality on the string except for
+    * 2⁻⁶⁴ collisions, so blocking joins and Jaccard over hashed sets
+    * produce the same answer while shuffling 8-byte keys instead of
+    * n-gram strings and intersecting with a merge scan.
+    */
+  def hashedShingleSet(textCol: Column, n: Int): Column =
+    array_sort(array_distinct(transform(T.shingleSet(textCol, n),
+      s => xxhash64(s))))
+
   /** MinHash signatures: k portable hashes (one md5 per shingle, then
     * the affine family — see [[graft.functions.HashFunctions]]),
     * min-aggregated per document. One shuffle on the id.
@@ -67,24 +77,30 @@ object Dedup {
       .distinct()
   }
 
-  /** Jaccard verification of candidate pairs against the distinct
-    * shingle sets; keeps pairs with similarity ≥ threshold. Runs only
+  /** Per-doc hashed shingle sets `(__sid, __set)` — the shared input
+    * of candidate generation and verification. Persisted (MEMORY_ONLY)
+    * because every dedup pipeline reads it 3-4 times in one query and
+    * it is small: ids + one int64 per distinct shingle.
+    */
+  def hashedSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("__sid"),
+      hashedShingleSet(col(textCol), n).as("__set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+  /** Jaccard verification of candidate pairs against precomputed
+    * hashed sets; keeps pairs with similarity ≥ threshold. Runs only
     * on candidates (post-LSH or post-blocking), never all pairs.
     */
-  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("__sid"),
-      T.shingleSet(col(textCol), n).as("__set"))
-    val inter = size(array_intersect(col("__sa"), col("__sb")))
-    val jac = inter.cast("double") /
-      (size(col("__sa")) + size(col("__sb")) - inter).cast("double")
+  def jaccardVerify(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
       .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
-      .withColumn("jaccard", jac)
+      .withColumn("jaccard",
+        graft.expressions.SortedArrayJaccard(col("__sa"), col("__sb")))
       .where(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
-  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidate join → Jaccard verify.
@@ -94,7 +110,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(shingleRows(docs, idCol, textCol, n), idCol, k)
     jaccardVerify(lshCandidates(sigs, idCol, k, rowsPerBand),
-      docs, idCol, textCol, n, threshold)
+      hashedSets(docs, idCol, textCol, n), threshold)
   }
 
   /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are
@@ -104,13 +120,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+    val sets = hashedSets(docs, idCol, textCol, n)
+    // inverted index over the hashed shingles: 8-byte join keys
+    val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
     val cand = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+        col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))
+      .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
       .distinct()
-    jaccardVerify(cand, docs, idCol, textCol, n, threshold)
+    jaccardVerify(cand, sets, threshold)
   }
 
   /** 16-bit SimHash fingerprint of the token stream — computed with
