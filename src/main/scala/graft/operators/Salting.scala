@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation — the fallback when AQE's runtime skew-join
+  * splitting (enabled by default in [[graft.core.GraftSession]]) can't
+  * apply: non-shuffle-join plans, severe single-key skew known ahead
+  * of time, or aggregation states too wide for one reducer.
+  *
+  * Salting is deterministic here (hash of a row id, never `rand()`),
+  * so replays and retries of a task produce identical partitioning —
+  * the same replay-safety argument as the MERGE sink.
+  */
+object Salting {
+
+  /** Skew-safe equi-join: the (large, possibly skewed) fact side gets
+    * a salt in [0, saltFactor); the dim side is replicated once per
+    * salt value. The join key becomes (keys, salt), splitting each hot
+    * key's rows across `saltFactor` reducers. Result is identical to
+    * the unsalted join; cost is dim × saltFactor (use for
+    * moderate-size dims that are still too big to broadcast).
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation for high-cardinality-per-key states (e.g.
+    * collect-like or distinct aggregations where map-side partials
+    * don't shrink): phase 1 groups on (keys, salt), phase 2 merges the
+    * `saltFactor` partials per key. Caller supplies both phases as
+    * aggregation expression lists over the named columns.
+    */
+  def twoPhaseAgg(df: DataFrame, keys: Seq[String], saltFactor: Int)(
+      phase1: Seq[org.apache.spark.sql.Column],
+      phase2: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(saltFactor > 0)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    partial.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)
+  }
+}

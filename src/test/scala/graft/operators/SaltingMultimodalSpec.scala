@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SaltingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted equi-join returns exactly the unsalted result under heavy skew") {
+    // 10k rows of one hot key + a tail; dim with duplicate key rows
+    val fact = ((1 to 10000).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (2L, "a2"), (3L, "b"), (999L, "unmatched"))
+      .toDF("k", "label")
+    val expected = fact.join(dim, Seq("k"), "inner")
+      .groupBy("k", "label").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().toSet
+    val salted = Salting.saltedEquiJoin(fact, dim, Seq("k"), saltFactor = 8)
+      .groupBy("k", "label").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().toSet
+    assert(salted == expected)
+    // left join keeps unmatched fact keys exactly once per fact row
+    val leftN = Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "left").count()
+    val expLeftN = fact.join(dim, Seq("k"), "left").count()
+    assert(leftN == expLeftN)
+  }
+
+  test("two-phase aggregation merges salted partials to exact totals") {
+    val df = ((1 to 5000).map(_ => ("hot", 1L)) ++ Seq(("cold", 7L), ("cold", 3L)))
+      .toDF("k", "v")
+    val out = Salting.twoPhaseAgg(df, Seq("k"), 16)(
+      Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+      Seq(sum($"ps").as("total"), sum($"pn").as("n")))
+      .as[(String, Long, Long)].collect().toMap_kv
+    assert(out == Map("hot" -> ((5000L, 5000L)), "cold" -> ((10L, 2L))))
+  }
+
+  private implicit class M(rows: Array[(String, Long, Long)]) {
+    def toMap_kv: Map[String, (Long, Long)] =
+      rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+
+  test("multimodal decodeBatch: per-partition decoder over binary payloads") {
+    implicit val s = spark
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "fake-image-bytes-1".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "fake-image-bytes-two".getBytes("UTF-8")))
+      .toDS().repartition(2)
+    val metas = Multimodal.decodeBatch(rows, Multimodal.StubDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(metas.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(metas(0).n_bytes == 18 && metas(1).n_bytes == 20)
+    assert(metas.forall(m => m.width >= 16 && m.width < 656))
+    assert(metas.forall(m => m.content_md5.length == 32))
+    // deterministic: same payload → same fake decode
+    val again = Multimodal.decodeBatch(rows, Multimodal.StubDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(again.toSeq == metas.toSeq)
+  }
+
+  test("scraper_status watermark mirror: upsert advances date (K6)") {
+    import java.sql.{DriverManager, Timestamp}
+    import graft.sinks.{DerbyDialect, JdbcMergeWriter, MergeSpecs}
+    val url = "jdbc:derby:memory:wmdb;create=true"
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute("""CREATE TABLE scraper_status (
+      id INT PRIMARY KEY, last_processed_date TIMESTAMP,
+      updated_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)""")
+    finally c.close()
+    val cf = JdbcMergeWriter.connFactory(url)
+    def write(d: String) = JdbcMergeWriter.upsert(
+      Seq((1, Timestamp.valueOf(d))).toDF("id", "last_processed_date"),
+      MergeSpecs.scraperStatus, DerbyDialect, cf)
+    write("2024-03-01 00:00:00")
+    write("2024-03-02 00:00:00") // advance same row
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT count(*), max(last_processed_date) FROM scraper_status")
+      rs.next()
+      assert(rs.getInt(1) == 1, "single watermark row upserted, not appended")
+      assert(rs.getTimestamp(2) == Timestamp.valueOf("2024-03-02 00:00:00"))
+    } finally c2.close()
+  }
+}

@@ -51,6 +51,13 @@ class PlanAuditSpec extends SparkSpec {
       s"LSH candidates must come from hash buckets, not cross products:\n$p")
   }
 
+  test("LSH-bucketed ANN joins on the bucket id (hash join, no cross product)") {
+    val p = plan("x_sim_topk_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+  }
+
   test("windowed queries shuffle once on the partition key") {
     val p = plan("q_window_running")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
