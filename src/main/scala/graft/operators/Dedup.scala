@@ -139,6 +139,45 @@ object Dedup {
     graft.expressions.SimHashBits(
       transform(T.tokens(text), t => H.md5Long(t)), 16)
 
+  /** Duplicate-cluster canonicalization: connected components over the
+    * near-dup pair graph, each doc labeled with the min id reachable
+    * from it (the deterministic survivor). Returns `(doc_id,
+    * canonical_id)` for docs whose canonical is NOT themselves — the
+    * set a pipeline drops.
+    *
+    * Min-label propagation with a driver loop: each round joins labels
+    * across edges and takes the min; converges in O(graph diameter)
+    * rounds. The pair graph is the OUTPUT of dedup — orders of
+    * magnitude smaller than the corpus — so the loop's per-round jobs
+    * are tiny; `maxIters` caps pathological chains.
+    */
+  def canonicalize(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.where(col("label") =!= col("id"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
     * and small-n path. Norms are computed once per row before the
     * join; only the dot product is per-pair.

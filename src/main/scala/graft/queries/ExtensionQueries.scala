@@ -132,6 +132,14 @@ object ExtensionQueries {
       .orderBy("i", "j")
   }
 
+  /** Duplicate clusters: connected components over the minhash pair
+    * graph, min-id survivor per component (what a pipeline drops).
+    */
+  private def xDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalize(
+      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
   // ---- similarity search --------------------------------------------------
 
   private def xSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -219,6 +227,7 @@ object ExtensionQueries {
     "x_dedup_minhash_lsh" -> (xDedupMinhash _),
     "x_dedup_jaccard" -> (xDedupJaccard _),
     "x_dedup_simhash" -> (xDedupSimhash _),
+    "x_dedup_clusters" -> (xDedupClusters _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_sim_topk_brute" -> (xSimTopkBrute _),
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
@@ -300,6 +309,31 @@ object ExtensionQueries {
          |bits AS (SELECT doc_id, $simhashBitsSql FROM hh GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin),
+
+    "x_dedup_clusters" -> (
+      // recursive CTE for the transitive closure: WITH must be RECURSIVE
+      shingleCte.replace("WITH tk AS", "WITH RECURSIVE tk AS") +
+      s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |bs AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $P AS b FROM ex),
+         |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         |jc AS (
+         |  SELECT c.i, c.j,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jac
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j),
+         |p AS (SELECT i, j FROM jc WHERE jac >= 0.7),
+         |eg AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
+         |r AS (
+         |  SELECT i AS a, j AS b FROM eg
+         |  UNION
+         |  SELECT r.a, eg.j FROM r JOIN eg ON r.b = eg.i)
+         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |FROM r GROUP BY a HAVING least(a, min(b)) <> a
+         |ORDER BY doc_id""".stripMargin),
 
     "x_dedup_embedding" ->
       ("""WITH e0 AS (

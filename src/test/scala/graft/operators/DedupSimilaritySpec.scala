@@ -70,6 +70,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("canonicalize: min id labels whole component, chains collapse") {
+    // components: {1,4,9} via chain 1-4, 4-9; {20,30}; singleton edges absent
+    val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("i", "j")
+    val out = Dedup.canonicalize(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(4L -> 1L, 9L -> 1L, 30L -> 20L))
+  }
+
   test("cosine identities: self = 1, orthogonal = 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
