@@ -151,9 +151,38 @@ object Dedup {
     * magnitude smaller than the corpus — so the loop's per-round jobs
     * are tiny; `maxIters` caps pathological chains.
     */
-  def canonicalize(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+  def canonicalize(pairs: DataFrame, maxIters: Int = 20,
+      driverGraphLimit: Long = 5000000L): DataFrame = {
+    // The pair graph is the OUTPUT of dedup — usually tiny relative to
+    // the corpus. Below the limit, a driver union-find replaces ~4
+    // rounds of distributed jobs (same min-id result, microseconds of
+    // CPU); above it, fall through to the distributed loop. Same
+    // threshold philosophy as broadcast joins.
+    val simple = pairs.select(col("i"), col("j")).distinct().cache()
+    val nPairs = simple.count()
+    if (nPairs <= driverGraphLimit) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      simple.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { // attach larger root under smaller → min-id root invariant
+          if (a < b) parent(b) = a else parent(a) = b
+        }
+      }
+      val out = parent.keys.map(id => (id, find(id))).filter(t => t._1 != t._2).toSeq
+      simple.unpersist()
+      import spark.implicits._
+      return out.toDF("doc_id", "canonical_id")
+    }
+    val edges = simple.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(simple.select(col("j").as("src"), col("i").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()

@@ -71,8 +71,7 @@ object Multimodal {
     * would silently lose precision above 2^53.
     */
   def withFakeMediaMeta(df: DataFrame, binCol: String): DataFrame =
-    df.withColumn("__h",
-        conv(substring(md5(col(binCol)), 1, 15), 16, 10).cast("long"))
+    df.withColumn("__h", graft.expressions.Md5Prefix60(col(binCol)))
       .withColumn("n_bytes", octet_length(col(binCol)).cast("long"))
       .withColumn("content_md5", md5(col(binCol)))
       .withColumn("width", col("__h") % 640 + 16)

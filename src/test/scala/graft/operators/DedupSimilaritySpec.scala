@@ -70,11 +70,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
-  test("canonicalize: min id labels whole component, chains collapse") {
+  test("Md5Prefix60 kernel equals the conv(substring(md5)) composition") {
+    import graft.functions.{HashFunctions => H}
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      H.md5Long($"text").as("fused"),
+      H.md5LongBuiltins($"text").as("builtin"))
+      .where(!($"fused" <=> $"builtin")).count()
+    assert(diff == 0)
+    val edge = Seq("", "a", "é中文").toDF("s")
+      .select(H.md5Long($"s").as("f"), H.md5LongBuiltins($"s").as("b"))
+      .where(!($"f" <=> $"b")).count()
+    assert(edge == 0, "empty/multibyte strings must hash identically")
+  }
+
+  test("canonicalize: min id labels whole component, chains collapse, " +
+    "union-find and distributed paths agree") {
     // components: {1,4,9} via chain 1-4, 4-9; {20,30}; singleton edges absent
     val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("i", "j")
-    val out = Dedup.canonicalize(pairs).as[(Long, Long)].collect().toMap
-    assert(out == Map(4L -> 1L, 9L -> 1L, 30L -> 20L))
+    val expected = Map(4L -> 1L, 9L -> 1L, 30L -> 20L)
+    val unionFind = Dedup.canonicalize(pairs).as[(Long, Long)].collect().toMap
+    assert(unionFind == expected)
+    val distributed = Dedup.canonicalize(pairs, driverGraphLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == expected)
   }
 
   test("cosine identities: self = 1, orthogonal = 0") {
