@@ -1,0 +1,84 @@
+package graft.expressions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Distinct sorted hashes of a token array's word n-gram shingles,
+  * computed without ever materializing an n-gram string:
+  *
+  *   th(t)  = md5_prefix60(t) mod P          (per token, one digest)
+  *   H(i)   = fold(th(i..i+n-1), (a,b) → a·131 + b) mod P
+  *
+  * Intermediates stay < P·131ⁿ⁻¹ < 2⁶³ for n ≤ 5, so the arithmetic is
+  * overflow-free and reproducible in DuckDB as
+  * `list_reduce(list_prepend(0, th[i:i+n-1]), (a,b) -> a*131 + b) % P`.
+  * Shorter-than-n docs produce one shingle over whatever is there
+  * (empty → hash 0), mirroring the index range max(len−n+1, 1).
+  *
+  * Replaces: slice + array_join per shingle + md5-per-shingle — the
+  * dominant cost of every shingle-based dedup query.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingleHashes.eval(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleHashes.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val P = 1000000007L
+
+  def eval(tokens: ArrayData, n: Int): ArrayData = {
+    val k = tokens.numElements()
+    val th = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      th(i) = Md5Prefix60.eval(tokens.getUTF8String(i).getBytes) % P
+      i += 1
+    }
+    val m = math.max(k - n + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + n, k)
+      while (j < end) { acc = acc * 131L + th(j); j += 1 }
+      out(i) = acc % P
+      i += 1
+    }
+    Arrays.sort(out)
+    // in-place distinct on the sorted array
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Arrays.copyOf(out, w))
+  }
+
+  def apply(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleHashes(
+      GraftColumnBridge.expression(tokens), n))
+}

@@ -37,24 +37,27 @@ object Dedup {
       n: Int): DataFrame =
     docs.select(col(idCol), explode(T.shingleSet(col(textCol), n)).as("shingle"))
 
-  /** Hashed shingle set: sorted distinct xxhash64 of each n-gram.
-    * Equality on the 64-bit hash ≡ equality on the string except for
-    * 2⁻⁶⁴ collisions, so blocking joins and Jaccard over hashed sets
-    * produce the same answer while shuffling 8-byte keys instead of
-    * n-gram strings and intersecting with a merge scan.
+  /** Hashed shingle set: sorted distinct rolling hashes of the word
+    * n-grams, computed straight from the token array
+    * ([[graft.expressions.WordShingleHashes]] — no n-gram strings are
+    * ever built). Hash equality ≡ shingle equality modulo mod-P
+    * collisions (~2⁻³⁰ per cross pair); spurious candidates are
+    * filtered by Jaccard verification, and the DuckDB oracle computes
+    * the identical hashes, so results stay bit-matched.
     */
   def hashedShingleSet(textCol: Column, n: Int): Column =
-    array_sort(array_distinct(transform(T.shingleSet(textCol, n),
-      s => xxhash64(s))))
+    graft.expressions.WordShingleHashes(T.tokens(textCol), n)
 
-  /** MinHash signatures: k portable hashes (one md5 per shingle, then
-    * the affine family — see [[graft.functions.HashFunctions]]),
-    * min-aggregated per document. One shuffle on the id.
+  /** MinHash signatures from precomputed hashed shingle sets: each
+    * shingle hash (already < P) seeds the affine family — see
+    * [[graft.functions.HashFunctions]] — and the k mins aggregate per
+    * document. One shuffle on the id; no per-shingle digests here at
+    * all (they happened once inside [[hashedSets]]).
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val base = sh.withColumn("__b", H.md5Mod(col("shingle")))
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val base = sets.select(col("__sid"), explode(col("__set")).as("__b"))
     val aggs = (0 until k).map(i => min(H.seeded(col("__b"), i)).as(s"sig_$i"))
-    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    base.groupBy(col("__sid")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: k signatures split into bands of `rowsPerBand`; docs
@@ -108,9 +111,9 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(shingleRows(docs, idCol, textCol, n), idCol, k)
-    jaccardVerify(lshCandidates(sigs, idCol, k, rowsPerBand),
-      hashedSets(docs, idCol, textCol, n), threshold)
+    val sets = hashedSets(docs, idCol, textCol, n)
+    val sigs = minhashSignatures(sets, k)
+    jaccardVerify(lshCandidates(sigs, "__sid", k, rowsPerBand), sets, threshold)
   }
 
   /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are

@@ -34,14 +34,23 @@ object ExtensionQueries {
       |  FROM documents)
       |""".stripMargin
 
-  /** 5-gram distinct shingle sets: sh(doc_id, s). */
+  /** 5-gram hashed shingle sets sh(doc_id, s): per-token md5-prefix
+    * hash mod P, rolling-combined ×131 per window — mirrors
+    * [[graft.expressions.WordShingleHashes]] exactly (same overflow-
+    * free arithmetic, same short-doc single-window rule).
+    */
   private val shingleCte = tokCte +
-    """, sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    range(1, greatest(len(toks) - 4, 1) + 1),
-      |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS s
-      |  FROM tk)
-      |""".stripMargin
+    s""", th AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS h
+       |  FROM tk),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(h) - 4, 1) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + 4 AS INT)]),
+       |         (a, b) -> a * 131 + b) % $P))) AS s
+       |  FROM th)
+       |""".stripMargin
 
   private val jaccardTailSql =
     """, jc AS (
@@ -288,7 +297,7 @@ object ExtensionQueries {
 
     "x_dedup_minhash_lsh" -> (shingleCte +
       s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |bs AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $P AS b FROM ex),
+         |bs AS (SELECT doc_id, g AS b FROM ex),
          |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
          |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
          |cand AS (
@@ -314,7 +323,7 @@ object ExtensionQueries {
       // recursive CTE for the transitive closure: WITH must be RECURSIVE
       shingleCte.replace("WITH tk AS", "WITH RECURSIVE tk AS") +
       s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |bs AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $P AS b FROM ex),
+         |bs AS (SELECT doc_id, g AS b FROM ex),
          |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
          |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
          |cand AS (
