@@ -47,4 +47,27 @@ object Payloads {
     spark.readStream.schema(employeeEnvelope).json(dir)
       .select(col("new_hash"), explode(col("employees")).as("e"))
       .select(col("new_hash"), col("e.*"))
+
+  /** Malformed envelopes in a landing path. PERMISSIVE parsing means a
+    * bad file otherwise disappears silently (its null envelope
+    * explodes to zero rows); pipelines feed this count into
+    * `items_parsed_total{type="corrupt_envelope"}` so ingest rot is
+    * visible instead of silent.
+    */
+  def countCorruptInto(spark: SparkSession, path: String,
+      envelope: StructType, metrics: graft.observability.Metrics): Long = {
+    val audited = StructType(envelope.fields :+
+      StructField("_corrupt_record", StringType))
+    // Spark refuses queries touching ONLY the corrupt column on a raw
+    // file scan — parse+cache first (per the AnalysisException's own
+    // guidance), then filter.
+    val parsed = spark.read.schema(audited)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path).cache()
+    try {
+      val n = parsed.where(col("_corrupt_record").isNotNull).count()
+      if (n > 0) metrics.incItemsParsed("corrupt_envelope", n.toDouble)
+      n
+    } finally parsed.unpersist()
+  }
 }

@@ -34,6 +34,19 @@ class PayloadsSpec extends SparkSpec {
     assert(r == (("h2", "2024-03-01", 101L, 2, "AL", false)))
   }
 
+  test("corrupt envelopes are counted, good rows unaffected") {
+    val dir = Files.createTempDirectory("payload").toString
+    Files.writeString(java.nio.file.Path.of(dir, "good.json"),
+      """{"new_hash":"h1","employees":[{"id":1,"fullname":"A","shortname":"A","position":"p","email":"a@example.com","phone":"1"}]}""")
+    Files.writeString(java.nio.file.Path.of(dir, "junk.json"), "not json at all")
+    val m = new graft.observability.Metrics
+    val n = Payloads.countCorruptInto(spark, dir, Payloads.employeeEnvelope, m)
+    assert(n == 1)
+    assert(m.counterValue("hephaestus_items_parsed_total",
+      "type" -> "corrupt_envelope") == 1.0)
+    assert(Payloads.readEmployeePayloads(spark, dir).count() == 1)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.expressions.GraftExtensions.register(spark)
     val d = spark.sql(
