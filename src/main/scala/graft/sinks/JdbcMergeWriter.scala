@@ -26,6 +26,17 @@ object JdbcMergeWriter {
 
   type ConnFactory = () => Connection
 
+  /** Executor-side sink instrumentation: Spark accumulators survive a
+    * real cluster (driver-side timers only see the action's wall
+    * time, not per-partition transaction behavior). Feed the totals
+    * into [[graft.observability.Metrics]] after the batch.
+    */
+  final class SinkMetrics(sc: org.apache.spark.SparkContext) extends Serializable {
+    val rowsWritten = sc.longAccumulator("graft.sink.rowsWritten")
+    val txnNanos = sc.longAccumulator("graft.sink.txnNanos")
+    val partitionsTouched = sc.longAccumulator("graft.sink.partitionsTouched")
+  }
+
   def connFactory(url: String): ConnFactory = {
     val u = url
     () => DriverManager.getConnection(u)
@@ -103,12 +114,20 @@ object JdbcMergeWriter {
     * requires unique source keys).
     */
   def upsert(df: DataFrame, spec: MergeSpec, dialect: SqlDialect,
-      cf: ConnFactory): Unit = {
+      cf: ConnFactory, metrics: Option[SinkMetrics] = None): Unit = {
     val plan = dialect.mergePlan(spec) // built driver-side; plan is Serializable
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        val t0 = System.nanoTime()
+        var n = 0L
+        val counted = it.map { r => n += 1; r }
         val conn = cf()
-        inTxn(conn) { mergeRows(it, plan, conn) }
+        inTxn(conn) { mergeRows(counted, plan, conn) }
+        metrics.foreach { m =>
+          m.rowsWritten.add(n)
+          m.txnNanos.add(System.nanoTime() - t0)
+          m.partitionsTouched.add(1)
+        }
       }
     }
   }

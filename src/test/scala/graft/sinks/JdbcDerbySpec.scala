@@ -146,6 +146,18 @@ class JdbcDerbySpec extends SparkSpec {
     assert(rows == Seq((100L, Some(9L)), (100L, None), (200L, Some(3L))))
   }
 
+  test("sink accumulators record rows/transactions from the executors") {
+    init
+    val m = new JdbcMergeWriter.SinkMetrics(spark.sparkContext)
+    JdbcMergeWriter.upsert(
+      employeeDf((50L, "Acc One", "x@example.com"), (51L, "Acc Two", "y@example.com"))
+        .repartition(2),
+      empSpec, DerbyDialect, cf, Some(m))
+    assert(m.rowsWritten.value == 2L)
+    assert(m.partitionsTouched.value >= 1L && m.partitionsTouched.value <= 2L)
+    assert(m.txnNanos.value > 0L)
+  }
+
   test("employee pipeline batch end-to-end: transform + repair + MERGE") {
     init
     exec("DELETE FROM employees")
