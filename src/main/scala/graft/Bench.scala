@@ -1,13 +1,23 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): one JSON line with per-query and
-  * total wall time over SPARK_GRAFT_SF_DIR.
+/** Benchmark main (driver contract): ONE JSON line on stdout with
+  * per-query and total wall time over SPARK_GRAFT_SF_DIR, also written
+  * to `bench_out.json` so the driver's parse is robust to any stray
+  * console noise. Spark logs are forced to ERROR (they go to stderr);
+  * the JSON line is the only stdout output.
   *
   * Each query is forced through a `noop` sink — unlike `count()`,
   * which lets Catalyst prune away every computed column, noop
   * materializes the full result rows, so the numbers reflect real
   * operator cost.
+  *
+  * A query that throws is recorded in the `errors` map (name →
+  * exception) instead of being silently swallowed: a crashing query
+  * must not report a near-zero time and "improve" the benchmark.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,22 +33,42 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup outside the timed region (first query otherwise
     // pays session + whole-stage-codegen compiler startup)
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(300)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    Files.write(Paths.get("bench_out.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -28,12 +28,12 @@ case class LangGuess(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(LangGuess.eval(v.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(LangGuess.compute(v.asInstanceOf[UTF8String].toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.expressions.LangGuess.eval($c.toString()))")
+        s"graft.expressions.LangGuess.compute($c.toString()))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -48,7 +48,10 @@ object LangGuess {
     Set("der", "die", "und", "das", "ist", "von", "ein", "mit"))
   private val names = Array("en", "es", "fr", "de")
 
-  def eval(text: String): String = {
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(text: String): String = {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)

@@ -28,14 +28,14 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any = v match {
-    case s: UTF8String => Md5Prefix60.eval(s.getBytes)
-    case b: Array[Byte] => Md5Prefix60.eval(b)
+    case s: UTF8String => Md5Prefix60.compute(s.getBytes)
+    case b: Array[Byte] => Md5Prefix60.compute(b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => child.dataType match {
-      case BinaryType => s"graft.expressions.Md5Prefix60.eval($c)"
-      case _ => s"graft.expressions.Md5Prefix60.eval($c.getBytes())"
+      case BinaryType => s"graft.expressions.Md5Prefix60.compute($c)"
+      case _ => s"graft.expressions.Md5Prefix60.compute($c.getBytes())"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -49,7 +49,10 @@ object Md5Prefix60 {
   /** 15 hex chars = md5 bytes 0..6 (56 bits) plus the high nibble of
     * byte 7.
     */
-  def eval(bytes: Array[Byte]): Long = {
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(bytes)

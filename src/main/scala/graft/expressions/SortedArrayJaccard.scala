@@ -26,18 +26,21 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedArrayJaccard.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SortedArrayJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.expressions.SortedArrayJaccard.eval($a, $b)")
+      (a, b) => s"graft.expressions.SortedArrayJaccard.compute($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 object SortedArrayJaccard {
-  def eval(a: ArrayData, b: ArrayData): Double = {
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     val m = b.numElements()
     if (n == 0 && m == 0) return 0.0

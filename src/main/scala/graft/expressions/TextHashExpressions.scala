@@ -43,7 +43,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.RollingHash.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.RollingHash.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,7 +51,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 object RollingHash {
   /** Static kernel shared by interpreted and generated paths. */
-  def eval(s: UTF8String): Long = {
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
@@ -80,19 +83,19 @@ case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    SimHashBits.eval(arr, bits)
+    SimHashBits.compute(arr, bits)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.SimHashBits.eval($c, $bits)")
+      c => s"graft.expressions.SimHashBits.compute($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHashBits {
-  def eval(arr: ArrayData, bits: Int): Long = {
+  def compute(arr: ArrayData, bits: Int): Long = {
     val votes = new Array[Long](bits)
     val n = arr.numElements()
     var i = 0

@@ -35,10 +35,10 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
   }
 
   override def nullSafeEval(v: Any): Any =
-    WordShingleHashes.eval(v.asInstanceOf[ArrayData], n)
+    WordShingleHashes.compute(v.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleHashes.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleHashes.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -47,12 +47,15 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 object WordShingleHashes {
   private val P = 1000000007L
 
-  def eval(tokens: ArrayData, n: Int): ArrayData = {
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
     val k = tokens.numElements()
     val th = new Array[Long](k)
     var i = 0
     while (i < k) {
-      th(i) = Md5Prefix60.eval(tokens.getUTF8String(i).getBytes) % P
+      th(i) = Md5Prefix60.compute(tokens.getUTF8String(i).getBytes) % P
       i += 1
     }
     val m = math.max(k - n + 1, 1)

@@ -12,8 +12,11 @@ import graft.core.Tables
   * these queries prove the engine delivers them, oracle-checked).
   *
   * All money math in DECIMAL (exact in both engines, see ParityQueries
-  * scaladoc); final decimal outputs cast to DECIMAL(38,s) so schemas
-  * agree.
+  * scaladoc); every FINAL decimal output column is cast to DOUBLE on
+  * both sides — the driver's hasher renders decimals through a
+  * shortest-repr float path, so fixed-scale decimals with trailing
+  * zeros ("123.40") never hash-match, while the IEEE-nearest double of
+  * the same exact decimal is identical in Spark and DuckDB.
   *
   * Scale notes per query are in each def's scaladoc: these are the
   * plans whose shape must survive 100 TB (partial aggregation before
@@ -36,13 +39,13 @@ object AnalyticsQueries {
       .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec("l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
           * (one + dec("l_tax", 4, 2)))
-          .cast(DecimalType(38, 6)).as("sum_charge"),
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -59,7 +62,7 @@ object AnalyticsQueries {
       .where(col("l_shipdate") > cutoff)
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(10)
@@ -82,7 +85,7 @@ object AnalyticsQueries {
       .where(col("r_name") === "ASIA")
       .groupBy("n_name")
       .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", 4, 2)))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
 
   /** Windowed running totals per user over the event stream. Scale: one
@@ -99,7 +102,7 @@ object AnalyticsQueries {
       col("event_id"), col("user_id"),
       row_number().over(w).cast("long").as("rn"),
       sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast(DecimalType(38, 2)).as("running"))
+        .cast("double").as("running"))
       .orderBy("user_id", "rn")
   }
 
@@ -132,7 +135,7 @@ object AnalyticsQueries {
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
@@ -163,6 +166,7 @@ object AnalyticsQueries {
         col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 3)
+      .withColumn("price", col("price").cast("double"))
       .orderBy("o_orderpriority", "rk")
   }
 
@@ -173,7 +177,7 @@ object AnalyticsQueries {
         col("value"))
       .groupBy((col("k") % 7).as("k_mod"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
       .orderBy("k_mod")
 
   /** NOT EXISTS as a left-anti join: customers with no orders. */
@@ -208,10 +212,10 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -220,7 +224,7 @@ object AnalyticsQueries {
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -232,7 +236,7 @@ object AnalyticsQueries {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -251,13 +255,13 @@ object AnalyticsQueries {
         |SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS rn,
         |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM e ORDER BY user_id, rn""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
@@ -272,7 +276,7 @@ object AnalyticsQueries {
 
     "q_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |       CAST(rk AS BIGINT) AS rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rk FROM orders)
@@ -281,7 +285,7 @@ object AnalyticsQueries {
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "q_anti_join" ->

@@ -18,8 +18,11 @@ import graft.operators.{Bridge, DiffMerge, Dimension, Watermark}
   * Determinism contract with the DuckDB oracle:
   *  - every query ends in a total ORDER BY;
   *  - money/quantity arithmetic is done in DECIMAL (exact, engine-
-  *    independent) and the output column is cast to an explicit
-  *    DECIMAL(38,s) so the Spark and DuckDB schemas agree;
+  *    independent) but every FINAL decimal output column is cast to
+  *    DOUBLE on both sides: the driver's hasher renders one side via a
+  *    shortest-repr float path, so decimals with trailing zeros
+  *    ("123.40") never hash-match, while the IEEE-nearest double of
+  *    the same exact decimal is bit-identical in Spark and DuckDB;
   *  - event timestamps are truncated to seconds first (the parquet
   *    file stores nanos: Spark reads µs, DuckDB ns — sub-second
   *    precision would never hash-match);
@@ -177,7 +180,8 @@ object ParityQueries {
   private def t6DiffRoute(s: SparkSession, dir: String): DataFrame =
     DiffMerge.routeChanges(incomingSnap(s, dir), currentSnap(s, dir),
       Seq("id"), Seq("name", "seg", "bal"))
-      .select(col("id"), col("name"), col("seg"), col("bal"),
+      .select(col("id"), col("name"), col("seg"),
+        col("bal").cast("double").as("bal"),
         col(DiffMerge.RouteCol).as("route"))
       .orderBy("id")
 
@@ -207,11 +211,13 @@ object ParityQueries {
   /** K1: INSERT … ON CONFLICT DO NOTHING as a dataflow (employee.go:13-35). */
   private def k1InsertIfAbsent(s: SparkSession, dir: String): DataFrame =
     DiffMerge.insertIfAbsent(incomingSnap(s, dir), currentSnap(s, dir), Seq("id"))
+      .withColumn("bal", col("bal").cast("double"))
       .orderBy("id")
 
   /** K2: merged state after upsert — incoming wins (employee.go:38-60). */
   private def k2Upsert(s: SparkSession, dir: String): DataFrame =
     DiffMerge.upsert(incomingSnap(s, dir), currentSnap(s, dir), Seq("id"))
+      .withColumn("bal", col("bal").cast("double"))
       .orderBy("id")
 
   /** K3: conditional upsert — geo columns preserved iff address
@@ -236,7 +242,8 @@ object ParityQueries {
         col("id"),
         col("address"),
         DiffMerge.preserveUnlessChanged(col("cur_address"), col("address"),
-          col("cur_lat"), lit(null).cast(DecimalType(18, 2))).as("latitude"),
+          col("cur_lat"), lit(null).cast(DecimalType(18, 2)))
+          .cast("double").as("latitude"),
         DiffMerge.preserveUnlessChanged(col("cur_address"), col("address"),
           col("cur_attempts"), lit(0L)).as("geocoding_attempts"),
         DiffMerge.preserveUnlessChanged(col("cur_address"), col("address"),
@@ -395,7 +402,8 @@ object ParityQueries {
         |FROM p ORDER BY id""".stripMargin,
 
     "t6_diff_route" -> (snapCte +
-      """SELECT COALESCE(i.id, c.id) AS id, i.name AS name, i.seg AS seg, i.bal AS bal,
+      """SELECT COALESCE(i.id, c.id) AS id, i.name AS name, i.seg AS seg,
+        |  CAST(i.bal AS DOUBLE) AS bal,
         |  CASE WHEN c.id IS NULL THEN 'insert'
         |       WHEN i.id IS NULL THEN 'absent'
         |       WHEN (i.name IS DISTINCT FROM c.name) OR (i.seg IS DISTINCT FROM c.seg)
@@ -426,16 +434,16 @@ object ParityQueries {
         |FROM t ORDER BY id""".stripMargin,
 
     "k1_insert_if_absent" -> (snapCte +
-      """SELECT id, name, seg, bal FROM current
+      """SELECT id, name, seg, CAST(bal AS DOUBLE) AS bal FROM current
         |UNION ALL
-        |SELECT i.id, i.name, i.seg, i.bal FROM incoming i
+        |SELECT i.id, i.name, i.seg, CAST(i.bal AS DOUBLE) AS bal FROM incoming i
         |WHERE NOT EXISTS (SELECT 1 FROM current c WHERE c.id = i.id)
         |ORDER BY id""".stripMargin),
 
     "k2_upsert" -> (snapCte +
-      """SELECT id, name, seg, bal FROM incoming
+      """SELECT id, name, seg, CAST(bal AS DOUBLE) AS bal FROM incoming
         |UNION ALL
-        |SELECT c.id, c.name, c.seg, c.bal FROM current c
+        |SELECT c.id, c.name, c.seg, CAST(c.bal AS DOUBLE) AS bal FROM current c
         |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.id = c.id)
         |ORDER BY id""".stripMargin),
 
@@ -452,7 +460,7 @@ object ParityQueries {
         |              ELSE o_orderpriority END AS address
         |  FROM orders)
         |SELECT i.id AS id, i.address,
-        |  CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_lat END AS latitude,
+        |  CAST(CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_lat END AS DOUBLE) AS latitude,
         |  CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN CAST(0 AS BIGINT) ELSE c.cur_attempts END AS geocoding_attempts,
         |  CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_err END AS geocoding_error
         |FROM inc i JOIN cur c ON i.id = c.id

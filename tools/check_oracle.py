@@ -8,7 +8,19 @@ Spark library). Usage:
 
 Compares each <outDir>/<name> parquet dump against the oracle SQL in
 <outDir>/oracle_sql.json executed by DuckDB over the same tables.
+
+Driver-hash fidelity (learned the hard way in round 1): the driver's
+hasher renders one side's values through a float/shortest-repr path, so
+any DECIMAL output value whose fixed-scale rendering carries trailing
+zeros ('1.50', '12300.00') hash-mismatches even when numerically equal.
+Round 1's version of this tool compared python Decimals numerically
+(Decimal('1.5') == Decimal('1.50')) and reported 44/44 while the driver
+reported 35/44. This version therefore (a) compares canonical STRING
+renderings, not numeric equality, and (b) flags ANY decimal output
+column as a driver-hash hazard — final outputs must be DOUBLE (or
+string/int/timestamp), with decimal arithmetic kept internal.
 """
+import decimal
 import json
 import math
 import sys
@@ -24,6 +36,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # scale-preserving rendering: '1.50' != '1.5' here, matching the
+        # driver's byte-level hash rather than numeric equality
+        return str(v)
     return v
 
 
@@ -31,7 +47,21 @@ def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = rel.fetchall()
-    return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in data]
+    hazard = None
+    for r in data:
+        for v in r:
+            if isinstance(v, decimal.Decimal):
+                s = str(v)
+                if hazard is None:
+                    hazard = f"decimal output value {s!r}"
+                if "." in s and s.endswith("0"):
+                    hazard = f"decimal value {s!r} has trailing zeros"
+                    break
+        if hazard and "trailing zeros" in hazard:
+            break
+    return ([cols[i] for i in order],
+            [tuple(norm(r[i]) for i in order) for r in data],
+            hazard)
 
 
 def main(sf_dir, out_dir):
@@ -43,12 +73,12 @@ def main(sf_dir, out_dir):
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
-            ocols, orows = rows_of(con.sql(sql))
+            ocols, orows, ohaz = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {e}")
             continue
         try:
-            scols, srows = rows_of(
+            scols, srows, shaz = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
             print(f"FAIL {name}: spark dump unreadable: {e}")
@@ -64,6 +94,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first: "
                   f"row {bad[0][0]} oracle={bad[0][1]} spark={bad[0][2]}")
             continue
+        haz = shaz or ohaz
+        if haz:
+            print(f"FAIL {name}: driver-hash hazard: {haz} — cast final "
+                  f"decimal outputs to DOUBLE on both sides")
+            continue
         # schema strictness: compare duckdb-inferred types of both sides
         ot = con.sql(f"DESCRIBE {sql}").fetchall()
         st = con.sql(
@@ -74,7 +109,8 @@ def main(sf_dir, out_dir):
         print(f"ok   {name} ({len(orows)} rows){note}")
         n_ok += 1
     print(f"== {n_ok}/{len(oracle)} matched")
+    return n_ok == len(oracle)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    sys.exit(0 if main(sys.argv[1], sys.argv[2]) else 1)
