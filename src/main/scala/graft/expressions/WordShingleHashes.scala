@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
   */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
+  // the overflow-free bound P·131^(n-1) < 2^63 only holds for n ≤ 5;
+  // larger n would silently wrap in Spark while the documented DuckDB
+  // oracle formulation errors on BIGINT overflow
+  require(n >= 1 && n <= 5, s"word_shingle_hashes supports n in [1,5], got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -105,15 +105,32 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
 
+  /** Materialize `pairs` (persist + count) so the shingle-set cache it
+    * reads can be released immediately — the per-doc sets are the big
+    * intermediate; the returned pair set is dedup OUTPUT, orders of
+    * magnitude smaller. Caller may `unpersist()` the result when done.
+    */
+  private def materializeAndRelease(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    out.count()
+    sets.unpersist(blocking = false)
+    out
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    * candidate join → Jaccard verify.
+    * candidate join → Jaccard verify. The result is persisted (it is
+    * small — dedup output) and the per-doc shingle-set cache is
+    * released before returning, so repeated pipeline runs don't
+    * accumulate executor storage.
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, n)
     val sigs = minhashSignatures(sets, k)
-    jaccardVerify(lshCandidates(sigs, "__sid", k, rowsPerBand), sets, threshold)
+    materializeAndRelease(
+      jaccardVerify(lshCandidates(sigs, "__sid", k, rowsPerBand), sets, threshold),
+      sets)
   }
 
   /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are
@@ -130,7 +147,7 @@ object Dedup {
         col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))
       .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
       .distinct()
-    jaccardVerify(cand, sets, threshold)
+    materializeAndRelease(jaccardVerify(cand, sets, threshold), sets)
   }
 
   /** 16-bit SimHash fingerprint of the token stream — computed with
@@ -155,12 +172,14 @@ object Dedup {
     * are tiny; `maxIters` caps pathological chains.
     */
   def canonicalize(pairs: DataFrame, maxIters: Int = 20,
-      driverGraphLimit: Long = 5000000L): DataFrame = {
-    // The pair graph is the OUTPUT of dedup — usually tiny relative to
-    // the corpus. Below the limit, a driver union-find replaces ~4
-    // rounds of distributed jobs (same min-id result, microseconds of
-    // CPU); above it, fall through to the distributed loop. Same
-    // threshold philosophy as broadcast joins.
+      driverGraphLimit: Long = 100000L): DataFrame = {
+    // Below the limit, a driver union-find replaces ~4 rounds of
+    // distributed jobs (same min-id result, microseconds of CPU);
+    // above it, the distributed min-label loop is the primary path.
+    // The limit is conservative (100k pairs ≈ single-digit MB of Row
+    // heap): a boilerplate-heavy corpus at 100 TB can emit tens of
+    // millions of near-dup pairs, and collecting those would OOM the
+    // driver — the distributed path must be the default at scale.
     val simple = pairs.select(col("i"), col("j")).distinct().cache()
     val nPairs = simple.count()
     if (nPairs <= driverGraphLimit) {

@@ -24,6 +24,13 @@ object Salting {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Right/full outer joins are NOT salting-safe: every unmatched dim
+    // row is replicated saltFactor times and each replica emits its own
+    // null-padded output row. Only fact-preserving join types qualify.
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, got '$joinType'")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",

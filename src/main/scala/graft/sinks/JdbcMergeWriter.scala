@@ -132,32 +132,46 @@ object JdbcMergeWriter {
     }
   }
 
-  /** Bridge rewrite (K5): per group key, delete-then-reinsert. */
+  /** Bridge rewrite (K5): per group key, delete-then-reinsert.
+    *
+    * Streams each partition in ONE pass with O(BatchSize) executor
+    * memory: rows are repartitioned AND sorted by the group key, so a
+    * group's rows are contiguous — on first sight of a key its DELETE
+    * runs, then its rows flow into the batched INSERT behind it, all
+    * inside the partition's transaction. (Round 1 buffered the whole
+    * partition with `it.toSeq`; at 100 TB a bridge partition doesn't
+    * fit in executor heap.)
+    */
   def overwriteGroups(df: DataFrame, table: String, groupCol: String,
       cols: Seq[String], dialect: SqlDialect, cf: ConnFactory): Unit = {
     val repartitioned = df.repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol))
     repartitioned.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val rows = it.toSeq
-        val keys = rows.map(_.getAs[Any](groupCol)).distinct
         val conn = cf()
         inTxn(conn) {
-          keys.grouped(BatchSize).foreach { ks =>
-            val del = conn.prepareStatement(
-              dialect.deleteGroupsSql(table, groupCol, ks.size))
-            try {
-              ks.zipWithIndex.foreach { case (k, i) => setParam(del, i + 1, k, conn) }
-              del.executeUpdate()
-            } finally del.close()
-          }
-          val insSql = dialect.insertSql(table, cols)
-          val ps = conn.prepareStatement(insSql)
+          val del = conn.prepareStatement(
+            dialect.deleteGroupsSql(table, groupCol, 1))
+          val ins = conn.prepareStatement(dialect.insertSql(table, cols))
           try {
-            rows.grouped(BatchSize).foreach { group =>
-              group.foreach { r => bind(ps, cols, r, conn); ps.addBatch() }
-              ps.executeBatch()
+            var current: Any = null
+            var started = false
+            var pending = 0
+            it.foreach { r =>
+              val k = r.getAs[Any](groupCol)
+              if (!started || k != current) {
+                setParam(del, 1, k, conn)
+                del.executeUpdate()
+                current = k
+                started = true
+              }
+              bind(ins, cols, r, conn)
+              ins.addBatch()
+              pending += 1
+              if (pending >= BatchSize) { ins.executeBatch(); pending = 0 }
             }
-          } finally ps.close()
+            if (pending > 0) ins.executeBatch()
+          } finally { del.close(); ins.close() }
         }
       }
     }

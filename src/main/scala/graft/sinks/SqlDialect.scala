@@ -91,23 +91,31 @@ object PostgresDialect extends SqlDialect {
   */
 object DerbyDialect extends SqlDialect {
 
-  /** null-safe "differs": NOT(a = b OR both null), with b a parameter. */
+  /** null-safe "differs" with the incoming value bound THREE times.
+    * The compact form NOT(a = ? OR (a IS NULL AND ? IS NULL)) is wrong
+    * under three-valued logic: with exactly one side NULL, `a = ?` is
+    * UNKNOWN, so the whole predicate is UNKNOWN and the UPDATE matches
+    * zero rows — NULL→value transitions would be silently dropped (and
+    * the geo-preserve CASE would wrongly preserve). Fully expanded
+    * instead: each disjunct is TRUE/FALSE in every null combination.
+    */
   private def differsParam(a: String): String =
-    s"(NOT (($a = ?) OR ($a IS NULL AND ? IS NULL)))"
+    s"(($a IS NULL AND ? IS NOT NULL) OR (? IS NULL AND $a IS NOT NULL) OR $a <> ?)"
 
   override def mergePlan(spec: MergeSpec): MergePlan = {
     val t = spec.table
     val setParts = spec.updateCols.map(c => s"$c = ?" -> Seq(c)) ++
       spec.preserves.map { p =>
         (s"${p.col} = CASE WHEN ${differsParam(s"$t.${p.guardCol}")} " +
-          s"THEN ${p.resetSql} ELSE $t.${p.col} END") -> Seq(p.guardCol, p.guardCol)
+          s"THEN ${p.resetSql} ELSE $t.${p.col} END") ->
+          Seq(p.guardCol, p.guardCol, p.guardCol)
       } ++
       spec.touchCol.map(c => s"$c = CURRENT_TIMESTAMP" -> Seq.empty[String])
     val whereKeys = spec.keyCols.map(k => s"$k = ?" -> Seq(k))
     val skipGuard =
       if (spec.skipIfIdentical)
         Seq(("(" + spec.updateCols.map(c => differsParam(s"$t.$c")).mkString(" OR ") + ")")
-          -> spec.updateCols.flatMap(c => Seq(c, c)))
+          -> spec.updateCols.flatMap(c => Seq(c, c, c)))
       else Nil
     val updateSql = s"UPDATE $t SET ${setParts.map(_._1).mkString(", ")} " +
       s"WHERE ${(whereKeys ++ skipGuard).map(_._1).mkString(" AND ")}"

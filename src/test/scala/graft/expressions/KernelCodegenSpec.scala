@@ -55,6 +55,13 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(e, InternalRow(toks))
   }
 
+  test("WordShingleHashes rejects n outside the overflow-free bound [1,5]") {
+    val child = BoundReference(0, ArrayType(StringType, containsNull = false),
+      nullable = true)
+    intercept[IllegalArgumentException] { WordShingleHashes(child, 0) }
+    intercept[IllegalArgumentException] { WordShingleHashes(child, 6) }
+  }
+
   test("RollingHash compiles and matches interpreted") {
     val e = RollingHash(BoundReference(0, StringType, nullable = true))
     compiledVsInterpreted(e, InternalRow(UTF8String.fromString("rolling hash input")))

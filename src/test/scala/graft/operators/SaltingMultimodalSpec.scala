@@ -24,6 +24,14 @@ class SaltingMultimodalSpec extends SparkSpec {
     val leftN = Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "left").count()
     val expLeftN = fact.join(dim, Seq("k"), "left").count()
     assert(leftN == expLeftN)
+    // right/full outer would duplicate unmatched dim rows saltFactor
+    // times — rejected up front
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "right")
+    }
   }
 
   test("two-phase aggregation merges salted partials to exact totals") {

@@ -146,6 +146,72 @@ class JdbcDerbySpec extends SparkSpec {
     assert(rows == Seq((100L, Some(9L)), (100L, None), (200L, Some(3L))))
   }
 
+  test("MERGE null transitions: NULL→value and value→NULL update, NULL=NULL skips") {
+    init
+    // the compact NOT(a = ? OR both-null) guard evaluates to UNKNOWN
+    // when exactly one side is NULL — these transitions were silently
+    // dropped before the three-bind expansion
+    JdbcMergeWriter.upsert(
+      employeeDf((60L, "Nully", null)), empSpec, DerbyDialect, cf)
+    val e0 = query1("SELECT email FROM employees WHERE id = 60")(_.getString(1))
+    assert(e0 == Seq(null))
+
+    // NULL → value must apply the update
+    JdbcMergeWriter.upsert(
+      employeeDf((60L, "Nully", "n@example.com")), empSpec, DerbyDialect, cf)
+    val e1 = query1("SELECT email FROM employees WHERE id = 60")(_.getString(1))
+    assert(e1 == Seq("n@example.com"), "NULL→value transition must not be skipped")
+
+    // value → NULL must apply the update
+    JdbcMergeWriter.upsert(
+      employeeDf((60L, "Nully", null)), empSpec, DerbyDialect, cf)
+    val e2 = query1("SELECT email FROM employees WHERE id = 60")(_.getString(1))
+    assert(e2 == Seq(null), "value→NULL transition must not be skipped")
+
+    // NULL = NULL replay is identical → skip guard holds, updated_at frozen
+    val ts1 = query1("SELECT updated_at FROM employees WHERE id = 60")(_.getTimestamp(1))
+    Thread.sleep(50)
+    JdbcMergeWriter.upsert(
+      employeeDf((60L, "Nully", null)), empSpec, DerbyDialect, cf)
+    val ts2 = query1("SELECT updated_at FROM employees WHERE id = 60")(_.getTimestamp(1))
+    assert(ts2 == ts1, "identical all-NULL replay must skip")
+  }
+
+  test("task MERGE: address NULL transitions flip the preserve CASE") {
+    init
+    exec("DELETE FROM tasks")
+    exec("INSERT INTO tasks (task_id, address, latitude, geocoding_attempts, geocoding_error) " +
+      "VALUES (20, NULL, 12.5, 1, NULL), (21, 'Has Addr', 33.3, 2, 'e')")
+    // NULL → value and value → NULL are both "address changed" → geo reset
+    val batch = Seq(
+      (20L, Some("Now Set")), (21L, Option.empty[String])).toDF("task_id", "address")
+    JdbcMergeWriter.upsert(batch, taskSpec, DerbyDialect, cf)
+    val rows = query1(
+      "SELECT task_id, latitude, geocoding_attempts FROM tasks ORDER BY task_id") { r =>
+      (r.getLong(1), Option(r.getObject(2)).map(_.asInstanceOf[Double]), r.getInt(3))
+    }
+    assert(rows(0) == ((20L, None, 0)), "NULL→value address change must reset geo")
+    assert(rows(1) == ((21L, None, 0)), "value→NULL address change must reset geo")
+  }
+
+  test("overwriteGroups streams multi-group partitions past the batch size") {
+    init
+    exec("DELETE FROM task_executors")
+    exec("INSERT INTO task_executors VALUES (300, 1), (301, 1), (999, 7)")
+    // 3 groups × 600 rows > BatchSize(500): exercises the one-pass
+    // sorted-stream (delete at group boundary, batched inserts behind)
+    val incoming = (0 until 1800).map { i =>
+      (300L + (i % 3), i.toLong)
+    }.toDF("task_id", "executor_id")
+    JdbcMergeWriter.overwriteGroups(incoming, "task_executors", "task_id",
+      Seq("task_id", "executor_id"), DerbyDialect, cf)
+    val counts = query1(
+      "SELECT task_id, count(*) FROM task_executors GROUP BY task_id ORDER BY task_id")(
+      r => (r.getLong(1), r.getLong(2)))
+    assert(counts == Seq((300L, 600L), (301L, 600L), (302L, 600L), (999L, 1L)),
+      "each incoming group fully rewritten, untouched group intact")
+  }
+
   test("sink accumulators record rows/transactions from the executors") {
     init
     val m = new JdbcMergeWriter.SinkMetrics(spark.sparkContext)
