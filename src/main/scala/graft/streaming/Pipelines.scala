@@ -53,10 +53,17 @@ object Pipelines {
     * `Trigger.ProcessingTime("10 minutes")` matches the reference
     * cadence (config.go:30), `Trigger.AvailableNow` drains a backlog.
     */
+  /** `cleanSource` ("delete" / "archive" / "off") is the landing-zone
+    * retention primary path: the file source removes each file once its
+    * batch commits, so the zone stays bounded (see [[LandingZone]]).
+    */
   def employeeStream(spark: SparkSession, landingDir: String,
       checkpointDir: String, dialect: SqlDialect, cf: ConnFactory,
-      trigger: Trigger = Trigger.ProcessingTime("10 minutes")): StreamingQuery =
-    spark.readStream.schema(Schemas.employee).parquet(landingDir)
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"),
+      cleanSource: String = "delete"): StreamingQuery =
+    spark.readStream.schema(Schemas.employee)
+      .option("cleanSource", cleanSource)
+      .parquet(landingDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -119,8 +126,11 @@ object Pipelines {
   def taskStream(spark: SparkSession, landingDir: String, checkpointDir: String,
       dialect: SqlDialect, cf: ConnFactory,
       loadDim: () => DataFrame, loadEmployees: () => DataFrame,
-      trigger: Trigger = Trigger.ProcessingTime("10 minutes")): StreamingQuery =
-    spark.readStream.schema(Schemas.task).parquet(landingDir)
+      trigger: Trigger = Trigger.ProcessingTime("10 minutes"),
+      cleanSource: String = "delete"): StreamingQuery =
+    spark.readStream.schema(Schemas.task)
+      .option("cleanSource", cleanSource)
+      .parquet(landingDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
