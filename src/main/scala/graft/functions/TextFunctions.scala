@@ -57,6 +57,24 @@ object TextFunctions {
     */
   def langGuess(text: Column): Column = graft.expressions.LangGuess(text)
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 shape, portable subset):
+    * apostrophe contractions, letter runs, digit runs, punctuation
+    * runs — each with an optional leading space. Valid in both Java
+    * regex (Spark) and RE2 (DuckDB `regexp_extract_all`), so the
+    * counts oracle-match. Whitespace between matches is a separator,
+    * not a token.
+    */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish subword-segment count — the "how many tokens will the
+    * tokenizer roughly emit" estimate a training-data pipeline budgets
+    * with (whitespace token counts undercount CJK/punctuation-heavy
+    * text badly).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.
     */

@@ -71,6 +71,61 @@ object Similarity {
     ranked(pairs, k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer splits the space into
+    * `nlist` cells, every candidate is assigned to its single nearest
+    * cell, and each query searches only its `nprobe` nearest cells —
+    * the classic recall/cost dial (nprobe → nlist recovers exact
+    * search within quantizer error).
+    *
+    * The coarse quantizer is deterministic and dependency-free:
+    * exemplar centroids are the embeddings of the `nlist` lowest-id
+    * candidate rows (a production deployment would train k-means; the
+    * assignment/probe dataflow — the part that must scale — is
+    * identical and the exemplar form is DuckDB-reproducible for the
+    * oracle). Centroids are collected to the driver (nlist·dim doubles
+    * — broadcast-sized by definition) and inlined as literals, so cell
+    * assignment is a map-only fold: no shuffle, no UDF, and the
+    * search join is an equi-join on the cell id.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1,$nlist], got $nprobe")
+    val cents: Seq[Seq[Double]] = candidates
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    // centroid squared norms, left-fold in double — the exact fold the
+    // oracle's list_reduce computes, so cosines are bit-identical
+    val centNorms = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+
+    /** Cells ranked by cosine-to-centroid: sorted array of
+      * struct(-cos, cell) — ascending sort ≡ cosine DESC, cell ASC
+      * tie-break, matching the oracle's window ORDER BY.
+      */
+    def rankedCells(v: Column, nsq: Column): Column =
+      sort_array(array(cents.zipWithIndex.map { case (cvec, i) =>
+        val cos = V.cosinePrenormed(V.dot(v, typedLit(cvec)), nsq, lit(centNorms(i)))
+        struct((-cos).as("ns"), lit(i).as("cell"))
+      }: _*))
+
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn(n, V.normSq(col(v)))
+    val c = prep(candidates, "neighbor_id", "__cv", "__cn")
+      .withColumn("__cell", element_at(rankedCells(col("__cv"), col("__cn")), 1)("cell"))
+    val q = prep(queries, "query_id", "__qv", "__qn")
+      .withColumn("__probe", explode(slice(rankedCells(col("__qv"), col("__qn")), 1, nprobe)))
+      .withColumn("__cell", col("__probe")("cell"))
+    // candidates carry ONE cell each, so probing several cells can't
+    // produce duplicate pairs; the join stays a hash equi-join
+    val pairs = c.as("c").join(broadcast(q.as("q")),
+        col("c.__cell") === col("q.__cell") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", V.cosinePrenormed(
+        V.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    ranked(pairs, k)
+  }
+
   /** ANN top-k restricted to hyperplane-LSH bucket mates. Same output
     * shape as [[bruteTopK]]; neighbors outside the query's bucket are
     * (by design) not considered.

@@ -166,6 +166,25 @@ object ExtensionQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  private def xSimTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def xTextTokens(s: SparkSession, dir: String): DataFrame = {
+    val bpe = T.bpeishCount(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      T.tokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpeish_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(bpe, lit(1)).cast("double"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def xMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -240,6 +259,8 @@ object ExtensionQueries {
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_sim_topk_brute" -> (xSimTopkBrute _),
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
+    "x_sim_topk_ivf" -> (xSimTopkIvf _),
+    "x_text_tokens" -> (xTextTokens _),
     "x_multimodal_meta" -> (xMultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -377,6 +398,41 @@ object ExtensionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
          |SELECT query_id, neighbor_id, round(score, 6) AS score
          |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    "x_sim_topk_ivf" -> (embCte +
+      s""", cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv, nsq AS cn
+         |  FROM nn ORDER BY vec_id LIMIT 8),
+         |asg0 AS (
+         |  SELECT n.vec_id, n.v, n.nsq, c.cell,
+         |    ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cn)) AS cs
+         |  FROM nn n CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS crk
+         |  FROM asg0),
+         |cand AS (SELECT vec_id, v, nsq, cell FROM asg WHERE crk = 1),
+         |qry AS (SELECT vec_id, v, nsq, cell FROM asg WHERE crk <= 2 AND vec_id < 10),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+         |  FROM qry q JOIN cand c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    "x_text_tokens" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS nb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(nb AS BIGINT) AS bpeish_tokens,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |        CAST(greatest(nb, 1) AS DOUBLE), 6) AS chars_per_token
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """WITH m AS (

@@ -140,6 +140,52 @@ class DedupSimilaritySpec extends SparkSpec {
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
   }
 
+  test("ivfTopK: nprobe = nlist probes every cell and equals brute exactly") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 3)
+    // every candidate lives in exactly one cell and all cells are
+    // probed, so the candidate set is complete → identical to brute
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK: nprobe < nlist returns a score-exact subset of brute") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 100)
+      .as[(Long, Long, Double)].collect().toMap_2
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, nid, s) =>
+      assert(brute.contains((qid, nid)) || s <= brute.values.min + 1e-12,
+        s"pair ($qid,$nid) unknown to brute top-100 with non-trivial score")
+      brute.get((qid, nid)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, 8, 9)
+    }
+  }
+
+  test("bpeishCount: contractions, digit runs, punctuation runs") {
+    val rows = Seq(
+      (1L, "don't"),                 // don | 't
+      (2L, "hello world"),           // hello | world
+      (3L, "abc123!?"),              // abc | 123 | !?
+      (4L, "hello, world!"),         // hello | , | world | !
+      (5L, ""),                      // zero tokens
+      (6L, "I'll pay $42.50 now"))   // I | 'll | pay | $ | 42 | . | 50 | now
+      .toDF("id", "text")
+    val got = rows.select($"id", T.bpeishCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 0, 6L -> 8))
+  }
+
   test("text functions: tokens, shingles, language, fingerprint locality") {
     val df = Seq((1L, "  The quick   brown fox  ")).toDF("id", "text")
     assert(df.select(T.tokenCount($"text")).as[Int].head() == 4)
