@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian product")
   }
 
+  test("IVF ANN search joins on the cell id (hash join, no cross product)") {
+    val p = plan("x_sim_topk_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probing must not degenerate to a cross product:\n$p")
+  }
+
   test("windowed queries shuffle once on the partition key") {
     val p = plan("q_window_running")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
