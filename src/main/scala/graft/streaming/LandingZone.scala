@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Two mechanisms, complementary:
   *
   *  1. The streams pass `cleanSource` through to Spark's file source
-  *     (see [[Pipelines]]): Spark itself deletes/archives each file
-  *     once its batch commits — the primary path, safe because the
-  *     source only cleans COMMITTED files.
+  *     (see [[Pipelines]]): Spark itself deletes/archives a batch's
+  *     files when the NEXT batch commits (the source's commit() lags
+  *     one batch — verified in StreamingSpec), so the zone stays
+  *     bounded with a one-run tail; safe because only COMMITTED files
+  *     are cleaned.
   *  2. [[sweep]] — an age-based safety net for files the source will
   *     never clean (batch-read backfill dirs, files written before
   *     cleanSource was enabled, archived files). Age-based deletion is

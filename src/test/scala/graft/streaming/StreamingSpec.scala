@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpec {
       1L -> "a@example.com", 2L -> "b@example.com", 3L -> "c@example.com"))
   }
 
+  test("cleanSource=delete removes processed landing files (retention primary path)") {
+    init
+    val landing = Files.createTempDirectory("landing-clean")
+    val ckpt = Files.createTempDirectory("ckpt-clean").toString
+    writeLanding(landing.toString, Seq(
+      Row(10L, "Zed", "ZD", "qa", "z@example.com", "0961234567")))
+    val q = Pipelines.employeeStream(spark, landing.toString, ckpt,
+      DerbyDialect, cf, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    def parquets = Option(landing.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val firstRun = parquets
+    assert(firstRun.nonEmpty)
+    // a batch's files become delete-eligible when the NEXT batch
+    // commits (source commit() fires then), so the zone is bounded
+    // with a one-run lag: run 2 must clean run 1's files.
+    writeLanding(landing.toString, Seq(
+      Row(11L, "Yan", "YA", "qa", "y@example.com", "0961234567")))
+    val q2 = Pipelines.employeeStream(spark, landing.toString, ckpt,
+      DerbyDialect, cf, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val deadline = System.currentTimeMillis() + 20000
+    while (parquets.intersect(firstRun).nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(parquets.intersect(firstRun).isEmpty,
+      s"run-1 landing files must be deleted once run 2 commits, still present: " +
+        parquets.intersect(firstRun))
+  }
+
   test("hash-gated poller: unchanged hash and empty batches are skipped, " +
     "hash commits only after a successful batch") {
     val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
