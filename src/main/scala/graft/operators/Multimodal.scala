@@ -48,11 +48,74 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Pluggable transform boundary for payload→payload ops (resize) and
+    * payload→frames ops (frame sampling). Like [[MediaDecoder]], a real
+    * implementation wraps a native codec and is instantiated once per
+    * partition.
+    */
+  trait MediaTranscoder extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(payload: Array[Byte], everyN: Int): Iterator[(Int, Array[Byte])]
+  }
+
+  /** STUB transcoder, deterministic:
+    *  - "resize" = stride subsample of the byte stream down to ≤ w·h
+    *    bytes (stands in for pixel resampling);
+    *  - frames = the payload cut into `n_frames = len%30+1` equal
+    *    chunks (the same n_frames contract as [[StubDecoder]]), every
+    *    N-th chunk emitted.
+    */
+  object StubTranscoder extends MediaTranscoder {
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(w * h, 1)
+      if (payload.length <= target) payload
+      else {
+        val stride = (payload.length + target - 1) / target
+        payload.indices.by(stride).map(payload).toArray
+      }
+    }
+    override def sampleFrames(payload: Array[Byte],
+        everyN: Int): Iterator[(Int, Array[Byte])] = {
+      val len = payload.length
+      val n = len % 30 + 1
+      val sz = (len + n - 1) / n // ceil — last frame may be short
+      (0 until n by everyN).iterator.map { i =>
+        (i, payload.slice(i * sz, math.min((i + 1) * sz, len)))
+      }
+    }
+  }
+
   /** Attach a binary payload column (here: utf8 bytes of a text column
     * standing in for real media bytes).
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String): DataFrame =
     df.withColumn(binCol, col(srcCol).cast("binary"))
+
+  /** Distributed resize: payload→payload through the transcoder
+    * boundary, one transcoder per partition, rows streaming.
+    */
+  def resizeBatch(rows: Dataset[MediaRow], t: MediaTranscoder, w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    rows.mapPartitions { it => it.map(r => MediaRow(r.doc_id, t.resize(r.payload, w, h))) }
+  }
+
+  /** Distributed frame sampling: 1→N rows per payload (flatMap — the
+    * video shape: a doc explodes into its sampled frames, each a row
+    * downstream feature extraction can process independently).
+    */
+  def sampleFramesBatch(rows: Dataset[MediaRow], t: MediaTranscoder, everyN: Int)(
+      implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        t.sampleFrames(r.payload, everyN).map { case (i, f) => FrameRow(r.doc_id, i, f) }
+      }
+    }
+  }
 
   /** Batch decode through the codec boundary: mapPartitions so the
     * decoder is constructed once per partition and rows stream through

@@ -187,6 +187,27 @@ object ExtensionQueries {
 
   // ---- multimodal ---------------------------------------------------------
 
+  /** Frame sampling as pure columns over the text stand-in (the binary
+    * path is [[Multimodal.sampleFramesBatch]], behavior-tested; this
+    * CHARACTER-chunk variant exists because the container's DuckDB
+    * can't substring BLOBs). Same contract: n_frames = len%30+1 equal
+    * chunks, every 3rd sampled. Chunk size is the integer ceil
+    * `(len + nf - 1) div nf` — exact on both engines, no double math.
+    */
+  private def xMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("nf", col("len") % 30 + 1)
+      .withColumn("csz", expr("(len + nf - 1) div nf"))
+      .withColumn("frame_idx", explode(expr("sequence(0L, nf - 1, 3L)")))
+      .withColumn("fr", expr("substring(text, CAST(frame_idx * csz + 1 AS INT), CAST(csz AS INT))"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("fr")).cast("long").as("frame_chars"),
+        md5(col("fr")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   private def xMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val b = Multimodal.withBinaryPayload(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "payload")
@@ -261,7 +282,8 @@ object ExtensionQueries {
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_text_tokens" -> (xTextTokens _),
-    "x_multimodal_meta" -> (xMultimodalMeta _))
+    "x_multimodal_meta" -> (xMultimodalMeta _),
+    "x_multimodal_frames" -> (xMultimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "x_text_stats" -> (tokCte +
@@ -445,5 +467,19 @@ object ExtensionQueries {
         |  (h // 640) % 480 + 16 AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
         |  upper(hex(encode(substr(text, 1, 4)))) AS magic
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |         CAST(length(text) % 30 + 1 AS BIGINT) AS nf
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (SELECT *, (len + nf - 1) // nf AS csz FROM f),
+        |x AS (
+        |  SELECT doc_id, unnest(range(0, nf, 3)) AS frame_idx, text, csz
+        |  FROM g)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx * csz + 1 AS INT), CAST(csz AS INT))) AS BIGINT) AS frame_chars,
+        |  md5(substr(text, CAST(frame_idx * csz + 1 AS INT), CAST(csz AS INT))) AS frame_md5
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -67,6 +67,26 @@ class SaltingMultimodalSpec extends SparkSpec {
     assert(again.toSeq == metas.toSeq)
   }
 
+  test("multimodal resize + frame sampling: per-partition transcoder, stub contracts") {
+    implicit val s = spark
+    import s.implicits._
+    val payload = Array.tabulate[Byte](100)(_.toByte) // len 100 → n_frames 11
+    val rows = Seq(Multimodal.MediaRow(1L, payload)).toDS()
+
+    val resized = Multimodal.resizeBatch(rows, Multimodal.StubTranscoder, 4, 4)
+      .collect().head
+    assert(resized.payload.length <= 16, "resize bounds the payload to w*h")
+    assert(resized.payload.head == payload.head, "stride subsample keeps byte 0")
+
+    val frames = Multimodal.sampleFramesBatch(rows, Multimodal.StubTranscoder, 3)
+      .collect().sortBy(_.frame_idx)
+    // n = 100 % 30 + 1 = 11 frames of ceil(100/11) = 10 bytes; every 3rd
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.frame.length == 10))
+    assert(frames.head.frame.toSeq == payload.slice(0, 10).toSeq)
+    assert(frames.last.frame.toSeq == payload.slice(90, 100).toSeq)
+  }
+
   test("scraper_status watermark mirror: upsert advances date (K6)") {
     import java.sql.{DriverManager, Timestamp}
     import graft.sinks.{DerbyDialect, JdbcMergeWriter, MergeSpecs}
