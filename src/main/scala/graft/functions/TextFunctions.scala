@@ -75,6 +75,24 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** Inline PII patterns, portable between Java regex and RE2:
+    * unanchored email, and international-format phone (+ then 8-15
+    * digits — conservative on purpose: digit runs in prose must not
+    * be eaten).
+    */
+  val InlineEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val InlinePhonePattern = "\\+[0-9]{8,15}"
+
+  /** PII redaction for training corpora: emails → [EMAIL], then
+    * international phones → [PHONE]. Order matters (emails can contain
+    * digit runs; phones can't contain '@'). Pure regexp_replace —
+    * codegen'd, map-only, oracle-reproducible.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, InlineEmailPattern, "[EMAIL]"),
+      InlinePhonePattern, "[PHONE]")
+
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.
     */

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.expressions.Md5Prefix60
+
+/** Deterministic, engine-portable sampling and split assignment — the
+  * bread-and-butter of training-data pipelines at scale. Everything
+  * keys off the portable md5-prefix hash ([[Md5Prefix60]]), so:
+  *  - assignment is a pure per-row map (no shuffle, no state, no rand()
+  *    — replays and retries agree, and the same doc lands in the same
+  *    split on any engine or cluster size);
+  *  - the DuckDB oracle reproduces every bucket exactly.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, nBuckets) from the string form of a key. */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    pmod(Md5Prefix60(key.cast("string")), lit(nBuckets.toLong))
+
+  /** Train/val/test assignment by hash percentile: bucket < trainPct →
+    * "train", < trainPct+valPct → "val", else "test". Percentages are
+    * out of 100.
+    */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split ($trainPct/$valPct)")
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+
+  /** Deterministic Bernoulli-style sample: keep rows whose hash bucket
+    * (out of `outOf`) falls below `keep` — a stable `keep/outOf`
+    * fraction, unlike `rand()`-based sampling which changes on every
+    * retry/replay.
+    */
+  def deterministicKeep(key: Column, keep: Int, outOf: Int = 1000): Column =
+    hashBucket(key, outOf) < keep
+}

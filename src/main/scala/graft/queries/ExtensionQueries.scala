@@ -93,6 +93,40 @@ object ExtensionQueries {
       T.rollingHash(col("text")).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** PII-bearing fixture: deterministic emails/phones appended to a
+    * third of the docs each (the corpus itself carries no PII), so the
+    * redaction has real matches to count and strip.
+    */
+  private def xTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val decorated = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" call +3805512"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), decorated.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(T.InlineEmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(T.InlinePhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(T.redactPii(col("t"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic split/sampling assignment — pure per-row hash map,
+    * no shuffle, replay-stable (no rand()).
+    */
+  private def xSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.operators.Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+      graft.operators.Sampling.splitAssign(col("doc_id")).as("split"),
+      graft.operators.Sampling.deterministicKeep(col("doc_id"), 250).as("keep_25pct"))
+      .orderBy("doc_id")
+
   // ---- dedup --------------------------------------------------------------
 
   /** Injected-duplicate source: every 5th doc appears again under a
@@ -282,6 +316,8 @@ object ExtensionQueries {
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_text_tokens" -> (xTextTokens _),
+    "x_text_redact" -> (xTextRedact _),
+    "x_split_assign" -> (xSplitAssign _),
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _))
 
@@ -468,6 +504,32 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
         |  upper(hex(encode(substr(text, 1, 4)))) AS magic
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_text_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 3 = 1
+        |           THEN text || ' call +3805512' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{8,15}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x_split_assign" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 250 AS keep_25pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_frames" ->
       """WITH f AS (

@@ -172,6 +172,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("splitAssign: deterministic, replay-stable, roughly proportioned") {
+    val ids = (1L to 1000L).toDF("id")
+    val out = ids.select($"id", Sampling.splitAssign($"id").as("split"),
+        Sampling.deterministicKeep($"id", 250).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val again = ids.select($"id", Sampling.splitAssign($"id").as("split"),
+        Sampling.deterministicKeep($"id", 250).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == again.toSeq, "same key ⇒ same split, every run")
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+    val kept = out.count(_._3)
+    assert(kept > 180 && kept < 320, s"~25% expected, got $kept/1000")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign($"id", trainPct = 95, valPct = 10)
+    }
+  }
+
+  test("redactPii strips emails and international phones, leaves prose") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org thanks"),
+      (2L, "dial +380551234567 tonight"),
+      (3L, "year 2024 had 365 days"), // digit runs stay
+      (4L, "a@b.co and +12345678 twice: c_d%e@f-g.info"))
+      .toDF("id", "text")
+    val got = rows.select($"id", T.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at [EMAIL] thanks")
+    assert(got(2L) == "dial [PHONE] tonight")
+    assert(got(3L) == "year 2024 had 365 days")
+    assert(got(4L) == "[EMAIL] and [PHONE] twice: [EMAIL]")
+  }
+
   test("bpeishCount: contractions, digit runs, punctuation runs") {
     val rows = Seq(
       (1L, "don't"),                 // don | 't
