@@ -58,6 +58,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian product")
   }
 
+  test("split assignment is map-only: no shuffle before the output sort") {
+    val p = plan("x_split_assign")
+    // exactly one Exchange — the final ORDER BY's range partitioning;
+    // the hash/split/keep computation itself must not shuffle
+    val exchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"hash-based assignment must be a pure map:\n$p")
+  }
+
+  test("documents scan prunes to the referenced columns (x_text_stats)") {
+    val p = plan("x_text_stats")
+    assert(p.contains("doc_id") && p.contains("text"),
+      s"expected doc_id+text in scan:\n$p")
+    assert(!p.contains("lang_declared") || !p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,"),
+      "pruned scan")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("emb"), s"unrelated columns must be pruned: $read")
+  }
+
   test("IVF ANN search joins on the cell id (hash join, no cross product)") {
     val p = plan("x_sim_topk_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
