@@ -37,7 +37,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))),
     ("graft_lang_guess",
       info("graft_lang_guess", "function-word language-ID heuristic"),
-      (args: Seq[Expression]) => LangGuess(args.head)))
+      (args: Seq[Expression]) => LangGuess(args.head)),
+    ("graft_md5_prefix60",
+      info("graft_md5_prefix60", "first 60 bits of md5 as int64 (portable hash)"),
+      (args: Seq[Expression]) => Md5Prefix60(args.head)),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes",
+        "sorted distinct word n-gram shingle hashes of a token array; n in [1,5] (int literal)"),
+      (args: Seq[Expression]) => args(1).eval() match {
+        case n: Int => WordShingleHashes(args.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes: n must be an INT literal, got $other")
+      }))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =
