@@ -87,26 +87,73 @@ object Similarity {
     * assignment is a map-only fold: no shuffle, no UDF, and the
     * search join is an equi-join on the cell id.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1,$nlist], got $nprobe")
-    val cents: Seq[Seq[Double]] = candidates
-      .orderBy(col(idCol)).limit(nlist)
+  /** Deterministic exemplar centroids: embeddings of the `nlist`
+    * lowest-id rows. The quantizer the oracle-checked query uses
+    * (DuckDB-reproducible); also the k-means init.
+    */
+  def exemplarCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[Seq[Double]] =
+    candidates.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    // centroid squared norms, left-fold in double — the exact fold the
-    // oracle's list_reduce computes, so cosines are bit-identical
-    val centNorms = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
 
-    /** Cells ranked by cosine-to-centroid: sorted array of
-      * struct(-cos, cell) — ascending sort ≡ cosine DESC, cell ASC
-      * tie-break, matching the oracle's window ORDER BY.
-      */
+  /** Train IVF centroids with Lloyd's k-means (cosine assignment,
+    * element-wise mean update), deterministically: init = exemplar
+    * centroids, fixed iteration count, no randomness — replays
+    * converge identically.
+    *
+    * Scale shape per iteration: one map-only assignment pass (the same
+    * literal-fold as [[ivfTopK]]) + a posexplode shuffle of
+    * rows × dim (cell, pos) partial sums. Train on a deterministic
+    * sample ([[Sampling.deterministicKeep]]) when the corpus is large —
+    * quantizer quality needs a sample, not the corpus.
+    *
+    * Empty cells keep their previous centroid (standard practice).
+    */
+  def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents = exemplarCentroids(data, idCol, vecCol, nlist)
+    val base = data.select(col(vecCol).as("__v"))
+      .withColumn("__nsq", V.normSq(col("__v")))
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("__cell",
+        element_at(rankedCellArray(col("__v"), col("__nsq"), cents), 1)("cell"))
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.indices.map(i => byCell.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Cells ranked by cosine-to-centroid: ascending sort of
+    * struct(-cos, cell) ≡ cosine DESC, cell ASC.
+    */
+  private def rankedCellArray(v: Column, nsq: Column,
+      cents: Seq[Seq[Double]]): Column = {
+    val centNorms = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    sort_array(array(cents.zipWithIndex.map { case (cvec, i) =>
+      val cos = V.cosinePrenormed(V.dot(v, typedLit(cvec)), nsq, lit(centNorms(i)))
+      struct((-cos).as("ns"), lit(i).as("cell"))
+    }: _*))
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1,$nlist], got $nprobe")
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(exemplarCentroids(candidates, idCol, vecCol, nlist))
+    require(cents.size <= nlist, s"got ${cents.size} centroids for nlist=$nlist")
+    // rankedCellArray's -cos/cell struct sort matches the oracle's
+    // `ORDER BY cs DESC, cell` window exactly (left-fold double math)
     def rankedCells(v: Column, nsq: Column): Column =
-      sort_array(array(cents.zipWithIndex.map { case (cvec, i) =>
-        val cos = V.cosinePrenormed(V.dot(v, typedLit(cvec)), nsq, lit(centNorms(i)))
-        struct((-cos).as("ns"), lit(i).as("cell"))
-      }: _*))
+      rankedCellArray(v, nsq, cents)
 
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v))

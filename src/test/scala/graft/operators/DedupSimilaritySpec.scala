@@ -172,6 +172,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids: deterministic k-means improves assignment, ivfTopK accepts them") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c1 = Similarity.trainCentroids(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    val c2 = Similarity.trainCentroids(e, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(c1 == c2, "no randomness: identical runs produce identical centroids")
+    assert(c1.size == 4 && c1.forall(_.size == 64))
+    val init = Similarity.exemplarCentroids(e, "vec_id", "embedding", 4)
+    assert(c1 != init, "training must move the centroids")
+
+    def meanBestCos(cents: Seq[Seq[Double]]): Double = {
+      val norms = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      val best = cents.zipWithIndex.map { case (cv, i) =>
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot($"embedding", typedLit(cv)),
+          graft.functions.VectorFunctions.normSq($"embedding"), lit(norms(i)))
+      }.reduce((a, b) => greatest(a, b))
+      e.select(avg(best)).as[Double].head()
+    }
+    assert(meanBestCos(c1) >= meanBestCos(init) - 1e-12,
+      "k-means must not worsen mean assignment similarity")
+
+    val q = e.where($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 100)
+      .as[(Long, Long, Double)].collect().toMap_2
+    val trained = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 2, centroids = Some(c1))
+      .as[(Long, Long, Double)].collect()
+    assert(trained.nonEmpty)
+    trained.foreach { case (qid, nid, s) =>
+      brute.get((qid, nid)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+  }
+
   test("splitAssign: deterministic, replay-stable, roughly proportioned") {
     val ids = (1L to 1000L).toDF("id")
     val out = ids.select($"id", Sampling.splitAssign($"id").as("split"),
