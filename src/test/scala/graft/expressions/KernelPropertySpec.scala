@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based cross-checks of the kernel helpers against
+  * straightforward reference implementations — the kernels are
+  * hand-rolled loops (merge scans, rolling folds, bit votes), exactly
+  * the code shape where off-by-ones hide. Pure JVM (no Spark session):
+  * hundreds of cases per property in milliseconds.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("SortedArrayJaccard equals set-based Jaccard on sorted distinct arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    check("jaccard", Prop.forAll(gen, gen) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = SortedArrayJaccard.compute(
+        ArrayData.toArrayData(sa.toArray), ArrayData.toArrayData(sb.toArray))
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val union = sa.toSet.union(sb.toSet).size
+      val want = if (union == 0) 0.0 else inter.toDouble / union
+      got == want
+    })
+  }
+
+  test("RollingHash matches a BigInt reference fold and stays in [0, P)") {
+    val P = BigInt(1000000007L)
+    check("rolling", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val got = RollingHash.compute(UTF8String.fromString(s))
+      val want = s.foldLeft(BigInt(0))((h, c) => (h * 131 + c.toInt) mod P)
+      got == want.toLong && got >= 0L && got < 1000000007L
+    })
+  }
+
+  test("SimHashBits sets only the requested bits; majority vote per bit") {
+    val gen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check("simhash", Prop.forAll(gen) { xs =>
+      val got = SimHashBits.compute(ArrayData.toArrayData(xs.toArray), 16)
+      val wantBits = (0 until 16).map { b =>
+        val votes = xs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+      (got >>> 16) == 0L && got == wantBits
+    })
+  }
+
+  test("Md5Prefix60 equals the hex-prefix reference for arbitrary bytes") {
+    check("md5prefix", Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val bytes = bs.toArray
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString.substring(0, 15)
+      Md5Prefix60.compute(bytes) == java.lang.Long.parseLong(hex, 16)
+    })
+  }
+
+  test("WordShingleHashes output is sorted, distinct, bounded, in [0, P)") {
+    val tok = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    check("shingles", Prop.forAll(Gen.listOf(tok), Gen.chooseNum(1, 5)) { (toks, n) =>
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+      val out = WordShingleHashes.compute(arr, n).toLongArray().toSeq
+      val expectedMax = math.max(toks.size - n + 1, 1)
+      out == out.sorted && out.distinct == out &&
+        out.size <= expectedMax && out.nonEmpty &&
+        out.forall(h => h >= 0L && h < 1000000007L)
+    })
+  }
+
+  test("LangGuess: CJK wins outright, empty is und, decision is total") {
+    check("langguess", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val out = LangGuess.compute(s)
+      Set("en", "es", "fr", "de", "zh", "und").contains(out)
+    })
+    assert(LangGuess.compute("") == "und")
+    assert(LangGuess.compute("无论 the and of to") == "zh")
+  }
+}
