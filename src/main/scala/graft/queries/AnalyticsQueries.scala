@@ -143,6 +143,21 @@ object AnalyticsQueries {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
 
+  /** Tumbling 15-minute event-time windows via `window()` — the
+    * Structured-Streaming aggregation shape, checked here in its batch
+    * form. Spark windows align to the epoch; DuckDB's time_bucket
+    * origin (2000-01-03) is a whole number of days later, so 15-minute
+    * buckets coincide exactly.
+    */
+  def qTimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(date_trunc("SECOND", col("ts")).as("ts_sec"), col("value"))
+      .groupBy(window(col("ts_sec"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("n"), col("sum_value"))
+      .orderBy("bucket_start")
+
   /** INTERSECT / EXCEPT over derived key sets. */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -202,6 +217,7 @@ object AnalyticsQueries {
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q_window_running" -> (qWindowRunning _),
     "q_sessionize" -> (qSessionize _),
+    "q_time_bucket" -> (qTimeBucket _),
     "q_rollup" -> (qRollup _),
     "q_setops" -> (qSetOps _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -257,6 +273,13 @@ object AnalyticsQueries {
         |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM e ORDER BY user_id, rn""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT time_bucket(INTERVAL '15 minutes',
+        |         CAST(date_trunc('second', ts) AS TIMESTAMP)) AS bucket_start,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
