@@ -31,6 +31,19 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup with watermark-bounded state: a duplicate
+    * key arriving within the watermark delay of the first sighting is
+    * dropped; state for a key is evicted once the watermark passes it.
+    * The streaming form of the batch A4/exact-dedup operators — the
+    * state bound is what makes it safe on an unbounded stream (a plain
+    * streaming dropDuplicates grows keys forever).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

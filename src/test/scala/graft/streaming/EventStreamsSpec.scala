@@ -43,6 +43,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupWithinWatermark(events, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+        (1L, ts("2024-01-01 00:02:00"), "click", 1.0), // dup within delay
+        (2L, ts("2024-01-01 00:03:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:04:00"), "click", 1.0)) // still dup
+      q.processAllAvailable()
+      val ids = spark.table("dedupout").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"one row per key expected, got $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap closes a session, state emits it once") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
