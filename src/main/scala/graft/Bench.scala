@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is recorded in the `errors` map (name →
   * exception) instead of being silently swallowed: a crashing query
   * must not report a near-zero time and "improve" the benchmark.
+  * Errored runs are EXCLUDED from the per-query statistic and the
+  * total; a query whose every run fails appears only in `errors`.
+  *
+  * Self-defense against machine noise: each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the lower
+  * median, so one contention-skewed sample cannot poison the ledger.
+  * The JSON carries the per-run raw times and the OS load average at
+  * start/end, so a poisoned sweep is self-identifying.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,23 +50,37 @@ object Bench {
 
     // deterministic name order: JVM/codegen warmup cost lands on the
     // same queries every round, so per-query numbers compare across
-    // rounds. SPARK_GRAFT_BENCH_RUNS=N reports min-of-N per query
-    // (default 1: the driver's wall-time budget is unknown).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // rounds. SPARK_GRAFT_BENCH_RUNS=N samples each query N times
+    // (default 3) and reports the lower median of the SUCCESSFUL runs.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      // a failing query fails deterministically; stop after the first
+      // error instead of paying the fail-fast wall time `runs` times
+      while (i < runs && !failed) {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ok += (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
+            failed = true
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(300)
         }
-        (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> times.min
+      raw(name) = ok.toSeq
+      if (ok.isEmpty) None
+      else Some(name -> ok.sorted.apply((ok.length - 1) / 2)) // lower median
     }
+    val loadEnd = osBean.getSystemLoadAverage
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -71,9 +93,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val raws = raw.map { case (k, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"stat":"lower_median","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"raw_times":$raws,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)

@@ -62,10 +62,13 @@ object TextFunctions {
     * runs — each with an optional leading space. Valid in both Java
     * regex (Spark) and RE2 (DuckDB `regexp_extract_all`), so the
     * counts oracle-match. Whitespace between matches is a separator,
-    * not a token.
+    * not a token. Whitespace is spelled as an explicit character class
+    * rather than `\s` because the engines disagree on vertical tab
+    * (Java's ASCII `\s` includes U+000B, RE2's does not); the explicit
+    * class pins VT as a separator in both.
     */
   val BpeishPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+"
 
   /** BPE-ish subword-segment count — the "how many tokens will the
     * tokenizer roughly emit" estimate a training-data pipeline budgets

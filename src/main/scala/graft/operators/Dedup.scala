@@ -81,15 +81,17 @@ object Dedup {
   }
 
   /** Per-doc hashed shingle sets `(__sid, __set)` — the shared input
-    * of candidate generation and verification. Persisted (MEMORY_ONLY)
-    * because every dedup pipeline reads it 3-4 times in one query and
-    * it is small: ids + one int64 per distinct shingle.
+    * of candidate generation and verification. Persisted
+    * MEMORY_AND_DISK: every dedup pipeline reads it 3-4 times in one
+    * query, so at corpus scale a MEMORY_ONLY eviction would trigger a
+    * silent recompute storm of the shingle-digest pass; spilling the
+    * evicted partitions to local disk is strictly cheaper.
     */
   def hashedSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("__sid"),
       hashedShingleSet(col(textCol), n).as("__set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Jaccard verification of candidate pairs against precomputed
     * hashed sets; keeps pairs with similarity ≥ threshold. Runs only
@@ -108,7 +110,9 @@ object Dedup {
   /** Materialize `pairs` (persist + count) so the shingle-set cache it
     * reads can be released immediately — the per-doc sets are the big
     * intermediate; the returned pair set is dedup OUTPUT, orders of
-    * magnitude smaller. Caller may `unpersist()` the result when done.
+    * magnitude smaller. Callers MUST `unpersist()` the result once their
+    * derived output is materialized (the query wrappers do so via
+    * `releasing` in [[graft.queries.ExtensionQueries]]).
     */
   private def materializeAndRelease(pairs: DataFrame, sets: DataFrame): DataFrame = {
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

@@ -8,11 +8,21 @@ import org.apache.spark.sql.functions._
   * apply: non-shuffle-join plans, severe single-key skew known ahead
   * of time, or aggregation states too wide for one reducer.
   *
-  * Salting is deterministic here (hash of a row id, never `rand()`),
-  * so replays and retries of a task produce identical partitioning —
-  * the same replay-safety argument as the MERGE sink.
+  * Salting is deterministic here (xxhash64 over the row's column
+  * VALUES, never `rand()` and never `monotonically_increasing_id()` —
+  * MIID depends on partition layout, so a retry after a repartition
+  * would salt differently). Content-derived salt means replays and
+  * retries of a task produce identical bucket assignment per row —
+  * the same replay-safety argument as the MERGE sink. Hashing all
+  * columns (not just the join keys) is what spreads a hot key: rows
+  * sharing the key but differing elsewhere land in different buckets;
+  * fully identical rows co-locate, which is harmless.
   */
 object Salting {
+
+  /** Deterministic salt in [0, saltFactor) from the row's content. */
+  private[operators] def contentSalt(df: DataFrame, saltFactor: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
 
   /** Skew-safe equi-join: the (large, possibly skewed) fact side gets
     * a salt in [0, saltFactor); the dim side is replicated once per
@@ -28,11 +38,10 @@ object Salting {
     // row is replicated saltFactor times and each replica emits its own
     // null-padded output row. Only fact-preserving join types qualify.
     val allowed = Set("inner", "left", "leftouter", "left_outer",
-      "leftsemi", "left_semi", "leftanti", "left_anti")
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
     require(allowed.contains(joinType.toLowerCase),
       s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, got '$joinType'")
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val salted = fact.withColumn("__salt", contentSalt(fact, saltFactor))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -48,8 +57,7 @@ object Salting {
       phase1: Seq[org.apache.spark.sql.Column],
       phase2: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(saltFactor > 0)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val salted = df.withColumn("__salt", contentSalt(df, saltFactor))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1.head, phase1.tail: _*)
     partial.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)

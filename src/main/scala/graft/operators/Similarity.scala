@@ -98,9 +98,12 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
   /** Train IVF centroids with Lloyd's k-means (cosine assignment,
-    * element-wise mean update), deterministically: init = exemplar
-    * centroids, fixed iteration count, no randomness — replays
-    * converge identically.
+    * element-wise mean update). Structurally deterministic: init =
+    * exemplar centroids, fixed iteration count, no randomness. The
+    * centroid update uses `avg()` over doubles, whose partial-sum
+    * merge order varies with partition layout, so replays agree to
+    * floating-point round-off (~ulp), not bit-for-bit — more than
+    * enough for a quantizer, where centroids only route candidates.
     *
     * Scale shape per iteration: one map-only assignment pass (the same
     * literal-fold as [[ivfTopK]]) + a posexplode shuffle of
@@ -113,8 +116,11 @@ object Similarity {
   def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Seq[Seq[Double]] = {
     var cents = exemplarCentroids(data, idCol, vecCol, nlist)
+    // persisted: each Lloyd iteration re-reads this projection; without
+    // the cache the source scan would run `iters` times
     val base = data.select(col(vecCol).as("__v"))
       .withColumn("__nsq", V.normSq(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       val assigned = base.withColumn("__cell",
         element_at(rankedCellArray(col("__v"), col("__nsq"), cents), 1)("cell"))
@@ -128,6 +134,7 @@ object Similarity {
       }
       cents = cents.indices.map(i => byCell.getOrElse(i, cents(i)))
     }
+    base.unpersist(blocking = false)
     cents
   }
 

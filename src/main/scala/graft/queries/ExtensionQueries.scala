@@ -145,15 +145,29 @@ object ExtensionQueries {
       .select(col("content_md5"), col("keep_id"), col("n"))
       .orderBy("keep_id")
 
+  /** Evaluate `f` over a persisted pair-set, materialize the (small,
+    * dedup-output-sized) result via eager localCheckpoint, and release
+    * the pair cache before returning — dedup queries leave no
+    * storage-tab residue behind. The checkpoint blocks themselves are
+    * freed by the ContextCleaner once the returned frame is GC'd.
+    */
+  private def releasing(pairs: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val out = f(pairs).localCheckpoint()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   private def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("i", "j")
+    releasing(Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")) {
+      _.select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
+    }
 
   private def xDedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("i", "j")
+    releasing(Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")) {
+      _.select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
+    }
 
   private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -179,9 +193,9 @@ object ExtensionQueries {
     * graph, min-id survivor per component (what a pipeline drops).
     */
   private def xDedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.canonicalize(
-      Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text"))
-      .orderBy("doc_id")
+    releasing(Dedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")) {
+      Dedup.canonicalize(_).orderBy("doc_id")
+    }
 
   // ---- similarity search --------------------------------------------------
 
@@ -482,7 +496,7 @@ object ExtensionQueries {
       """WITH b AS (
         |  SELECT doc_id, text,
         |    len(regexp_extract_all(text,
-        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS nb
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+')) AS nb
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

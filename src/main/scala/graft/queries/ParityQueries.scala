@@ -296,6 +296,25 @@ object ParityQueries {
       java.sql.Timestamp.valueOf("2024-01-14 00:00:00"))
       .orderBy("day")
 
+  /** S2 over a partitioned lake: the same day-range backfill scanning
+    * ONLY the range's `dt=` partitions (pruning asserted in
+    * PlanAuditSpec). The at-scale form of [[s2BackfillDays]]: at 100 TB
+    * the range filter must eliminate partitions at planning time, not
+    * rows at scan time.
+    */
+  private def s2BackfillPartitioned(s: SparkSession, dir: String): DataFrame =
+    graft.sources.PartitionedLake.eventsByDay(s, dir)
+      // filter the RAW partition column (prunes at planning time; works
+      // whether Spark inferred `dt` as DATE or STRING — ISO dates order
+      // the same way lexicographically), then render as string for the
+      // oracle-stable output schema
+      .where(col("dt") >= "2024-01-05" && col("dt") < "2024-01-12")
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("dt")
+
   /** A2: per-batch row counts (employees.go:97,103). */
   private def a2BatchCounts(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).agg(count(lit(1)).as("n"))
@@ -349,6 +368,7 @@ object ParityQueries {
     "k5_explode_bridge" -> (k5ExplodeBridge _),
     "k6_watermark_advance" -> (k6WatermarkAdvance _),
     "s2_backfill_days" -> (s2BackfillDays _),
+    "s2_backfill_partitioned" -> (s2BackfillPartitioned _),
     "a2_batch_counts" -> (a2BatchCounts _),
     "a3_invalid_email_tally" -> (a3InvalidEmailTally _),
     "a4_dedup_by_pk" -> (a4DedupByPk _))
@@ -498,6 +518,14 @@ object ParityQueries {
       """SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
         |       TIMESTAMP '2024-01-14 00:00:00', INTERVAL 1 DAY)) AS TIMESTAMP) AS day
         |ORDER BY day""".stripMargin,
+
+    "s2_backfill_partitioned" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-12'
+        |GROUP BY dt ORDER BY dt""".stripMargin,
 
     "a2_batch_counts" ->
       """SELECT 'customer' AS tbl, count(*) AS n FROM customer

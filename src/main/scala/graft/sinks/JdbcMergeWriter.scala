@@ -159,7 +159,11 @@ object JdbcMergeWriter {
             var pending = 0
             it.foreach { r =>
               val k = r.getAs[Any](groupCol)
-              if (!started || k != current) {
+              // deepEquals, not !=: for array/binary group keys universal
+              // equality is reference equality, which would re-run the
+              // DELETE mid-group and silently drop already-flushed rows
+              if (!started || !java.util.Objects.deepEquals(
+                  k.asInstanceOf[AnyRef], current.asInstanceOf[AnyRef])) {
                 setParam(del, 1, k, conn)
                 del.executeUpdate()
                 current = k

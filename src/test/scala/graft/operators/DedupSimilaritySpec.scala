@@ -205,6 +205,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids reads the base data once, not once per Lloyd iteration (W5)") {
+    val acc = spark.sparkContext.longAccumulator("baseRowReads")
+    val n = 200
+    val src = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { t => acc.add(1); t }
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(src, "vec_id", "embedding",
+      nlist = 3, iters = 4)
+    assert(cents.size == 3)
+    // one full scan for exemplar init + one to fill the persisted cache;
+    // without the persist this would be (iters + 1) * n = 1000
+    assert(acc.value <= 2L * n + 50,
+      s"base scanned ${acc.value} row-reads — persist across iterations lost")
+  }
+
   test("splitAssign: deterministic, replay-stable, roughly proportioned") {
     val ids = (1L to 1000L).toDF("id")
     val out = ids.select($"id", Sampling.splitAssign($"id").as("split"),
@@ -247,11 +265,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, "abc123!?"),              // abc | 123 | !?
       (4L, "hello, world!"),         // hello | , | world | !
       (5L, ""),                      // zero tokens
-      (6L, "I'll pay $42.50 now"))   // I | 'll | pay | $ | 42 | . | 50 | now
+      (6L, "I'll pay $42.50 now"),   // I | 'll | pay | $ | 42 | . | 50 | now
+      (7L, "a\u000Bb"))              // VT is a separator (not a punct token)
       .toDF("id", "text")
     val got = rows.select($"id", T.bpeishCount($"text").as("n"))
       .as[(Long, Int)].collect().toMap
-    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 0, 6L -> 8))
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 0, 6L -> 8, 7L -> 2))
   }
 
   test("text functions: tokens, shingles, language, fingerprint locality") {

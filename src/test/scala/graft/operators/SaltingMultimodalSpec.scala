@@ -34,6 +34,26 @@ class SaltingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("salt is content-derived: replay under a different partition layout salts identically") {
+    val fact = ((1 to 2000).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    def salts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt", Salting.contentSalt(df, 8))
+        .select("k", "payload", "__salt")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // same content, different physical layout — a replay-after-repartition
+    val a = salts(fact.repartition(3))
+    val b = salts(fact.repartition(11))
+    assert(a == b, "salt must depend only on row content, not partition layout")
+    // the hot key's rows actually spread across buckets (salting works)
+    assert(a.collect { case ((1L, _), s) => s }.toSet.size > 1,
+      "hot-key rows all landed in one salt bucket")
+    // Spark's accepted short aliases are salting-safe and accepted
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 4, "semi").count() == 2000L)
+    assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 4, "anti").count() == 50L)
+  }
+
   test("two-phase aggregation merges salted partials to exact totals") {
     val df = ((1 to 5000).map(_ => ("hot", 1L)) ++ Seq(("cold", 7L), ("cold", 3L)))
       .toDF("k", "v")

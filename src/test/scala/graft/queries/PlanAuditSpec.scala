@@ -84,6 +84,25 @@ class PlanAuditSpec extends SparkSpec {
       s"probing must not degenerate to a cross product:\n$p")
   }
 
+  test("partitioned-lake backfill prunes to the day range's partitions (S2 at scale)") {
+    val q = graft.SparkEntry.queries("s2_backfill_partitioned")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(_.contains("dt#")),
+      s"day-range predicate must become partition filters, got $pf in:\n$p")
+    // the range must be eliminated at PLANNING time: only the 7 matching
+    // dt= directories are listed by the scan
+    // sparkPlan, not executedPlan: AQE's wrapper hides the scan node
+    // from collect() until execution
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 7,
+      s"expected 7 pruned partitions, scan lists ${scan.selectedPartitions.partitionCount}")
+    // and the result is the real 7-day backfill
+    assert(q.count() == 7)
+  }
+
   test("windowed queries shuffle once on the partition key") {
     val p = plan("q_window_running")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
