@@ -211,6 +211,108 @@ object AnalyticsQueries {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_linestatus")
 
+  /** TPC-H Q4-style EXISTS via left-semi join: orders in a date range
+    * having at least one returned line item. Scale: the semi-join
+    * carries only the key column of the probe side, dedups inside the
+    * join (no post-join distinct), then a 5-group aggregate.
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val returned = Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style forecast revenue: pure filter + global aggregate.
+    * Scale: every predicate pushes to the parquet scan, partial sums
+    * reduce to one row per partition before a 1-row exchange — the
+    * cheapest possible shape for a 100 TB table.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount", 4, 2))
+        .cast("double").as("revenue"))
+
+  /** Exact interpolated percentiles per group (the distribution-shape
+    * summary an OLAP user reaches for first). Scale: Spark's exact
+    * `percentile` keeps a per-group value buffer — fine for bounded
+    * domains like quantity (50 distinct); for unbounded heavy columns
+    * switch to `approx_percentile` (t-digest, mergeable partials).
+    * Both engines interpolate linearly at (n-1)*p, so doubles match.
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** As-of join: each purchase picks up the user's latest prior (or
+    * simultaneous) view. Right side pre-aggregated to one row per
+    * (user, second) so the carried payload is deterministic. Scale:
+    * see [[graft.operators.AsOfJoin]] — one hash exchange, no row
+    * amplification (asserted in PlanAuditSpec).
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("SECOND", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      .withColumn("view_ts", col("ts"))
+    graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts", "ts")
+      .orderBy("user_id", "ts", "purchase_value")
+  }
+
+  /** Range join: line items banded by quantity interval. The bands
+    * derive from region (5 half-open [lo, hi) intervals covering
+    * 1..50) so both engines see identical inputs. Scale: see
+    * [[graft.operators.RangeJoin]] — bucketed equi-join, broadcast
+    * interval side, no cross product (asserted in PlanAuditSpec).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.region(s, dir).select(col("r_name").as("band"),
+      (col("r_regionkey") * 10 + 1).cast("double").as("lo"),
+      (col("r_regionkey") * 10 + 11).cast("double").as("hi"))
+    val pts = Tables.lineitem(s, dir).select(col("l_quantity"), col("l_extendedprice"))
+    graft.operators.RangeJoin.pointInInterval(pts, bands, "l_quantity", "lo", "hi", 10.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** HLL sketch distinct-count with a self-asserting error bound: the
+    * query emits the EXACT distinct count (oracle-checked value) plus
+    * a boolean that Spark's Datasketches HLL estimate landed within
+    * 5% of it — the oracle pins the boolean TRUE, so estimator drift
+    * breaks the gate. Scale: the sketch is the point — mergeable
+    * fixed-size partials instead of the exact count's per-group value
+    * sets; at 100 TB `hll_sketch_agg` replaces `countDistinct`
+    * wherever ±2% is acceptable.
+    */
+  def qSketchHll(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -223,7 +325,13 @@ object AnalyticsQueries {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_anti_join" -> (qAntiJoin _),
-    "q_distinct_agg" -> (qDistinctAgg _))
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q_percentile" -> (qPercentile _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_sketch_hll" -> (qSketchHll _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -340,5 +448,53 @@ object AnalyticsQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_sec) AS session_start, max(ts_sec) AS session_end
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |                   event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS view_value FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts, p.purchase_value, v.view_value, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands AS (SELECT r_name AS band, CAST(r_regionkey*10+1 AS DOUBLE) AS lo,
+        |                      CAST(r_regionkey*10+11 AS DOUBLE) AS hi FROM region)
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_sketch_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior of the temporal/range join operators on controlled
+  * fixtures: inclusive as-of semantics, left-outer nulls, half-open
+  * interval boundaries, bucket-crossing intervals.
+  */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right row at or before each left time, per key") {
+    val left = Seq(
+      (1L, 10L, "a"), // after right@5 → carries v5
+      (1L, 20L, "b"), // after right@20 (equal ts → inclusive) → v20
+      (1L, 3L, "c"),  // before any right row → null
+      (2L, 10L, "d")  // other key: only right@2 visible → w2
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 5L, "v5"), (1L, 20L, "v20"), (1L, 30L, "v30"),
+      (2L, 2L, "w2"), (3L, 1L, "x1")
+    ).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, "a", "v5"),
+      (1L, 20L, "b", "v20"),
+      (1L, 3L, "c", null),
+      (2L, 10L, "d", "w2")))
+  }
+
+  test("asOf: carries multiple right payload columns and rejects collisions") {
+    val left = Seq((1L, 10L, 1.0)).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 2.0, "s")).toDF("k", "t", "rv", "tag")
+    val row = AsOfJoin.asOf(left, right, Seq("k"), "t", "t").collect().head
+    assert(row.getDouble(2) == 1.0 && row.getDouble(3) == 2.0 && row.getString(4) == "s")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, left, Seq("k"), "t", "t")
+    }
+  }
+
+  test("pointInInterval: half-open [lo, hi), bucket-crossing intervals, exact boundaries") {
+    val points = Seq(0.0, 1.0, 9.999, 10.0, 15.0, 25.0, 30.0).map(Tuple1(_))
+      .toDF("p")
+    val intervals = Seq(
+      ("narrow", 1.0, 10.0),   // within one bucket at width 10
+      ("wide", 5.0, 30.0),     // crosses three buckets
+      ("empty", 40.0, 41.0)    // matches nothing
+    ).toDF("name", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0)
+      .select("p", "name").as[(Double, String)].collect().toSet
+    assert(got == Set(
+      (1.0, "narrow"), (9.999, "narrow"),        // lo inclusive, hi exclusive
+      (9.999, "wide"), (10.0, "wide"), (15.0, "wide"), (25.0, "wide")))
+  }
+
+  test("pointInInterval result equals the naive inequality join") {
+    val points = (0 until 500).map(i => Tuple1((i * 7 % 100).toDouble)).toDF("p")
+    val intervals = (0 until 20).map(i =>
+      (i.toLong, i * 5.0, i * 5.0 + (i % 3 + 1) * 4.0)).toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 6.0)
+      .select("p", "iid").as[(Double, Long)].collect().sorted.toSeq
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iid").as[(Double, Long)].collect().sorted.toSeq
+    assert(fast == naive)
+  }
+}

@@ -103,6 +103,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.count() == 7)
   }
 
+  test("as-of join is one hash exchange, no nested-loop join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan an inequality join:\n$p")
+    // union + one per-key window + final orderBy: exactly one hash
+    // exchange (the windows share user_id partitioning)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, s"as-of join shuffles too much:\n$p")
+  }
+
+  test("range join buckets to an equi-join, no cross product") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucket, not cross:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket join must be a hash equi-join:\n$p")
+  }
+
   test("windowed queries shuffle once on the partition key") {
     val p = plan("q_window_running")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
