@@ -313,6 +313,66 @@ object AnalyticsQueries {
           col("exact_users") * 0.05).as("within_5pct"))
       .orderBy("event_type")
 
+  /** Time-range window frame: per-user rolling 1-hour sum — RANGE
+    * BETWEEN on epoch seconds, not ROWS, so gaps and equal-timestamp
+    * peers behave correctly. Scale: one hash exchange on user_id (same
+    * shape as q_window_running); DECIMAL sum inside the frame so the
+    * result is fold-order independent, cast DOUBLE at the edge.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("SECOND", col("ts")).as("ts_sec"),
+        col("value"))
+      .withColumn("rolling_1h",
+        sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
+      .orderBy("user_id", "ts_sec", "value")
+  }
+
+  /** Full CUBE over two dimensions (all four grouping sets at once).
+    * Scale: Spark expands grouping sets before the exchange, partial
+    * aggregation still applies per set.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** Ordered string aggregation (LISTAGG): deterministic via
+    * collect_set → array_sort → join, the distributed-safe form (an
+    * unsorted collect_list depends on partition arrival order).
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** t-digest approximate quantile with a self-asserting bound: emits
+    * the EXACT interpolated median (oracle-checked value) plus a
+    * boolean that `approx_percentile`'s answer lies within ±1.5 of it
+    * (quantity domain is 1..50). At 100 TB the approx form is the
+    * point — mergeable constant-size partials versus the exact
+    * percentile's per-group value buffer.
+    */
+  def qSketchQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__approx"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (abs(col("__approx") - col("exact_p50")) <= 1.5).as("within_band"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -331,7 +391,11 @@ object AnalyticsQueries {
     "q_percentile" -> (qPercentile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
-    "q_sketch_hll" -> (qSketchHll _))
+    "q_sketch_hll" -> (qSketchHll _),
+    "q_window_range" -> (qWindowRange _),
+    "q_cube" -> (qCube _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_sketch_quantile" -> (qSketchQuantile _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -496,5 +560,33 @@ object AnalyticsQueries {
     "q_sketch_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+        |                  value FROM events)
+        |SELECT user_id, ts_sec, value,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(epoch(ts_sec) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+        |FROM e ORDER BY user_id, ts_sec, value""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sketch_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50,
+        |       TRUE AS within_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -126,4 +126,10 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
   }
+
+  test("range-frame window shuffles once on the partition key") {
+    val p = plan("q_window_range")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+  }
 }
