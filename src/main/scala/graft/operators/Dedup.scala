@@ -48,6 +48,40 @@ object Dedup {
   def hashedShingleSet(textCol: Column, n: Int): Column =
     graft.expressions.WordShingleHashes(T.tokens(textCol), n)
 
+  /** Benchmark-contamination check — the "is my training corpus
+    * leaking the eval set" pass every training-data pipeline needs:
+    * for each corpus doc, the fraction of its word-n-gram shingles
+    * that appear anywhere in the benchmark set.
+    *
+    * Scale shape: the benchmark shingle INVENTORY (distinct hashes) is
+    * tiny relative to the corpus — broadcast it; the corpus side is
+    * one explode + left-semi equi-join on the shingle hash (the same
+    * inverted-index shape as [[ngramJaccardPairs]]) + one groupBy on
+    * the doc id. No cross product, no driver state; 100 TB of corpus
+    * streams through map-side semi-join probes.
+    *
+    * Returns (doc_id, n_sh, n_hit, contaminated_frac); docs with zero
+    * shingles report frac 0.
+    */
+  def contaminationFractions(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bench = benchmark
+      .select(explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+      .distinct()
+    val sets = corpus.select(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol), n).as("__set"))
+    val hits = sets
+      .select(col("doc_id"), explode(col("__set")).as("__sh"))
+      .join(broadcast(bench), Seq("__sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sets.select(col("doc_id"), size(col("__set")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contaminated_frac",
+        when(col("n_sh") > 0,
+          round(col("n_hit").cast("double") / col("n_sh"), 6)).otherwise(0.0))
+  }
+
   /** MinHash signatures from precomputed hashed shingle sets: each
     * shingle hash (already < P) seeds the affine family — see
     * [[graft.functions.HashFunctions]] — and the k mins aggregate per

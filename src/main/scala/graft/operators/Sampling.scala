@@ -37,4 +37,23 @@ object Sampling {
     */
   def deterministicKeep(key: Column, keep: Int, outOf: Int = 1000): Column =
     hashBucket(key, outOf) < keep
+
+  /** Stratified deterministic sampling — the "downsample the
+    * overrepresented language/source" step of corpus balancing. Each
+    * stratum value gets its own keep-fraction (per-mille, so the
+    * when-chain stays integer-exact and oracle-portable); unlisted
+    * strata keep `defaultPerMille`. Still a pure per-row map: no
+    * shuffle, no rand(), replay-identical, and `sampleBy`-equivalent
+    * except deterministic.
+    */
+  def stratifiedKeep(strata: Column, key: Column,
+      perMille: Map[String, Int], defaultPerMille: Int = 1000): Column = {
+    require((perMille.values ++ Seq(defaultPerMille)).forall(p => p >= 0 && p <= 1000),
+      "per-mille fractions must be in [0, 1000]")
+    val b = hashBucket(key, 1000)
+    val threshold = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (v, p)) =>
+      when(strata === v, p).otherwise(acc)
+    }
+    b < threshold
+  }
 }

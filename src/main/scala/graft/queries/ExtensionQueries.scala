@@ -127,6 +127,30 @@ object ExtensionQueries {
       graft.operators.Sampling.deterministicKeep(col("doc_id"), 250).as("keep_25pct"))
       .orderBy("doc_id")
 
+  /** Stratified corpus balancing: downsample English (the dominant
+    * stratum) to 30% while keeping the rest — deterministic hash
+    * sampling, map-only (see [[graft.operators.Sampling.stratifiedKeep]]).
+    */
+  private def xSplitStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(graft.operators.Sampling.stratifiedKeep(
+        col("lang"), col("doc_id"), Map("en" -> 300)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination scan: every 100th doc plays the eval set;
+    * report corpus docs sharing any 5-gram shingle with it.
+    */
+  private def xContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationFractions(
+      docs.where(col("doc_id") % 100 =!= 0),
+      docs.where(col("doc_id") % 100 === 0),
+      "doc_id", "text", 5)
+      .where(col("n_hit") > 0)
+      .orderBy("doc_id")
+  }
+
   // ---- dedup --------------------------------------------------------------
 
   /** Injected-duplicate source: every 5th doc appears again under a
@@ -332,6 +356,8 @@ object ExtensionQueries {
     "x_text_tokens" -> (xTextTokens _),
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
+    "x_split_stratified" -> (xSplitStratified _),
+    "x_contamination" -> (xContamination _),
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _))
 
@@ -436,6 +462,15 @@ object ExtensionQueries {
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM r GROUP BY a HAVING least(a, min(b)) <> a
          |ORDER BY doc_id""".stripMargin),
+
+    "x_contamination" -> (shingleCte +
+      """, bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 100 = 0),
+        |corp AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh WHERE doc_id % 100 <> 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM corp JOIN bench USING (h) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(c.n_sh AS BIGINT) AS n_sh, CAST(h.n_hit AS BIGINT) AS n_hit,
+        |  round(CAST(h.n_hit AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 6) AS contaminated_frac
+        |FROM (SELECT DISTINCT doc_id, n_sh FROM corp) c JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "x_dedup_embedding" ->
       ("""WITH e0 AS (
@@ -544,6 +579,12 @@ object ExtensionQueries {
         |       ELSE 'test' END AS split,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 250 AS keep_25pct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_split_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+        |      < CASE WHEN lang = 'en' THEN 300 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_frames" ->
       """WITH f AS (

@@ -243,6 +243,47 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("stratifiedKeep: per-stratum proportions, deterministic, default keeps all") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = df.where(Sampling.stratifiedKeep($"lang", $"id", Map("en" -> 250)))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("de") == 2000L, "unlisted stratum keeps everything")
+    assert(math.abs(kept("en") - 500L) < 150, s"en ~25% of 2000, got ${kept("en")}")
+    // replay-identical: same predicate twice selects the same rows
+    val a = df.where(Sampling.stratifiedKeep($"lang", $"id", Map("en" -> 250)))
+      .select("id").as[Long].collect().toSet
+    val b = df.orderBy(desc("id"))
+      .where(Sampling.stratifiedKeep($"lang", $"id", Map("en" -> 250)))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedKeep($"lang", $"id", Map("en" -> 1001))
+    }
+  }
+
+  test("contaminationFractions: leaked docs flagged, unrelated clean, empty safe") {
+    val benchmark = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // full copy
+      (2L, "yesterday the quick brown fox jumps over the lazy dog again and again"), // partial leak
+      (3L, "completely unrelated content talking about databases and query engines"),
+      (4L, "") // no shingles at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFractions(corpus, benchmark, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 1.0, "verbatim copy is 100% contaminated")
+    assert(out(2L)._3 > 0 && out(2L)._4 > 0.0 && out(2L)._4 < 1.0,
+      s"partial overlap flagged partially, got ${out(2L)}")
+    assert(out(3L)._3 == 0 && out(3L)._4 == 0.0, "unrelated doc clean")
+    // an empty doc still gets the one degenerate whole-text shingle
+    // (mirrors the oracle's greatest(len-4, 1) windowing) — what matters
+    // is it reports clean with no div-by-zero
+    assert(out(4L)._3 == 0 && out(4L)._4 == 0.0, "empty doc reports clean")
+  }
+
   test("redactPii strips emails and international phones, leaves prose") {
     val rows = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org thanks"),
