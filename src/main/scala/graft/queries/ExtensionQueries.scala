@@ -79,6 +79,32 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (Gopher-style quality rules): distinct-token
+    * ratio and the share of the single most frequent token — boilerplate
+    * and degenerate generations score low ratio / high share. One
+    * explode + two aggregations on doc_id; at corpus scale the explode
+    * is map-local and both aggs partial-combine.
+    */
+  private def xTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    val counts = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+    counts.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_distinct").cast("double") / col("n_tokens")), 6)
+          .as("distinct_ratio"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(coalesce(col("top_n"), lit(0L)).cast("double") / col("n_tokens")), 6)
+          .as("top_share"))
+      .orderBy("doc_id")
+  }
+
   private def xTextLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -342,6 +368,7 @@ object ExtensionQueries {
 
   val queries: Map[String, Q] = Map(
     "x_text_stats" -> (xTextStats _),
+    "x_text_repetition" -> (xTextRepetition _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -362,6 +389,20 @@ object ExtensionQueries {
     "x_multimodal_frames" -> (xMultimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    "x_text_repetition" -> (tokCte +
+      """, t AS (SELECT doc_id, len(toks) AS n_tokens,
+        |             len(list_distinct(toks)) AS n_distinct FROM tk),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(t.n_distinct AS BIGINT) AS n_distinct,
+        |  round(CASE WHEN t.n_tokens = 0 THEN 0
+        |        ELSE CAST(t.n_distinct AS DOUBLE) / t.n_tokens END, 6) AS distinct_ratio,
+        |  round(CASE WHEN t.n_tokens = 0 THEN 0
+        |        ELSE CAST(coalesce(m.top_n, 0) AS DOUBLE) / t.n_tokens END, 6) AS top_share
+        |FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,

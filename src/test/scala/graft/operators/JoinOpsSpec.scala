@@ -41,6 +41,28 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("asOf equals the brute-force definition on pseudo-random data") {
+    // deterministic pseudo-random fixture (no Random: replayable)
+    val left = (0 until 400).map { i =>
+      (i * 7919 % 13L, (i * 104729 % 500).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rightRows = (0 until 300).map { i =>
+      ((i * 6101 % 13).toLong, (i * 99991 % 500).toLong)
+    }.distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val right = rightRows.toDF("k", "t", "rv")
+
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val byKey = rightRows.groupBy(_._1)
+    val expected = (0 until 400).map { i =>
+      val (k, t, lid) = (i * 7919 % 13L, (i * 104729 % 500).toLong, i.toLong)
+      val best = byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      (k, t, lid, best)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("pointInInterval: half-open [lo, hi), bucket-crossing intervals, exact boundaries") {
     val points = Seq(0.0, 1.0, 9.999, 10.0, 15.0, 25.0, 30.0).map(Tuple1(_))
       .toDF("p")
