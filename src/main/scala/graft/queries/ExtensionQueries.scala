@@ -177,6 +177,24 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Skew-salted fact⋈dim join, oracle-checked against the PLAIN join:
+    * salting must be result-invisible (salt only changes row
+    * distribution), so the unsalted SQL is the exact oracle. Fact side
+    * salts on content, dim replicates ×8 (see
+    * [[graft.operators.Salting]]).
+    */
+  private def xSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_quantity"))
+    val dim = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Salting.saltedEquiJoin(fact, dim, Seq("l_suppkey"), 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
   // ---- dedup --------------------------------------------------------------
 
   /** Injected-duplicate source: every 5th doc appears again under a
@@ -384,6 +402,7 @@ object ExtensionQueries {
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
+    "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _))
@@ -620,6 +639,12 @@ object ExtensionQueries {
         |       ELSE 'test' END AS split,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 250 AS keep_25pct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_skew_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "x_split_stratified" ->
       """SELECT doc_id, lang FROM documents

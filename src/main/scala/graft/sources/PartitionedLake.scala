@@ -36,6 +36,39 @@ object PartitionedLake {
     new File(sys.props("java.io.tmpdir"), s"graft-lake-events-$key").getPath
   }
 
+  /** Idempotent per-day overwrite — the at-scale backfill WRITE path.
+    * Dynamic partition overwrite replaces exactly the `dt=` partitions
+    * present in `df` and leaves every other day untouched, so
+    * re-running a day's backfill (the reference's day-by-day catch-up,
+    * tasks.go:79-127) is a safe replace, never an append-duplicate.
+    * Rows are sorted within partitions by `sortCols` so per-file
+    * parquet min/max stats enable row-group skipping on those columns.
+    */
+  def overwriteDays(df: DataFrame, path: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(("dt" +: sortCols).map(col): _*)
+    sorted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(path)
+  }
+
+  /** Compact one day's partition to `nFiles` files — the small-files
+    * maintenance pass every streaming-ingested lake needs (a day
+    * written by N executors × M micro-batches accumulates N×M small
+    * parquet files; scans then pay per-file open cost). Reads only the
+    * target partition (pruned), repartitions, and dynamically
+    * overwrites just that day.
+    */
+  def compactDay(spark: SparkSession, path: String, day: String,
+      nFiles: Int = 1, sortCols: Seq[String] = Nil): Unit = {
+    require(nFiles > 0)
+    val part = spark.read.parquet(path).where(col("dt") === day)
+    overwriteDays(part.repartition(nFiles), path, sortCols)
+  }
+
   /** The events table as a `dt`-partitioned lake, materializing the
     * partitioned copy on first use (skipped when `_SUCCESS` exists).
     */
