@@ -41,4 +41,28 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pairs whose half-open intervals
+    * [aLo, aHi) × [bLo, bHi) intersect. Both sides explode onto their
+    * covering buckets and equi-join on the bucket id; the residual
+    * filter keeps true overlaps. An overlapping pair can share many
+    * buckets, so each pair is emitted ONLY from its canonical bucket —
+    * the bucket of max(aLo, bLo), the first bucket both intervals
+    * occupy — which dedups without a distinct-shuffle over the output.
+    * Column names of the two frames must be disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    exploded(left, aLo, aHi).join(exploded(right, bLo, bHi), Seq("__bucket"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .where(col("__bucket") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -373,6 +373,39 @@ object AnalyticsQueries {
         (abs(col("__approx") - col("exact_p50")) <= 1.5).as("within_band"))
       .orderBy("l_returnflag")
 
+  /** Sliding event-time windows (30 min window, 15 min slide): every
+    * event lands in exactly two overlapping windows. Scale: Spark
+    * expands the window memberships map-side then aggregates with
+    * partial combine — amplification = window/slide ratio (2 here),
+    * the standard cost of sliding windows on any engine.
+    */
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(date_trunc("SECOND", col("ts")).as("ts_sec"), col("value"))
+      .groupBy(window(col("ts_sec"), "30 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
+      .orderBy("w_start")
+
+  /** Interval-overlap join over two derived banding tables (region
+    * quantity bands × nation size bands) — every overlapping pair,
+    * found via bucketed equi-join with canonical-bucket dedup, never a
+    * cross product (see [[graft.operators.RangeJoin.intervalOverlapJoin]]).
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.region(s, dir).select(col("r_name").as("band"),
+      (col("r_regionkey") * 10 + 1).cast("double").as("a_lo"),
+      (col("r_regionkey") * 10 + 11).cast("double").as("a_hi"))
+    val b = Tables.nation(s, dir).select(col("n_name").as("nband"),
+      (col("n_nationkey") * 4).cast("double").as("b_lo"),
+      (col("n_nationkey") * 4 + 6).cast("double").as("b_hi"))
+    graft.operators.RangeJoin.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", 8.0)
+      .select(col("band"), col("nband"))
+      .orderBy("band", "nband")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -395,7 +428,9 @@ object AnalyticsQueries {
     "q_window_range" -> (qWindowRange _),
     "q_cube" -> (qCube _),
     "q_string_agg" -> (qStringAgg _),
-    "q_sketch_quantile" -> (qSketchQuantile _))
+    "q_sketch_quantile" -> (qSketchQuantile _),
+    "q_window_sliding" -> (qWindowSliding _),
+    "q_interval_join" -> (qIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -588,5 +623,23 @@ object AnalyticsQueries {
     "q_sketch_quantile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50,
         |       TRUE AS within_band
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH e AS (SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+        |                     time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+        |             AS w_start, ts, value FROM e)
+        |SELECT w_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM m WHERE ts >= w_start AND ts < w_start + INTERVAL '30 minutes'
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH a AS (SELECT r_name AS band, CAST(r_regionkey*10+1 AS DOUBLE) AS a_lo,
+        |                  CAST(r_regionkey*10+11 AS DOUBLE) AS a_hi FROM region),
+        |b AS (SELECT n_name AS nband, CAST(n_nationkey*4 AS DOUBLE) AS b_lo,
+        |             CAST(n_nationkey*4+6 AS DOUBLE) AS b_hi FROM nation)
+        |SELECT band, nband FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+        |ORDER BY band, nband""".stripMargin)
 }

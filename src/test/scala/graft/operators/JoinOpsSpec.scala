@@ -78,6 +78,21 @@ class JoinOpsSpec extends SparkSpec {
       (9.999, "wide"), (10.0, "wide"), (15.0, "wide"), (25.0, "wide")))
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, each pair exactly once") {
+    val a = (0 until 60).map(i =>
+      (i.toLong, (i * 3 % 50).toDouble, (i * 3 % 50 + i % 7 + 1).toDouble))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = (0 until 40).map(i =>
+      (i.toLong, (i * 5 % 45).toDouble, (i * 5 % 45 + i % 11 + 1).toDouble))
+      .toDF("bid", "b_lo", "b_hi")
+    val fast = RangeJoin.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4.0)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive, "bucketed overlap join must equal the inequality join")
+    assert(fast.distinct == fast, "canonical-bucket dedup emits each pair once")
+  }
+
   test("pointInInterval result equals the naive inequality join") {
     val points = (0 until 500).map(i => Tuple1((i * 7 % 100).toDouble)).toDF("p")
     val intervals = (0 until 20).map(i =>
