@@ -16,10 +16,15 @@ import org.apache.spark.sql.SparkSession
   * operator cost.
   *
   * A query that throws is recorded in the `errors` map (name →
-  * exception) instead of being silently swallowed: a crashing query
-  * must not report a near-zero time and "improve" the benchmark.
-  * Errored runs are EXCLUDED from the per-query statistic and the
-  * total; a query whose every run fails appears only in `errors`.
+  * exception) instead of being silently swallowed. Error handling is
+  * designed so a crash can neither fabricate a fast per-query number
+  * nor silently shrink the total: every run is attempted (a transient
+  * failure doesn't discard the query — the surviving runs' median
+  * counts), errored runs never enter the per-query statistic, and a
+  * query with NO successful run is kept out of `queries` but its
+  * observed fail wall time still contributes to `value`, with a
+  * top-level `failed_count` so no consumer can read the total without
+  * seeing the failure.
   *
   * Self-defense against machine noise: each query runs
   * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the lower
@@ -57,28 +62,36 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def lowerMedian(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
+    var failedCount = 0
+    var failedTime = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var i = 0
-      // a failing query fails deterministically; stop after the first
-      // error instead of paying the fail-fast wall time `runs` times
-      while (i < runs && !failed) {
+      val bad = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // attempt every run: a transient failure (contention OOM, lost
+      // task) must not discard the query — surviving runs still count
+      (1 to runs).foreach { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           ok += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            failed = true
+            bad += (System.nanoTime() - t0) / 1e9
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(300)
         }
-        i += 1
       }
       raw(name) = ok.toSeq
-      if (ok.isEmpty) None
-      else Some(name -> ok.sorted.apply((ok.length - 1) / 2)) // lower median
+      if (ok.nonEmpty) Some(name -> lowerMedian(ok.toSeq))
+      else {
+        // never fabricate a per-query number from crash times, but the
+        // observed wall cost still lands in the total so an all-failed
+        // query cannot "speed up" the benchmark unnoticed
+        failedCount += 1
+        failedTime += lowerMedian(bad.toSeq)
+        None
+      }
     }
     val loadEnd = osBean.getSystemLoadAverage
 
@@ -95,9 +108,9 @@ object Bench {
       .mkString("{", ",", "}")
     val raws = raw.map { case (k, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + failedTime
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"stat":"lower_median","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"raw_times":$raws,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_count":$failedCount,"runs":$runs,"stat":"lower_median","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"raw_times":$raws,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)

@@ -12,14 +12,23 @@ import org.apache.spark.sql.functions._
   * Spark-first shape: NOT an inequality join, which Catalyst can only
   * execute as a broadcast-nested-loop/cartesian. Instead a tagged
   * UNION + one window pass:
-  *   1. tag right rows side=0 and left rows side=1, aligning schemas
-  *      with typed nulls for the other side's payload;
+  *   1. tag right rows side=0 and left rows side=1; right payload
+  *      columns travel as ONE struct, so the carried values always
+  *      come from a single matched right row — never fields stitched
+  *      from different rows, even when the payload contains NULLs;
   *   2. hash-partition by key, sort by (time, side) within partitions
   *      — at equal timestamps the right row sorts first, which is what
   *      makes the join inclusive;
-  *   3. `last(payload, ignoreNulls)` over the running window carries
-  *      the most recent right values onto each left row;
-  *   4. keep the side=1 rows.
+  *   3. `last(struct, ignoreNulls)` over the running window carries
+  *      the latest right row onto each left row (the struct itself is
+  *      NULL only on left rows);
+  *   4. keep the side=1 rows and unpack the struct.
+  *
+  * SQL equality semantics on keys: right rows with a NULL key are
+  * dropped up front (they can never equal anything), so a null-keyed
+  * left row comes out with NULL payload — matching `ON l.k = r.k`,
+  * where NULL = NULL is not a match, instead of Window.partitionBy's
+  * null-groups-together behavior.
   *
   * Cost: ONE shuffle of |L|+|R| rows on the key — the same single
   * exchange any per-key window pays (asserted in PlanAuditSpec), no
@@ -28,7 +37,7 @@ import org.apache.spark.sql.functions._
   * NULL payloads (left-outer semantics).
   *
   * Determinism: when several right rows share (key, rightTime) the
-  * carried payload is whichever sorts last, which is not stable across
+  * carried row is whichever sorts last, which is not stable across
   * runs — pre-aggregate the right side to one row per (key, time)
   * when that matters (the oracle-checked query wrapper does).
   */
@@ -36,28 +45,36 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
+    require(keys.nonEmpty, "asOf needs at least one key column")
     val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
-    require(leftPayload.intersect(rightPayload).isEmpty,
-      s"payload column collision: ${leftPayload.intersect(rightPayload).mkString(", ")}")
+    require(rightPayload.nonEmpty,
+      "right side needs at least one payload column to carry")
+    val clashes = rightPayload.intersect(leftPayload :+ leftTime)
+    require(clashes.isEmpty,
+      s"right payload collides with left output columns: ${clashes.mkString(", ")}")
 
+    val rpStruct = struct(rightPayload.map(col): _*)
+    // right rows with any NULL key can never match under SQL equality
+    val r = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) ++ Seq(col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        rpStruct.as("__rp")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
-      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__rp").dataType).as("__rp")) ++
+        leftPayload.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1)
+    l.unionByName(r)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
-        (leftPayload ++ rightPayload).map(col): _*)
+        leftPayload.map(col) ++
+        rightPayload.map(c => col(s"__rp.$c").as(c)): _*)
   }
 }

@@ -8,21 +8,37 @@ import org.apache.spark.sql.functions._
   * apply: non-shuffle-join plans, severe single-key skew known ahead
   * of time, or aggregation states too wide for one reducer.
   *
-  * Salting is deterministic here (xxhash64 over the row's column
-  * VALUES, never `rand()` and never `monotonically_increasing_id()` —
-  * MIID depends on partition layout, so a retry after a repartition
-  * would salt differently). Content-derived salt means replays and
-  * retries of a task produce identical bucket assignment per row —
-  * the same replay-safety argument as the MERGE sink. Hashing all
-  * columns (not just the join keys) is what spreads a hot key: rows
-  * sharing the key but differing elsewhere land in different buckets;
-  * fully identical rows co-locate, which is harmless.
+  * Salting is deterministic where determinism is observable: the salt
+  * is xxhash64 over the row's column VALUES (never `rand()`), so
+  * replays and retries of a task give every row the same bucket — the
+  * same replay-safety argument as the MERGE sink. Hashing all columns
+  * (not just the join keys) is what spreads a hot key: rows sharing
+  * the key but differing elsewhere land in different buckets.
+  *
+  * Degenerate case: a frame whose ONLY columns are the salt-relevant
+  * keys (e.g. `fact.select("k")` before a semi-join count). There,
+  * content hashing maps every hot-key row to one bucket — salting
+  * would silently do nothing — so the salt falls back to
+  * `monotonically_increasing_id()`. That fallback is still
+  * result-deterministic: the rows are byte-identical, so any
+  * assignment of them to buckets yields the same result multiset;
+  * only the physical distribution varies across replays, which is
+  * unobservable in output.
   */
 object Salting {
 
-  /** Deterministic salt in [0, saltFactor) from the row's content. */
-  private[operators] def contentSalt(df: DataFrame, saltFactor: Int) =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
+  /** Salt in [0, saltFactor): content-derived when non-key columns
+    * exist (replay-identical per row), MIID-derived for keys-only
+    * frames (identical rows are interchangeable, so distribution-only).
+    */
+  private[operators] def contentSalt(df: DataFrame, keys: Seq[String],
+      saltFactor: Int) = {
+    val src =
+      if (df.columns.exists(c => !keys.contains(c)))
+        xxhash64(df.columns.map(col).toIndexedSeq: _*)
+      else xxhash64(monotonically_increasing_id())
+    pmod(src, lit(saltFactor)).cast("int")
+  }
 
   /** Skew-safe equi-join: the (large, possibly skewed) fact side gets
     * a salt in [0, saltFactor); the dim side is replicated once per
@@ -41,7 +57,7 @@ object Salting {
       "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
     require(allowed.contains(joinType.toLowerCase),
       s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, got '$joinType'")
-    val salted = fact.withColumn("__salt", contentSalt(fact, saltFactor))
+    val salted = fact.withColumn("__salt", contentSalt(fact, keys, saltFactor))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -57,7 +73,7 @@ object Salting {
       phase1: Seq[org.apache.spark.sql.Column],
       phase2: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(saltFactor > 0)
-    val salted = df.withColumn("__salt", contentSalt(df, saltFactor))
+    val salted = df.withColumn("__salt", contentSalt(df, keys, saltFactor))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1.head, phase1.tail: _*)
     partial.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)

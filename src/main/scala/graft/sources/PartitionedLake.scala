@@ -26,13 +26,25 @@ import graft.core.Tables
   */
 object PartitionedLake {
 
+  /** Size+mtime fingerprint of the source file or directory — cheap
+    * change detection so a regenerated events.parquet invalidates the
+    * cached partitioned copy instead of silently serving stale data.
+    */
+  private def fingerprint(f: File): String =
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[File])
+      s"d${kids.map(_.length()).sum}m${kids.map(_.lastModified()).maxOption.getOrElse(0L)}"
+    } else s"f${f.length()}m${f.lastModified()}"
+
   /** Deterministic location of the partitioned copy of
-    * `$sfDir/events.parquet` — stable across sessions so repeated
-    * verify/bench runs in one container reuse the first write.
+    * `$sfDir/events.parquet` — keyed by path AND source fingerprint,
+    * so repeated verify/bench runs in one container reuse the first
+    * write while a regenerated source gets a fresh copy.
     */
   def eventsPath(sfDir: String): String = {
+    val stamp = s"$sfDir|${fingerprint(new File(s"$sfDir/events.parquet"))}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new File(sys.props("java.io.tmpdir"), s"graft-lake-events-$key").getPath
   }
 
@@ -71,17 +83,30 @@ object PartitionedLake {
 
   /** The events table as a `dt`-partitioned lake, materializing the
     * partitioned copy on first use (skipped when `_SUCCESS` exists).
+    * Guarded by a cross-process file lock — `this.synchronized` only
+    * serializes one JVM, but Verify and Bench may run as separate JVMs
+    * against the same temp path; an unguarded double-write would
+    * corrupt the copy.
     */
   def eventsByDay(spark: SparkSession, sfDir: String): DataFrame = {
     val path = eventsPath(sfDir)
     this.synchronized {
-      if (!new File(path, "_SUCCESS").exists()) {
-        Tables.events(spark, sfDir)
-          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("dt")
-          .parquet(path)
-      }
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$path.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!new File(path, "_SUCCESS").exists()) {
+            Tables.events(spark, sfDir)
+              .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("dt")
+              .parquet(path)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     spark.read.parquet(path)
   }

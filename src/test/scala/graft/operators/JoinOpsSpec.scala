@@ -39,6 +39,35 @@ class JoinOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(left, left, Seq("k"), "t", "t")
     }
+    // right payload shadowing the LEFT time name must also fail fast
+    val rightClash = Seq((1L, 5L, 2.0, 7L)).toDF("k", "et", "rv", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, rightClash, Seq("k"), "t", "et")
+    }
+  }
+
+  test("asOf: payload comes from ONE right row even when payload fields are NULL") {
+    val left = Seq((1L, 10L)).toDF("k", "t").withColumn("dummy", lit(0))
+    val right = Seq(
+      (1L, 3L, Some(0.5), Some("old")),
+      (1L, 5L, Some(1.5), None) // latest row: tag is NULL
+    ).toDF("k", "t", "rv", "tag")
+    val row = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .select("rv", "tag").collect().head
+    // must be the WHOLE latest row (1.5, NULL) — never (1.5, "old"),
+    // a franken-row stitched from two different right rows
+    assert(row.getDouble(0) == 1.5 && row.isNullAt(1))
+  }
+
+  test("asOf: NULL keys never match (SQL equality semantics)") {
+    val left = Seq((Option.empty[Long], 10L, "a"), (Some(1L), 10L, "b"))
+      .toDF("k", "t", "payload")
+    val right = Seq((Option.empty[Long], 5L, "nullmatch"), (Some(1L), 5L, "real"))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .select("payload", "rv").as[(String, String)].collect().toSet
+    assert(out == Set(("a", null), ("b", "real")),
+      "null-keyed rows must not join to each other")
   }
 
   test("asOf equals the brute-force definition on pseudo-random data") {

@@ -38,7 +38,7 @@ class SaltingMultimodalSpec extends SparkSpec {
     val fact = ((1 to 2000).map(i => (1L, i)) ++ (1 to 50).map(i => (i.toLong + 1, i)))
       .toDF("k", "payload")
     def salts(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("__salt", Salting.contentSalt(df, 8))
+      df.withColumn("__salt", Salting.contentSalt(df, Seq("k"), 8))
         .select("k", "payload", "__salt")
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
     // same content, different physical layout — a replay-after-repartition
@@ -52,6 +52,18 @@ class SaltingMultimodalSpec extends SparkSpec {
     val dim = Seq((1L, "hot")).toDF("k", "label")
     assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 4, "semi").count() == 2000L)
     assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 4, "anti").count() == 50L)
+  }
+
+  test("keys-only frame: salt falls back to MIID and still spreads the hot key") {
+    // a projected fact with NOTHING but the join key — content hashing
+    // would put every hot-key row in one bucket; the fallback must not
+    val fact = (1 to 4000).map(_ => Tuple1(1L)).toDF("k")
+    val spread = fact.withColumn("__salt", Salting.contentSalt(fact, Seq("k"), 8))
+      .select("__salt").as[Int].collect().toSet
+    assert(spread.size > 1, "keys-only hot key must still spread across buckets")
+    val dim = Seq((1L, "x")).toDF("k", "label")
+    assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "semi").count() == 4000L)
+    assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "inner").count() == 4000L)
   }
 
   test("two-phase aggregation merges salted partials to exact totals") {
