@@ -43,6 +43,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LakeIngest: streaming to partitioned lake; batch replay replaces, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    val q = LakeIngest.start(events, lake, ckpt)
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (2L, ts("2024-01-02 11:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-02 12:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      val out = LakeIngest.read(spark, lake)
+      assert(out.count() == 3)
+      // dt is the first partition level: day filters prune directories
+      assert(out.where(col("dt") === "2024-01-02").count() == 2)
+    } finally q.stop()
+
+    // simulate the retry of an already-written batch id with the same
+    // content: dynamic overwrite must REPLACE its partitions, not append
+    val replay = Seq((3L, ts("2024-01-02 12:00:00"), "click", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    LakeIngest.writeBatch(replay, lake, batchId = 1L)
+    assert(LakeIngest.read(spark, lake).count() == 3, "replayed batch duplicated rows")
+    // and a retried batch with corrected content replaces outright
+    val corrected = Seq((3L, ts("2024-01-02 12:00:00"), "click", 9.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    LakeIngest.writeBatch(corrected, lake, batchId = 1L)
+    val vals = LakeIngest.read(spark, lake)
+      .where(col("event_id") === 3L).select("value").as[Double].collect().toSeq
+    assert(vals == Seq(9.0))
+  }
+
   test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
