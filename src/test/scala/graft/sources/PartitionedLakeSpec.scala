@@ -45,6 +45,20 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(stateOf("2024-02-02") == d2Before)
   }
 
+  test("eventsPath tracks the source fingerprint: regenerated data gets a fresh cache") {
+    val src = java.nio.file.Files.createTempDirectory("graft-lake-src").toString
+    val f = new File(src, "events.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    val p1 = PartitionedLake.eventsPath(src)
+    // same content, same mtime → same cache path (write-once reuse)
+    assert(PartitionedLake.eventsPath(src) == p1)
+    // regenerated source (different size/mtime) → different cache path
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    f.setLastModified(f.lastModified() + 5000)
+    assert(PartitionedLake.eventsPath(src) != p1,
+      "stale cache would be served after the source changed")
+  }
+
   test("compactDay shrinks a day to one file, data and siblings intact") {
     val (dir, _) = mkLake()
     def stateOf(day: String) =
