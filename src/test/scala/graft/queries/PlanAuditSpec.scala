@@ -127,6 +127,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
   }
 
+  test("q6 pushes every predicate into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"shipdate range must reach the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount") || p.contains("l_discount"),
+      s"discount band must reach the scan:\n$p")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
+      s"q6 must scan only its 4 columns: $read")
+  }
+
+  test("contamination scan: broadcast inventory probe, no cross product") {
+    val p = plan("x_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shingle probe must be an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle inventory must broadcast:\n$p")
+  }
+
+  test("interval-overlap join buckets to an equi-join, no cross product") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must bucket, not cross:\n$p")
+  }
+
   test("range-frame window shuffles once on the partition key") {
     val p = plan("q_window_range")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
