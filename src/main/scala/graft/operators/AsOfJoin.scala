@@ -43,18 +43,39 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  import org.apache.spark.sql.Column
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, None)
+
+  /** As-of join with a maximum lookback: a matched right row older
+    * than `maxLookback` before the left time is masked to NULLs (the
+    * "join to state, but not stale state" form — e.g. the user's last
+    * view within the past hour). `maxLookback` is a Column so both
+    * interval (`expr("INTERVAL 1 HOUR")`) and numeric time axes work.
+    * Same single-exchange plan as [[asOf]]: the mask is a map-side
+    * projection after the carry.
+    */
+  def asOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, maxLookback: Column): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, Some(maxLookback))
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      maxLookback: Option[Column]): DataFrame = {
     require(keys.nonEmpty, "asOf needs at least one key column")
     val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
     require(rightPayload.nonEmpty,
       "right side needs at least one payload column to carry")
-    val clashes = rightPayload.intersect(leftPayload :+ leftTime)
+    val clashes = rightPayload.intersect(leftPayload :+ leftTime :+ "__rt")
     require(clashes.isEmpty,
-      s"right payload collides with left output columns: ${clashes.mkString(", ")}")
+      s"right payload collides with reserved/left output columns: ${clashes.mkString(", ")}")
 
-    val rpStruct = struct(rightPayload.map(col): _*)
+    // the matched right row's own time rides along in the struct so a
+    // lookback bound can be applied after the carry
+    val rpStruct = struct(rightPayload.map(col) :+ col(rightTime).as("__rt"): _*)
     // right rows with any NULL key can never match under SQL equality
     val r = right
       .where(keys.map(col(_).isNotNull).reduce(_ && _))
@@ -70,11 +91,15 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = maxLookback match {
+      case Some(d) => col("__rp.__rt") >= col("__t") - d
+      case None => lit(true)
+    }
     l.unionByName(r)
       .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
         leftPayload.map(col) ++
-        rightPayload.map(c => col(s"__rp.$c").as(c)): _*)
+        rightPayload.map(c => when(fresh, col(s"__rp.$c")).as(c)): _*)
   }
 }

@@ -276,6 +276,24 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts", "purchase_value")
   }
 
+  /** As-of join bounded by a 1-hour lookback: a view older than an
+    * hour before the purchase is stale and masked to NULL — the "join
+    * to recent state only" form. Same single-exchange plan; the bound
+    * is a map-side mask after the carry.
+    */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("SECOND", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+    graft.operators.AsOfJoin.asOfWithin(purchases, views, Seq("user_id"),
+        "ts", "ts", expr("INTERVAL 1 HOUR"))
+      .orderBy("user_id", "ts", "purchase_value")
+  }
+
   /** Range join: line items banded by quantity interval. The bands
     * derive from region (5 half-open [lo, hi) intervals covering
     * 1..50) so both engines see identical inputs. Scale: see
@@ -423,6 +441,7 @@ object AnalyticsQueries {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q_percentile" -> (qPercentile _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
     "q_range_join" -> (qRangeJoin _),
     "q_sketch_hll" -> (qSketchHll _),
     "q_window_range" -> (qWindowRange _),
@@ -581,6 +600,18 @@ object AnalyticsQueries {
         |v AS (SELECT user_id, ts, max(value) AS view_value FROM ev
         |      WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.user_id, p.ts, p.purchase_value, v.view_value, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |                   event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS view_value FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts, p.purchase_value,
+        |  CASE WHEN v.ts >= p.ts - INTERVAL '1 hour' THEN v.view_value END AS view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
 

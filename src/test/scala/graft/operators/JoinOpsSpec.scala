@@ -59,6 +59,17 @@ class JoinOpsSpec extends SparkSpec {
     assert(row.getDouble(0) == 1.5 && row.isNullAt(1))
   }
 
+  test("asOfWithin masks matches older than the lookback, keeps fresh ones") {
+    val left = Seq((1L, 100L, "a"), (1L, 500L, "b")).toDF("k", "t", "payload")
+    val right = Seq((1L, 90L, "fresh-for-a"), (1L, 120L, "stale-for-b"))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfWithin(left, right, Seq("k"), "t", "t", lit(50L))
+      .select("payload", "rv").as[(String, String)].collect().toMap
+    assert(out("a") == "fresh-for-a")     // 100 - 90 = 10 <= 50
+    assert(out("b") == null,              // 500 - 120 = 380 > 50 → masked
+      "stale match must be masked to NULL")
+  }
+
   test("asOf: NULL keys never match (SQL equality semantics)") {
     val left = Seq((Option.empty[Long], 10L, "a"), (Some(1L), 10L, "b"))
       .toDF("k", "t", "payload")
