@@ -69,9 +69,15 @@ object AsOfJoin {
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
     require(rightPayload.nonEmpty,
       "right side needs at least one payload column to carry")
-    val clashes = rightPayload.intersect(leftPayload :+ leftTime :+ "__rt")
+    val clashes = rightPayload.intersect(leftPayload :+ leftTime)
     require(clashes.isEmpty,
-      s"right payload collides with reserved/left output columns: ${clashes.mkString(", ")}")
+      s"right payload collides with left output columns: ${clashes.mkString(", ")}")
+    // reserved internals — catch them on EITHER side up front, or they
+    // surface later as an opaque ambiguous-reference AnalysisException
+    val reserved = (left.columns ++ right.columns).distinct
+      .intersect(Seq("__t", "__side", "__rp", "__rt"))
+    require(reserved.isEmpty,
+      s"column names reserved by asOf: ${reserved.mkString(", ")}")
 
     // the matched right row's own time rides along in the struct so a
     // lookback bound can be applied after the carry

@@ -36,36 +36,56 @@ object PartitionedLake {
       s"d${kids.map(_.length()).sum}m${kids.map(_.lastModified()).maxOption.getOrElse(0L)}"
     } else s"f${f.length()}m${f.lastModified()}"
 
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Deterministic location of the partitioned copy of
-    * `$sfDir/events.parquet` — keyed by path AND source fingerprint,
-    * so repeated verify/bench runs in one container reuse the first
-    * write while a regenerated source gets a fresh copy.
+    * `$sfDir/events.parquet` — keyed by a stable per-source slug PLUS
+    * the source fingerprint, so repeated verify/bench runs in one
+    * container reuse the first write, a regenerated source gets a
+    * fresh copy, and superseded copies of the SAME source are
+    * identifiable by their shared slug (and swept in [[eventsByDay]]).
     */
   def eventsPath(sfDir: String): String = {
-    val stamp = s"$sfDir|${fingerprint(new File(s"$sfDir/events.parquet"))}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    new File(sys.props("java.io.tmpdir"), s"graft-lake-events-$key").getPath
+    val slug = md5Hex(sfDir).take(8)
+    val fp = md5Hex(fingerprint(new File(s"$sfDir/events.parquet"))).take(8)
+    new File(sys.props("java.io.tmpdir"), s"graft-lake-events-$slug-$fp").getPath
+  }
+
+  /** The shared dynamic-overwrite writer: replaces exactly the
+    * partition-column combinations present in `df`, leaves every other
+    * partition untouched. Rows are sorted within partitions by
+    * `sortCols` so per-file parquet min/max stats enable row-group
+    * skipping on those columns. All lake writes (day backfill, batch
+    * ingest, compaction) go through here so the overwrite recipe lives
+    * in one place.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty)
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    sorted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
   }
 
   /** Idempotent per-day overwrite — the at-scale backfill WRITE path.
-    * Dynamic partition overwrite replaces exactly the `dt=` partitions
-    * present in `df` and leaves every other day untouched, so
-    * re-running a day's backfill (the reference's day-by-day catch-up,
+    * Re-running a day's backfill (the reference's day-by-day catch-up,
     * tasks.go:79-127) is a safe replace, never an append-duplicate.
-    * Rows are sorted within partitions by `sortCols` so per-file
-    * parquet min/max stats enable row-group skipping on those columns.
     */
   def overwriteDays(df: DataFrame, path: String,
-      sortCols: Seq[String] = Nil): Unit = {
-    val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(("dt" +: sortCols).map(col): _*)
-    sorted.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dt")
-      .parquet(path)
-  }
+      sortCols: Seq[String] = Nil): Unit =
+    overwritePartitions(df, path, Seq("dt"), sortCols)
 
   /** Compact one day's partition to `nFiles` files — the small-files
     * maintenance pass every streaming-ingested lake needs (a day
@@ -73,11 +93,19 @@ object PartitionedLake {
     * parquet files; scans then pay per-file open cost). Reads only the
     * target partition (pruned), repartitions, and dynamically
     * overwrites just that day.
+    *
+    * For SINGLE-LEVEL `dt=` lakes only: a lake written by
+    * [[graft.streaming.LakeIngest]] has a second `batch=` partition
+    * level — compact those with `LakeIngest.compactDay`, which
+    * preserves the layout (mixing the two corrupts partition
+    * discovery).
     */
   def compactDay(spark: SparkSession, path: String, day: String,
       nFiles: Int = 1, sortCols: Seq[String] = Nil): Unit = {
     require(nFiles > 0)
     val part = spark.read.parquet(path).where(col("dt") === day)
+    require(!part.columns.contains("batch"),
+      s"$path has a batch= partition level (LakeIngest layout) — use LakeIngest.compactDay")
     overwriteDays(part.repartition(nFiles), path, sortCols)
   }
 
@@ -105,6 +133,17 @@ object PartitionedLake {
               .partitionBy("dt")
               .parquet(path)
           }
+          // sweep superseded copies of THIS source (same slug, older
+          // fingerprint) and their lock files, so regenerated test
+          // data doesn't accumulate full-size dead copies in the temp
+          // dir. A process still reading an old copy was already
+          // reading stale data.
+          val base = new File(path)
+          val prefix = base.getName.substring(0, base.getName.lastIndexOf('-') + 1)
+          val keep = Set(base.getName, s"${base.getName}.lock")
+          Option(base.getParentFile.listFiles()).getOrElse(Array.empty[File])
+            .filter(f => f.getName.startsWith(prefix) && !keep(f.getName))
+            .foreach(deleteRecursively)
         } finally lock.release()
       } finally ch.close()
     }

@@ -129,10 +129,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q6 pushes every predicate into the parquet scan") {
     val p = plan("q6_forecast_revenue")
-    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
-      s"shipdate range must reach the scan:\n$p")
-    assert(p.contains("GreaterThanOrEqual(l_discount") || p.contains("l_discount"),
-      s"discount band must reach the scan:\n$p")
+    // assert the predicates INSIDE the PushedFilters list — an empty
+    // "PushedFilters: []" with the columns mentioned elsewhere in the
+    // plan must fail, not pass. Match to end of line, not to ']': the
+    // scan node TRUNCATES long filter lists ("... 4 more fields"),
+    // which swallows the closing bracket.
+    val pushed = "PushedFilters: \\[[^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("l_shipdate"), s"shipdate range not pushed: $pushed\n$p")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"discount/quantity bounds not pushed: $pushed\n$p")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
     assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
       s"q6 must scan only its 4 columns: $read")

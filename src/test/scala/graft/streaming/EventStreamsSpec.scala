@@ -78,6 +78,18 @@ class EventStreamsSpec extends SparkSpec {
     val vals = LakeIngest.read(spark, lake)
       .where(col("event_id") === 3L).select("value").as[Double].collect().toSeq
     assert(vals == Seq(9.0))
+
+    // compaction folds a day's batch dirs into batch=-1, keeps the
+    // two-level layout readable, and leaves sibling days alone
+    LakeIngest.compactDay(spark, lake, "2024-01-02", nFiles = 1)
+    val day2 = new java.io.File(s"$lake/dt=2024-01-02").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(day2 == Set(s"batch=${LakeIngest.CompactedBatchId}"),
+      s"stale batch dirs not folded: $day2")
+    val after = LakeIngest.read(spark, lake)
+    assert(after.count() == 3, "compaction must not change row counts")
+    assert(after.where(col("dt") === "2024-01-01").count() == 1)
+    assert(after.where(col("event_id") === 3L).select("value").as[Double].head() == 9.0)
   }
 
   test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {
