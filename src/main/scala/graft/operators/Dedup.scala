@@ -54,11 +54,11 @@ object Dedup {
     * that appear anywhere in the benchmark set.
     *
     * Scale shape: the benchmark shingle INVENTORY (distinct hashes) is
-    * tiny relative to the corpus — broadcast it; the corpus side is
-    * one explode + left-semi equi-join on the shingle hash (the same
-    * inverted-index shape as [[ngramJaccardPairs]]) + one groupBy on
-    * the doc id. No cross product, no driver state; 100 TB of corpus
-    * streams through map-side semi-join probes.
+    * tiny relative to the corpus — broadcast it; the corpus side is a
+    * SINGLE pass (one explode + broadcast hit-marking left join + one
+    * partial-combining groupBy on the doc id). No cross product, no
+    * driver state, no second corpus scan; 100 TB of corpus streams
+    * through map-side probes.
     *
     * Returns (doc_id, n_sh, n_hit, contaminated_frac); docs with zero
     * shingles report frac 0.
@@ -68,18 +68,17 @@ object Dedup {
     val bench = benchmark
       .select(explode(hashedShingleSet(col(textCol), n)).as("__sh"))
       .distinct()
-    val sets = corpus.select(col(idCol).as("doc_id"),
-      hashedShingleSet(col(textCol), n).as("__set"))
-    val hits = sets
-      .select(col("doc_id"), explode(col("__set")).as("__sh"))
-      .join(broadcast(bench), Seq("__sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    sets.select(col("doc_id"), size(col("__set")).cast("long").as("n_sh"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("__hit", lit(1))
+    // ONE corpus pass: explode the (never-empty — even empty text gets
+    // the degenerate whole-text shingle) hash set, mark hits with a
+    // broadcast LEFT join, and take total + hit counts in one agg
+    corpus.select(col(idCol).as("doc_id"),
+        explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+      .join(broadcast(bench), Seq("__sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
       .withColumn("contaminated_frac",
-        when(col("n_sh") > 0,
-          round(col("n_hit").cast("double") / col("n_sh"), 6)).otherwise(0.0))
+        round(col("n_hit").cast("double") / col("n_sh"), 6))
   }
 
   /** MinHash signatures from precomputed hashed shingle sets: each
