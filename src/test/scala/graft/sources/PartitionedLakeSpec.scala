@@ -10,11 +10,22 @@ import graft.SparkSpec
   * incoming days (idempotent backfill), and compaction must shrink a
   * day's file count without touching data or sibling days.
   */
-class PartitionedLakeSpec extends SparkSpec {
+class PartitionedLakeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def afterAll(): Unit =
+    tempDirs.foreach(d => scala.reflect.io.Directory(new File(d)).deleteRecursively())
+
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+
   private def mkLake(): (String, org.apache.spark.sql.DataFrame) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-lake-spec").toString
+    val dir = tempDir("graft-lake-spec")
     val df = (1 to 300).map { i =>
       (i.toLong, s"2024-02-0${i % 3 + 1}", i * 1.5)
     }.toDF("id", "dt", "v").repartition(8) // 8 tasks → up to 8 files/day
@@ -46,7 +57,7 @@ class PartitionedLakeSpec extends SparkSpec {
   }
 
   test("eventsPath tracks the source fingerprint: regenerated data gets a fresh cache") {
-    val src = java.nio.file.Files.createTempDirectory("graft-lake-src").toString
+    val src = tempDir("graft-lake-src")
     val f = new File(src, "events.parquet")
     java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
     val p1 = PartitionedLake.eventsPath(src)

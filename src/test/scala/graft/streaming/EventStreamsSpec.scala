@@ -46,8 +46,13 @@ class EventStreamsSpec extends SparkSpec {
   test("LakeIngest: streaming to partitioned lake; batch replay replaces, never duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
+    // deleted at the end of the test — repeated sbt runs must not
+    // accumulate lake/checkpoint dirs in the temp dir
     val lake = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    def cleanup(): Unit = Seq(lake, ckpt).foreach(d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+    try {
     val input = MemoryStream[(Long, Timestamp, String, Double)]
     val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
 
@@ -90,6 +95,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(after.count() == 3, "compaction must not change row counts")
     assert(after.where(col("dt") === "2024-01-01").count() == 1)
     assert(after.where(col("event_id") === 3L).select("value").as[Double].head() == 9.0)
+    } finally cleanup()
   }
 
   test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {

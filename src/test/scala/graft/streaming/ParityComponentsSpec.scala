@@ -86,17 +86,21 @@ class ParityComponentsSpec extends SparkSpec {
 
   test("orchestrator: graceful shutdown stops streams then monitor, idempotently") {
     val ckpt = Files.createTempDirectory("graft-orch-ckpt").toString
-    val q = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
-      .writeStream.format("noop").option("checkpointLocation", ckpt).start()
-    val metrics = new graft.observability.Metrics
-    val srv = new graft.observability.MonitoringServer(0, metrics,
-      () => true, () => graft.observability.Health.UpstreamOk)
-    srv.start()
-    val orch = new Orchestrator(Seq(q), Some(srv)).registerShutdownHook()
-    assert(q.isActive)
-    orch.shutdown()
-    assert(!q.isActive, "stream drained and stopped")
-    orch.shutdown() // second call must be a no-op, not a double-stop error
+    try {
+      val q = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+      val metrics = new graft.observability.Metrics
+      val srv = new graft.observability.MonitoringServer(0, metrics,
+        () => true, () => graft.observability.Health.UpstreamOk)
+      srv.start()
+      val orch = new Orchestrator(Seq(q), Some(srv)).registerShutdownHook()
+      assert(q.isActive)
+      orch.shutdown()
+      assert(!q.isActive, "stream drained and stopped")
+      orch.shutdown() // second call must be a no-op, not a double-stop error
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively(): Unit
+    }
   }
 
   test("landing-zone sweep deletes only files past retention") {
@@ -117,5 +121,6 @@ class ParityComponentsSpec extends SparkSpec {
     assert(!old1.exists() && !old2.exists() && fresh.exists())
     // missing dir is a no-op
     assert(LandingZone.sweep(spark, dir.getAbsolutePath + "/nope", 0L, now) == 0L)
+    scala.reflect.io.Directory(dir).deleteRecursively(): Unit
   }
 }
