@@ -59,6 +59,28 @@ class JoinOpsSpec extends SparkSpec {
     assert(row.getDouble(0) == 1.5 && row.isNullAt(1))
   }
 
+  test("asOfWithin equals the brute-force bounded definition on pseudo-random data") {
+    val lookback = 40L
+    val left = (0 until 300).map { i =>
+      (i * 7919 % 11L, (i * 104729 % 400).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rightRows = (0 until 200).map { i =>
+      ((i * 6101 % 11).toLong, (i * 99991 % 400).toLong)
+    }.distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val out = AsOfJoin.asOfWithin(left, rightRows.toDF("k", "t", "rv"),
+        Seq("k"), "t", "t", lit(lookback))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val byKey = rightRows.groupBy(_._1)
+    val expected = (0 until 300).map { i =>
+      val (k, t, lid) = (i * 7919 % 11L, (i * 104729 % 400).toLong, i.toLong)
+      val best = byKey.getOrElse(k, Seq.empty)
+        .filter(r => r._2 <= t && r._2 >= t - lookback)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      (k, t, lid, best)
+    }.toSet
+    assert(out == expected)
+  }
+
   test("asOfWithin masks matches older than the lookback, keeps fresh ones") {
     val left = Seq((1L, 100L, "a"), (1L, 500L, "b")).toDF("k", "t", "payload")
     val right = Seq((1L, 90L, "fresh-for-a"), (1L, 120L, "stale-for-b"))
