@@ -29,8 +29,9 @@ import org.apache.spark.sql.SparkSession
   * Self-defense against machine noise: each query runs
   * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the lower
   * median, so one contention-skewed sample cannot poison the ledger.
-  * The JSON carries the per-run raw times and the OS load average at
-  * start/end, so a poisoned sweep is self-identifying.
+  * The JSON carries the per-run raw times in run order (failed runs
+  * appear as NEGATIVE durations) and the OS load average at start/end,
+  * so a poisoned or partially-failing sweep is self-identifying.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,21 +69,29 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
       val bad = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val chron = scala.collection.mutable.ArrayBuffer.empty[Double]
       // attempt every run: a transient failure (contention OOM, lost
       // task) must not discard the query — surviving runs still count
       (1 to runs).foreach { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          ok += (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          ok += t
+          chron += t
         } catch {
           case e: Throwable =>
-            bad += (System.nanoTime() - t0) / 1e9
+            val t = (System.nanoTime() - t0) / 1e9
+            bad += t
+            chron += -t // negative = failed run, duration preserved
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(300)
         }
       }
-      raw(name) = ok.toSeq
+      // raw_times keeps EVERY run in order; failed runs are encoded as
+      // negative durations so a partially-failing sweep is visible
+      // without cross-referencing the errors map
+      raw(name) = chron.toSeq
       if (ok.nonEmpty) Some(name -> lowerMedian(ok.toSeq))
       else {
         // never fabricate a per-query number from crash times, but the

@@ -15,26 +15,34 @@ import org.apache.spark.sql.functions._
   * (not just the join keys) is what spreads a hot key: rows sharing
   * the key but differing elsewhere land in different buckets.
   *
-  * Degenerate case: a frame whose ONLY columns are the salt-relevant
-  * keys (e.g. `fact.select("k")` before a semi-join count). There,
-  * content hashing maps every hot-key row to one bucket — salting
-  * would silently do nothing — so the salt falls back to
-  * `monotonically_increasing_id()`. That fallback is still
-  * result-deterministic: the rows are byte-identical, so any
-  * assignment of them to buckets yields the same result multiset;
-  * only the physical distribution varies across replays, which is
-  * unobservable in output.
+  * Content hashing cannot spread rows it cannot tell apart. Two
+  * degenerate shapes exist:
+  *  - a frame whose ONLY columns are the keys (`fact.select("k")`
+  *    before a semi-join count) — detected automatically, salt falls
+  *    back to `monotonically_increasing_id()`;
+  *  - a frame where the hot key's rows are byte-identical duplicates
+  *    in their non-key columns too (millions of `('hot', 1)` rows
+  *    before a count/sum) — NOT detectable from the schema, so
+  *    callers with duplicate-heavy data pass `spread = true` to force
+  *    the MIID salt.
+  * The MIID fallback is still result-deterministic: indistinguishable
+  * rows are interchangeable, so any assignment of them to buckets
+  * yields the same result multiset; only the physical distribution
+  * varies across replays, which is unobservable in output. Rows that
+  * DO differ lose per-row replay-stable placement under `spread` —
+  * that is the documented trade.
   */
 object Salting {
 
-  /** Salt in [0, saltFactor): content-derived when non-key columns
-    * exist (replay-identical per row), MIID-derived for keys-only
-    * frames (identical rows are interchangeable, so distribution-only).
+  /** Salt in [0, saltFactor): content-derived by default
+    * (replay-identical per row); MIID-derived when `spread` is set or
+    * the frame has no non-key columns (identical rows are
+    * interchangeable, so distribution-only).
     */
   private[operators] def contentSalt(df: DataFrame, keys: Seq[String],
-      saltFactor: Int) = {
+      saltFactor: Int, spread: Boolean = false) = {
     val src =
-      if (df.columns.exists(c => !keys.contains(c)))
+      if (!spread && df.columns.exists(c => !keys.contains(c)))
         xxhash64(df.columns.map(col).toIndexedSeq: _*)
       else xxhash64(monotonically_increasing_id())
     pmod(src, lit(saltFactor)).cast("int")
@@ -48,7 +56,8 @@ object Salting {
     * moderate-size dims that are still too big to broadcast).
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+      saltFactor: Int, joinType: String = "inner",
+      spread: Boolean = false): DataFrame = {
     require(saltFactor > 0)
     // Right/full outer joins are NOT salting-safe: every unmatched dim
     // row is replicated saltFactor times and each replica emits its own
@@ -57,7 +66,7 @@ object Salting {
       "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
     require(allowed.contains(joinType.toLowerCase),
       s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, got '$joinType'")
-    val salted = fact.withColumn("__salt", contentSalt(fact, keys, saltFactor))
+    val salted = fact.withColumn("__salt", contentSalt(fact, keys, saltFactor, spread))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -69,11 +78,12 @@ object Salting {
     * `saltFactor` partials per key. Caller supplies both phases as
     * aggregation expression lists over the named columns.
     */
-  def twoPhaseAgg(df: DataFrame, keys: Seq[String], saltFactor: Int)(
+  def twoPhaseAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
+      spread: Boolean = false)(
       phase1: Seq[org.apache.spark.sql.Column],
       phase2: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(saltFactor > 0)
-    val salted = df.withColumn("__salt", contentSalt(df, keys, saltFactor))
+    val salted = df.withColumn("__salt", contentSalt(df, keys, saltFactor, spread))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1.head, phase1.tail: _*)
     partial.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)

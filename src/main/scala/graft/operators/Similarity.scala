@@ -121,7 +121,7 @@ object Similarity {
     val base = data.select(col(vecCol).as("__v"))
       .withColumn("__nsq", V.normSq(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val assigned = base.withColumn("__cell",
         element_at(rankedCellArray(col("__v"), col("__nsq"), cents), 1)("cell"))
       val means = assigned
@@ -133,8 +133,7 @@ object Similarity {
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
       cents = cents.indices.map(i => byCell.getOrElse(i, cents(i)))
-    }
-    base.unpersist(blocking = false)
+    } finally base.unpersist(blocking = false) // even if an iteration throws
     cents
   }
 

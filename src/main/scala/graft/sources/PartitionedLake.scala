@@ -136,14 +136,31 @@ object PartitionedLake {
           // sweep superseded copies of THIS source (same slug, older
           // fingerprint) and their lock files, so regenerated test
           // data doesn't accumulate full-size dead copies in the temp
-          // dir. A process still reading an old copy was already
-          // reading stale data.
+          // dir. A sibling whose lock another live process holds is
+          // SKIPPED — deleting a copy mid-WRITE would leave that
+          // process a torn directory. (Readers don't hold the lock;
+          // a reader of an unlocked stale copy was already reading
+          // superseded data and a deleted-file read fails loudly,
+          // not silently.)
           val base = new File(path)
           val prefix = base.getName.substring(0, base.getName.lastIndexOf('-') + 1)
           val keep = Set(base.getName, s"${base.getName}.lock")
           Option(base.getParentFile.listFiles()).getOrElse(Array.empty[File])
             .filter(f => f.getName.startsWith(prefix) && !keep(f.getName))
-            .foreach(deleteRecursively)
+            .filterNot(_.getName.endsWith(".lock"))
+            .foreach { stale =>
+              val staleLock = new File(s"${stale.getPath}.lock")
+              val sch = java.nio.channels.FileChannel.open(staleLock.toPath,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.WRITE)
+              try {
+                val held = sch.tryLock()
+                if (held != null) {
+                  try { deleteRecursively(stale) } finally held.release()
+                  staleLock.delete(): Unit
+                }
+              } finally sch.close()
+            }
         } finally lock.release()
       } finally ch.close()
     }

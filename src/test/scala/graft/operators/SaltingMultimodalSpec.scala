@@ -64,6 +64,20 @@ class SaltingMultimodalSpec extends SparkSpec {
     val dim = Seq((1L, "x")).toDF("k", "label")
     assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "semi").count() == 4000L)
     assert(Salting.saltedEquiJoin(fact, dim, Seq("k"), 8, "inner").count() == 4000L)
+
+    // duplicate-heavy non-key payload: content hashing cannot tell the
+    // rows apart, so spread=true forces the MIID salt — and the
+    // aggregate result stays exact
+    val dup = (1 to 4000).map(_ => (1L, 1L)).toDF("k", "v")
+    val dupSpread = dup
+      .withColumn("__salt", Salting.contentSalt(dup, Seq("k"), 8, spread = true))
+      .select("__salt").as[Int].collect().toSet
+    assert(dupSpread.size > 1, "spread=true must split identical hot rows")
+    val agg = Salting.twoPhaseAgg(dup, Seq("k"), 8, spread = true)(
+      Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+      Seq(sum($"ps").as("total"), sum($"pn").as("n")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(agg == Seq((1L, 4000L, 4000L)))
   }
 
   test("two-phase aggregation merges salted partials to exact totals") {

@@ -98,6 +98,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("LakeIngest compaction: idempotent re-runs, torn staging discarded, crash resume") {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("graft-ingest-crash").toString
+    try {
+      def day(d: String) = Seq((1L, ts(s"$d 10:00:00"), "click", 1.0),
+        (2L, ts(s"$d 11:00:00"), "view", 2.0))
+        .toDF("event_id", "ts", "event_type", "value")
+      LakeIngest.writeBatch(day("2024-03-01"), lake, 0L)
+      LakeIngest.writeBatch(day("2024-03-01").withColumn("event_id", col("event_id") + 10), lake, 1L)
+      LakeIngest.compactDay(spark, lake, "2024-03-01")
+      assert(LakeIngest.read(spark, lake).count() == 4)
+      // idempotent: compacting an already-compacted day is a no-op
+      LakeIngest.compactDay(spark, lake, "2024-03-01")
+      assert(LakeIngest.read(spark, lake).count() == 4)
+      // a batch landing after compaction folds in on the next pass
+      LakeIngest.writeBatch(day("2024-03-01").withColumn("event_id", col("event_id") + 20), lake, 5L)
+      LakeIngest.compactDay(spark, lake, "2024-03-01")
+      val dirs = new java.io.File(s"$lake/dt=2024-03-01").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(dirs == Set("batch=-1") && LakeIngest.read(spark, lake).count() == 6)
+
+      // torn staging (no _SUCCESS): discarded, compaction still correct
+      val staging = new java.io.File(s"$lake/dt=2024-03-01/batch=-2")
+      staging.mkdirs()
+      java.nio.file.Files.write(new java.io.File(staging, "junk").toPath, Array[Byte](1))
+      LakeIngest.writeBatch(day("2024-03-01").withColumn("event_id", col("event_id") + 30), lake, 6L)
+      LakeIngest.compactDay(spark, lake, "2024-03-01")
+      assert(!staging.exists() && LakeIngest.read(spark, lake).count() == 8)
+
+      // committed staging + leftover input (crash between commit and
+      // cleanup): resume deletes the folded leftover, never double-counts
+      val dayDir = new java.io.File(s"$lake/dt=2024-03-01")
+      val leftover = new java.io.File(dayDir, "batch=9")
+      // "crash state": current batch=-1 content is both the staged result
+      // and a not-yet-deleted input; staging must be NEWER than leftover
+      val compacted = new java.io.File(dayDir, "batch=-1")
+      def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+        dst.mkdirs()
+        src.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath))
+      }
+      copyDir(compacted, leftover)
+      leftover.setLastModified(System.currentTimeMillis() - 60000)
+      Thread.sleep(10)
+      copyDir(compacted, staging) // staged result == full day
+      java.nio.file.Files.deleteIfExists(new java.io.File(compacted, "_SUCCESS").toPath)
+      new java.io.File(staging, "_SUCCESS").createNewFile()
+      scala.reflect.io.Directory(compacted).deleteRecursively() // -1 was deleted pre-crash
+      LakeIngest.compactDay(spark, lake, "2024-03-01")
+      assert(LakeIngest.read(spark, lake).count() == 8, "resume must not double-count")
+      val finalDirs = dayDir.listFiles().map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(finalDirs == Set("batch=-1"), s"resume must finish the swap: $finalDirs")
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(lake)).deleteRecursively(): Unit
+    }
+  }
+
   test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
