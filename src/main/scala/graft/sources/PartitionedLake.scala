@@ -26,14 +26,22 @@ import graft.core.Tables
   */
 object PartitionedLake {
 
-  /** Size+mtime fingerprint of the source file or directory — cheap
+  /** Structural fingerprint of the source file or directory — cheap
     * change detection so a regenerated events.parquet invalidates the
     * cached partitioned copy instead of silently serving stale data.
+    * Hashes the sorted per-child (name, length, mtime) tuples plus the
+    * child count, recursing one level into subdirectories — a
+    * same-total-size, mtime-preserving rewrite (which a summed-length
+    * + max-mtime digest cannot see) still changes some child tuple.
     */
-  private def fingerprint(f: File): String =
+  private def fingerprint(f: File, depth: Int = 0): String =
     if (f.isDirectory) {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[File])
-      s"d${kids.map(_.length()).sum}m${kids.map(_.lastModified()).maxOption.getOrElse(0L)}"
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[File]).sortBy(_.getName)
+      val parts = kids.map { k =>
+        if (k.isDirectory && depth < 1) s"${k.getName}:${fingerprint(k, depth + 1)}"
+        else s"${k.getName}:${k.length()}:${k.lastModified()}"
+      }
+      s"d${kids.length}[${parts.mkString(",")}]"
     } else s"f${f.length()}m${f.lastModified()}"
 
   private def deleteRecursively(f: File): Unit = {

@@ -38,6 +38,36 @@ object LakeIngest {
     */
   val StagingBatchId: Long = -2L
 
+  /** Manifest file written inside the staging partition listing the
+    * exact `batch=` directory names the staged fold consumed. The
+    * cleanup pass (including a crash resume) deletes precisely this
+    * set — never an inferred one — so a batch directory that lands
+    * between the fold's listing and the commit marker can never be
+    * deleted unfolded. Leading underscore keeps it invisible to
+    * Spark's file readers after the staging→`batch=-1` rename.
+    */
+  val FoldedManifest: String = "_FOLDED"
+
+  /** Highest micro-batch id the Structured Streaming checkpoint has
+    * COMMITTED (sink writes durable, offsets sealed), or None if the
+    * checkpoint has no commit log yet. Commit-log entries are files
+    * named by batch id under `commits/` — public on-disk contract of
+    * Spark's HDFSMetadataLog. Compaction uses this as the fold
+    * ceiling: a batch the checkpoint might still replay is never
+    * folded away, so the replay lands back in its own `batch=` dir
+    * (idempotent overwrite) instead of duplicating rows already
+    * merged into `batch=-1`.
+    */
+  def committedBatchHighWater(spark: SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val commits = new Path(checkpointDir, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).maxOption
+  }
+
   /** Idempotent write of one micro-batch (exposed for testing and for
     * batch backfills that want the same replay safety).
     */
@@ -69,51 +99,89 @@ object LakeIngest {
     * rename, which reads as a temporarily missing day until the next
     * compactDay call.
     *
-    * Ordering caveat (standard lakehouse compaction rule): only
-    * compact days whose batches the streaming checkpoint has fully
-    * committed, and not while a writer is actively targeting the same
-    * day (normal cadence: compact yesterday and older) — a replay of a
-    * batch id that was already folded away would re-add its rows as a
-    * fresh `batch=` partition.
+    * Ordering rule (standard lakehouse compaction rule), ENFORCED when
+    * `checkpointDir` is given: only batches the streaming checkpoint
+    * has committed are folded — an uncommitted batch id the engine
+    * might still replay keeps its own `batch=` dir, where the replay's
+    * dynamic overwrite is idempotent. Without a checkpoint the caller
+    * owns the rule (normal cadence: compact yesterday and older, no
+    * active writer on the day).
+    *
+    * Every `rename`/`delete` return value is checked: Hadoop
+    * filesystems report most failures by returning false, and a
+    * silently failed rename would leave the day's only copy parked in
+    * the hidden staging partition — invisible to [[read]] with no
+    * error anywhere.
     */
   def compactDay(spark: SparkSession, path: String, day: String,
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1, checkpointDir: Option[String] = None): Unit = {
     require(nFiles > 0)
     val dayDir = new Path(s"$path/dt=$day")
     val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dayDir)) return
     val staging = new Path(dayDir, s"batch=$StagingBatchId")
+    val commitMarker = new Path(staging, "_SUCCESS")
+    val manifest = new Path(staging, FoldedManifest)
 
-    if (fs.exists(staging) && !fs.exists(new Path(staging, "_SUCCESS")))
-      fs.delete(staging, true): Unit // torn write from a crashed run
+    if (fs.exists(staging) && !fs.exists(commitMarker))
+      require(fs.delete(staging, true), // torn write from a crashed run
+        s"could not discard torn staging for dt=$day")
 
     if (!fs.exists(staging)) {
-      val inputs = fs.listStatus(dayDir)
-        .filter(_.getPath.getName.startsWith("batch=")).toSeq
-      if (inputs.isEmpty) return
-      if (inputs.size == 1 &&
-        inputs.head.getPath.getName == s"batch=$CompactedBatchId") return
-      // stage the merged day; reads only batch != -2, writes only
-      // (day, -2) — no partition is both read and overwritten
+      val foldCeiling: Long => Boolean = checkpointDir match {
+        case None => _ => true
+        case Some(dir) =>
+          val hwm = committedBatchHighWater(spark, dir).getOrElse(-1L)
+          id => id == CompactedBatchId || id <= hwm
+      }
+      // capture the EXPLICIT input set now; the cleanup pass deletes
+      // exactly these names, so anything listed here is in the fold
+      // and anything not listed survives untouched
+      val inputs = fs.listStatus(dayDir).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .filterNot(_ == s"batch=$StagingBatchId")
+        .filter(n => foldCeiling(n.stripPrefix("batch=").toLong))
+        .sorted.toSeq
+      if (inputs.isEmpty || inputs == Seq(s"batch=$CompactedBatchId")) return
+      val ids = inputs.map(_.stripPrefix("batch=").toLong)
+      // stage the merged day; reads only the captured inputs, writes
+      // only (day, -2) — no partition is both read and overwritten
       val fold = spark.read.parquet(path)
-        .where(col("dt") === day && col("batch") =!= StagingBatchId)
+        .where(col("dt") === day && col("batch").isin(ids: _*))
       graft.sources.PartitionedLake.overwritePartitions(
         fold.withColumn("batch", lit(StagingBatchId)).repartition(nFiles),
         path, Seq("dt", "batch"))
-      fs.create(new Path(staging, "_SUCCESS"), true).close() // commit marker
+      val out = fs.create(manifest, true)
+      try out.write(inputs.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.create(commitMarker, true).close() // commit marker
     }
 
-    // staging is committed: drop every batch dir older than it (their
-    // rows are inside staging); dirs newer than staging arrived after
-    // the stage and must survive for the next compaction round
-    val cutoff = fs.getFileStatus(staging).getModificationTime
-    fs.listStatus(dayDir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch=") && name != s"batch=$StagingBatchId" &&
-        st.getModificationTime <= cutoff)
-        fs.delete(st.getPath, true): Unit
+    // staging is committed: delete exactly the manifest's folded set
+    // (their rows are inside staging); dirs that landed after the
+    // listing are absent from the manifest and must survive for the
+    // next compaction round
+    require(fs.exists(manifest),
+      s"committed staging for dt=$day has no $FoldedManifest manifest")
+    val in = fs.open(manifest)
+    val folded =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    folded.foreach { name =>
+      val p = new Path(dayDir, name)
+      if (fs.exists(p)) require(fs.delete(p, true),
+        s"delete of folded input $name failed for dt=$day — " +
+          "leaving it would double-count on the next read")
     }
-    fs.rename(staging, new Path(dayDir, s"batch=$CompactedBatchId")): Unit
+    // the folded set necessarily contained any previous batch=-1, so
+    // the destination must be gone; renaming onto an existing dir
+    // would nest staging INSIDE it and corrupt the two-level layout
+    val dest = new Path(dayDir, s"batch=$CompactedBatchId")
+    require(!fs.exists(dest),
+      s"compaction destination $dest still exists before the swap")
+    require(fs.rename(staging, dest),
+      s"rename of staging to $dest failed for dt=$day — the day's " +
+        "only copy is parked in the hidden staging partition")
   }
 
   /** Start the streaming ingest: events → dt-partitioned lake. */

@@ -107,10 +107,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of must not plan an inequality join:\n$p")
-    // union + one per-key window + final orderBy: exactly one hash
-    // exchange (the windows share user_id partitioning)
+    // exactly TWO hash exchanges, pinned: one for the right side's
+    // tie-break pre-aggregation on (user_id, ts) — hashpartitioning
+    // (user_id, ts) cannot satisfy the window's user_id clustering, so
+    // it can't be shared — and one for the per-key window over the
+    // union. The final orderBy's range exchange is counted separately.
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges <= 2, s"as-of join shuffles too much:\n$p")
+    assert(hashExchanges == 2,
+      s"expected exactly two hash exchanges in as-of plan, got $hashExchanges:\n$p")
   }
 
   test("range join buckets to an equi-join, no cross product") {

@@ -74,13 +74,20 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Bind JDBC `?` placeholders to SQL literals, in order — the text
-    * around the placeholders is untouched dialect output.
+    * around the placeholders is untouched dialect output. A `?` inside
+    * a quoted string literal is NOT a placeholder (JDBC's own rule);
+    * a simple in-quote scan skips those, so a dialect that one day
+    * emits `'?'` in a literal can't mis-splice or trip the leftover
+    * check. Doubled quotes ('') inside a literal toggle the state
+    * twice and land back in-quote, as required.
     */
   private def bind(sql: String, values: Seq[Any]): String = {
     val it = values.iterator
     val sb = new StringBuilder
+    var inQuote = false
     sql.foreach {
-      case '?' => sb.append(it.next() match {
+      case '\'' => inQuote = !inQuote; sb.append('\'')
+      case '?' if !inQuote => sb.append(it.next() match {
         case null => "NULL"
         case s: String => "'" + s.replace("'", "''") + "'"
         case other => other.toString

@@ -132,7 +132,7 @@ class EventStreamsSpec extends SparkSpec {
       val dayDir = new java.io.File(s"$lake/dt=2024-03-01")
       val leftover = new java.io.File(dayDir, "batch=9")
       // "crash state": current batch=-1 content is both the staged result
-      // and a not-yet-deleted input; staging must be NEWER than leftover
+      // and a not-yet-deleted input listed in the staging's fold manifest
       val compacted = new java.io.File(dayDir, "batch=-1")
       def copyDir(src: java.io.File, dst: java.io.File): Unit = {
         dst.mkdirs()
@@ -140,10 +140,14 @@ class EventStreamsSpec extends SparkSpec {
           new java.io.File(dst, f.getName).toPath))
       }
       copyDir(compacted, leftover)
-      leftover.setLastModified(System.currentTimeMillis() - 60000)
-      Thread.sleep(10)
       copyDir(compacted, staging) // staged result == full day
-      java.nio.file.Files.deleteIfExists(new java.io.File(compacted, "_SUCCESS").toPath)
+      // the staged fold consumed batch=-1 (deleted pre-crash) + batch=9;
+      // drop the copied Hadoop .crc sidecar or the checksummed local FS
+      // rejects the rewritten manifest
+      java.nio.file.Files.write(
+        new java.io.File(staging, LakeIngest.FoldedManifest).toPath,
+        "batch=-1\nbatch=9".getBytes("UTF-8"))
+      new java.io.File(staging, s".${LakeIngest.FoldedManifest}.crc").delete()
       new java.io.File(staging, "_SUCCESS").createNewFile()
       scala.reflect.io.Directory(compacted).deleteRecursively() // -1 was deleted pre-crash
       LakeIngest.compactDay(spark, lake, "2024-03-01")
@@ -153,6 +157,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally {
       scala.reflect.io.Directory(new java.io.File(lake)).deleteRecursively(): Unit
     }
+  }
+
+  test("LakeIngest compaction respects the checkpoint's committed high-water mark") {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("graft-ingest-hwm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-hwm-ckpt").toString
+    def batchDirs() = new java.io.File(s"$lake/dt=2024-04-01").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    try {
+      def batchDf(shift: Int) =
+        Seq((1L + shift, ts("2024-04-01 10:00:00"), "click", 1.0))
+          .toDF("event_id", "ts", "event_type", "value")
+      LakeIngest.writeBatch(batchDf(0), lake, 0L)
+      LakeIngest.writeBatch(batchDf(10), lake, 1L)
+      // checkpoint commit log says only batch 0 is committed
+      val commits = new java.io.File(ckpt, "commits"); commits.mkdirs()
+      new java.io.File(commits, "0").createNewFile()
+      LakeIngest.compactDay(spark, lake, "2024-04-01", checkpointDir = Some(ckpt))
+      // batch 1 is uncommitted: it must survive, unfolded
+      assert(batchDirs() == Set("batch=-1", "batch=1"), s"got ${batchDirs()}")
+      assert(LakeIngest.read(spark, lake).count() == 2)
+      // the engine replays the uncommitted batch after compaction:
+      // idempotent overwrite of its OWN still-present dir — no double count
+      LakeIngest.writeBatch(batchDf(10), lake, 1L)
+      assert(LakeIngest.read(spark, lake).count() == 2,
+        "replay after compaction double-counted")
+      // once the checkpoint commits it, the next pass folds it
+      new java.io.File(commits, "1").createNewFile()
+      LakeIngest.compactDay(spark, lake, "2024-04-01", checkpointDir = Some(ckpt))
+      assert(batchDirs() == Set("batch=-1") &&
+        LakeIngest.read(spark, lake).count() == 2)
+      // a checkpoint with no commit log yet folds no live batch at all
+      val ckptEmpty = java.nio.file.Files.createTempDirectory("graft-hwm-empty").toString
+      try {
+        LakeIngest.writeBatch(batchDf(20), lake, 7L)
+        LakeIngest.compactDay(spark, lake, "2024-04-01", checkpointDir = Some(ckptEmpty))
+        assert(batchDirs() == Set("batch=-1", "batch=7"), s"got ${batchDirs()}")
+        assert(LakeIngest.read(spark, lake).count() == 3)
+      } finally scala.reflect.io.Directory(
+        new java.io.File(ckptEmpty)).deleteRecursively(): Unit
+    } finally Seq(lake, ckpt).foreach(d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively(): Unit)
   }
 
   test("dedupWithinWatermark drops repeats inside the delay, state stays bounded") {
