@@ -9,13 +9,20 @@ import graft.functions.{HashFunctions => H}
   * `binary` columns with typed metadata alongside (driver mandate,
   * SURVEY.md §7 step 6).
   *
-  * The container has no image/audio codecs, so the actual decode is a
-  * STUB — [[StubDecoder]] produces deterministic fake dimensions from
-  * the byte content. Everything around it is the real plumbing: the
-  * schema contract, the per-partition batch loop (one decoder instance
-  * per partition, the shape a JNI/FFmpeg binding needs), and a
-  * pure-column variant ([[fakeMediaMeta]]) for metadata that needs no
-  * codec.
+  * Two codecs plug into the per-partition boundary:
+  *  - [[ImageIoDecoder]]/[[ImageIoTranscoder]] — REAL image decode,
+  *    resize, and (animated-GIF) frame extraction over the JDK's
+  *    `javax.imageio`, zero external dependencies;
+  *  - [[StubDecoder]]/[[StubTranscoder]] — deterministic fakes for
+  *    payloads no installed reader handles (audio/video codecs aren't
+  *    in the JDK), and the fallback the ImageIO pair degrades to on
+  *    corrupt or unsupported bytes, so a mixed 100-TB corpus keeps
+  *    flowing instead of dying on the first bad row.
+  *
+  * Around either codec the plumbing is identical and real: the schema
+  * contract, the per-partition batch loop (one decoder instance per
+  * partition, the shape a JNI/FFmpeg binding needs), and a pure-column
+  * variant ([[withFakeMediaMeta]]) for metadata that needs no codec.
   */
 object Multimodal {
 
@@ -46,6 +53,88 @@ object Multimodal {
       MediaMeta(id, payload.length.toLong,
         h % 640 + 16, (h / 640) % 480 + 16, payload.length % 30 + 1, hex)
     }
+  }
+
+  /** Shared ImageIO plumbing: run `f` over an [[javax.imageio.ImageReader]]
+    * positioned on the payload, or None when no installed reader claims
+    * the format / the bytes are corrupt. Readers are looked up per call
+    * (they are NOT thread-safe); the in-memory cache flag is set once so
+    * executors never touch disk for scratch space.
+    */
+  private object ImageIo {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def withReader[T](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => T): Option[T] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r)) finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP,
+    * no external dependencies): true pixel dimensions, true frame count
+    * (animated GIFs report every frame). Payloads no reader handles fall
+    * back to [[StubDecoder]] — per-row degradation, never a task failure.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(id: Long, payload: Array[Byte]): MediaMeta =
+      ImageIo.withReader(payload) { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        MediaMeta(id, payload.length.toLong, r.getWidth(0).toLong,
+          r.getHeight(0).toLong, r.getNumImages(true).toLong, hex)
+      }.getOrElse(StubDecoder.decode(id, payload))
+  }
+
+  /** REAL transcoding via `javax.imageio`:
+    *  - resize = bilinear redraw to exactly w×h, re-encoded as PNG;
+    *  - frames = every N-th frame of the container (an animated GIF
+    *    yields its true frames; a still image is its own single frame),
+    *    each re-encoded as standalone PNG bytes a downstream stage can
+    *    decode independently.
+    * Unsupported payloads fall back to the stub, same contract as
+    * [[ImageIoDecoder]].
+    */
+  object ImageIoTranscoder extends MediaTranscoder {
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageIo.withReader(payload) { r =>
+        val src = r.read(0)
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null): Unit
+        } finally g.dispose()
+        ImageIo.encodePng(dst)
+      }.getOrElse(StubTranscoder.resize(payload, w, h))
+
+    override def sampleFrames(payload: Array[Byte],
+        everyN: Int): Iterator[(Int, Array[Byte])] =
+      ImageIo.withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        // materialized inside withReader — the reader is disposed on exit,
+        // so the frames must be read eagerly, not from a lazy iterator
+        (0 until n by everyN).map(i => (i, ImageIo.encodePng(r.read(i)))).toVector
+      }.map(_.iterator).getOrElse(StubTranscoder.sampleFrames(payload, everyN))
   }
 
   /** One sampled frame of a media payload. */

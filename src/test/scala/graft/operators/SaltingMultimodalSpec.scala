@@ -133,6 +133,82 @@ class SaltingMultimodalSpec extends SparkSpec {
     assert(frames.last.frame.toSeq == payload.slice(90, 100).toSeq)
   }
 
+  // --- real ImageIO codecs ------------------------------------------------
+
+  /** A real PNG: w×h gradient pixels, encoded through javax.imageio. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 7 + y * 31) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real animated GIF with `n` gray frames via the JDK GIF writer. */
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(i * 40 % 256, i * 40 % 256, i * 40 % 256))
+        g.fillRect(0, 0, w, h)
+      } finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNG bytes; non-images fall back to the stub") {
+    implicit val s = spark
+    val png = pngBytes(37, 23)
+    val junk = "definitely-not-an-image".getBytes("UTF-8")
+    val rows = Seq(Multimodal.MediaRow(1L, png), Multimodal.MediaRow(2L, junk))
+      .toDS().repartition(2)
+    val metas = Multimodal.decodeBatch(rows, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).width == 37 && metas(0).height == 23 && metas(0).n_frames == 1,
+      s"real PNG dims not decoded: ${metas(0)}")
+    assert(metas(0).n_bytes == png.length)
+    assert(metas(1) == Multimodal.StubDecoder.decode(2L, junk),
+      "unsupported payload must degrade to the deterministic stub")
+  }
+
+  test("ImageIoTranscoder resize produces a real w*h image; GIF frames sample") {
+    implicit val s = spark
+    val rows = Seq(Multimodal.MediaRow(1L, pngBytes(64, 48))).toDS()
+    val resized = Multimodal.resizeBatch(rows, Multimodal.ImageIoTranscoder, 8, 6)
+      .collect().head
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 6,
+      "resized payload must decode as a real 8x6 image")
+
+    // animated GIF: 5 real frames, every 2nd sampled -> 0, 2, 4
+    val gif = Seq(Multimodal.MediaRow(7L, gifBytes(16, 12, 5))).toDS()
+    val frames = Multimodal.sampleFramesBatch(gif, Multimodal.ImageIoTranscoder, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4), "every 2nd GIF frame")
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12,
+        s"frame ${f.frame_idx} must re-encode as a standalone decodable image")
+    }
+    // a still PNG is its own single frame through the same API
+    val one = Multimodal.sampleFramesBatch(rows, Multimodal.ImageIoTranscoder, 1)
+      .collect()
+    assert(one.map(_.frame_idx).toSeq == Seq(0))
+  }
+
   test("scraper_status watermark mirror: upsert advances date (K6)") {
     import java.sql.{DriverManager, Timestamp}
     import graft.sinks.{DerbyDialect, JdbcMergeWriter, MergeSpecs}

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Generate a scaled synthetic dataset with the SAME schema and value
+domains as the driver's /root/testdata tables (TESTDATA.md), for scale
+factors the driver doesn't ship (sf1+). Deterministic (seed=42).
+
+The correctness gate recomputes the DuckDB oracle over whatever parquet
+dir it is pointed at, so distribution details don't need to match the
+driver bit-for-bit — but schemas, column names/types, FK relationships,
+and the literal domains queries filter on (event days in Jan-2024,
+c_custkey=42, c_mktsegment='BUILDING', r_name='ASIA', order/ship dates
+1995-2001, event_type='purchase', ...) must all hold.
+
+Usage: python3 tools/gen_sf.py <sf> <outdir>   e.g. 1 target/testdata/sf1
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = float(sys.argv[1])
+OUT = sys.argv[2]
+os.makedirs(OUT, exist_ok=True)
+rng = np.random.default_rng(42)
+S = lambda n: int(round(n * SF * 100))  # tables ship sf*100 of the sf0.01 counts
+
+def write(name, table):
+    pq.write_table(table, f"{OUT}/{name}.parquet")
+    print(f"{name}: {table.num_rows} rows")
+
+# --- region / nation (fixed size at every sf) ---------------------------
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+write("region", pa.table({
+    "r_regionkey": pa.array(range(5), pa.int32()),
+    "r_name": REGIONS}))
+write("nation", pa.table({
+    "n_nationkey": pa.array(range(25), pa.int32()),
+    "n_name": [f"NATION_{i}" for i in range(25)],
+    "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
+
+# --- customer -----------------------------------------------------------
+NC = S(1500)
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+write("customer", pa.table({
+    "c_custkey": pa.array(range(NC), pa.int64()),
+    "c_name": [f"Customer#{i:09d}" for i in range(NC)],
+    "c_nationkey": pa.array(rng.integers(0, 25, NC), pa.int32()),
+    "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, NC), 2),
+    "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, NC)])}))
+
+# --- supplier -----------------------------------------------------------
+NS = S(100)
+write("supplier", pa.table({
+    "s_suppkey": pa.array(range(NS), pa.int64()),
+    "s_name": [f"Supplier#{i:09d}" for i in range(NS)],
+    "s_nationkey": pa.array(rng.integers(0, 25, NS), pa.int32()),
+    "s_acctbal": np.round(rng.uniform(0, 9999.99, NS), 2)}))
+
+# --- part ---------------------------------------------------------------
+NP = S(2000)
+ADJ = ["small", "red", "blue", "green", "large", "shiny", "matte", "plain"]
+NOUN = ["ring", "widget", "bolt", "gear", "cog", "pin", "cap", "rod"]
+TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+write("part", pa.table({
+    "p_partkey": pa.array(range(NP), pa.int64()),
+    "p_name": [f"{ADJ[i % 8]} {NOUN[(i // 8) % 8]}" for i in range(NP)],
+    "p_brand": [f"Brand#{(i % 25) + 1}" for i in range(NP)],
+    "p_type": pa.array(np.array(TYPES)[rng.integers(0, 6, NP)]),
+    "p_size": pa.array(rng.integers(1, 51, NP), pa.int32()),
+    # driver pattern: 900.0, 900.1, 900.2, ... keyed by partkey
+    "p_retailprice": np.round(900.0 + 0.1 * np.arange(NP), 2)}))
+
+# --- orders -------------------------------------------------------------
+NO = S(15000)
+STATUS = ["F", "O", "P"]
+PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+d0 = np.datetime64("1995-01-01")
+odates = d0 + rng.integers(0, (np.datetime64("2001-08-02") - d0).astype(int), NO)
+write("orders", pa.table({
+    "o_orderkey": pa.array(range(NO), pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, NC, NO), pa.int64()),
+    "o_orderstatus": pa.array(np.array(STATUS)[rng.integers(0, 3, NO)]),
+    "o_totalprice": np.round(rng.uniform(900.0, 550000.0, NO), 2),
+    "o_orderdate": pa.array(odates.astype("datetime64[us]")),
+    "o_orderpriority": pa.array(np.array(PRIO)[rng.integers(0, 5, NO)])}))
+
+# --- lineitem (~4 lines per order) --------------------------------------
+NL = S(60000)
+lorder = np.sort(rng.integers(0, NO, NL)).astype(np.int64)
+lnum = np.ones(NL, np.int32)
+same = np.concatenate(([False], lorder[1:] == lorder[:-1]))
+for i in range(1, NL):  # linenumber restarts per order
+    if same[i]:
+        lnum[i] = lnum[i - 1] + 1
+qty = rng.integers(1, 51, NL).astype(np.float64)
+ship = (odates[lorder].astype("datetime64[D]") +
+        rng.integers(1, 122, NL)).astype("datetime64[us]")
+write("lineitem", pa.table({
+    "l_orderkey": pa.array(lorder),
+    "l_partkey": pa.array(rng.integers(0, NP, NL), pa.int64()),
+    "l_suppkey": pa.array(rng.integers(0, NS, NL), pa.int64()),
+    "l_linenumber": pa.array(lnum, pa.int32()),
+    "l_quantity": qty,
+    "l_extendedprice": np.round(qty * rng.uniform(901.0, 2100.0, NL), 2),
+    "l_discount": np.round(rng.integers(0, 11, NL) / 100.0, 2),
+    "l_tax": np.round(rng.integers(0, 9, NL) / 100.0, 2),
+    "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, NL)]),
+    "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, NL)]),
+    "l_shipdate": pa.array(ship)}))
+
+# --- events (Jan 2024, ts increasing with event_id, ~sf*100 users) ------
+NE = S(10000)
+NU = S(150)
+span_us = 30 * 86400 * 1_000_000
+gaps = rng.exponential(span_us / NE, NE)
+ets = (np.datetime64("2024-01-01T00:00:00", "us") +
+       np.minimum(np.cumsum(gaps), span_us - 1).astype(np.int64))
+ETYPES = ["click", "view", "purchase", "signup", "error"]
+write("events", pa.table({
+    "event_id": pa.array(range(NE), pa.int64()),
+    "ts": pa.array(ets),
+    "user_id": pa.array(rng.integers(0, NU, NE), pa.int64()),
+    "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, NE)]),
+    "value": np.round(rng.uniform(0.01, 500.0, NE), 2),
+    "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, NE)]}))
+
+# --- documents (word-salad text; a few planted exact dups) --------------
+ND = S(500)
+VOCAB = np.array(("key agg row scan slow fast table value part hash batch window "
+                  "spark order data column join small line customer query merge "
+                  "stream group big vector sort filter a the").split())
+LANGS = np.array(["en", "en", "en", "en", "fr", "de", "es", "zh"])
+lens = rng.integers(8, 100, ND)
+texts = [" ".join(VOCAB[rng.integers(0, len(VOCAB), n)]) for n in lens]
+for i in range(0, ND, 500):  # ~0.2% planted exact duplicates
+    if i + 1 < ND:
+        texts[i + 1] = texts[i]
+write("documents", pa.table({
+    "doc_id": pa.array(range(ND), pa.int64()),
+    "text": texts,
+    "lang": pa.array(LANGS[rng.integers(0, len(LANGS), ND)]),
+    "source": [f"src{i}" for i in rng.integers(0, 20, ND)],
+    "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+
+# --- embeddings (64-dim float32, 10 label clusters) ---------------------
+# driver scales embeddings sublinearly (500 @ sf0.01, 2000 @ sf0.1)
+NV = S(200) if SF >= 0.05 else S(500)
+labels = rng.integers(0, 10, NV)
+centers = rng.normal(0, 0.15, (10, 64))
+vecs = (centers[labels] + rng.normal(0, 0.08, (NV, 64))).astype(np.float32)
+write("embeddings", pa.table({
+    "vec_id": pa.array(range(NV), pa.int64()),
+    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32())}))
+
+print(f"done -> {OUT}")
