@@ -61,9 +61,108 @@ object AsOfJoin {
       leftTime: String, rightTime: String, maxLookback: Column): DataFrame =
     asOfImpl(left, right, keys, leftTime, rightTime, Some(maxLookback))
 
+  /** Skew-hardened as-of join: same semantics as [[asOf]], but the
+    * window runs per (key, time-bucket) instead of per key, so one
+    * pathologically hot key no longer lands its entire history on a
+    * single reducer — each reducer handles at most one bucket of it.
+    *
+    * `bucketWidth` is in the time column's long-cast units (seconds
+    * for timestamps): pick it so a hot key's densest bucket fits one
+    * executor comfortably (e.g. 1 day of a key that logs 1M rows/day).
+    *
+    * Mechanics (all equi-joins/windows, no inequality join):
+    *   1. per (key, bucket) reduce the right side to its LAST row —
+    *      partial-aggregated, one shuffle of |R|;
+    *   2. per key, over the TINY frame of bucket summaries plus the
+    *      left side's distinct buckets, a running `last` computes each
+    *      left bucket's carry-in: the latest right row from any
+    *      STRICTLY earlier bucket (summaries of the same bucket sort
+    *      after the marker, so in-bucket rights are excluded here —
+    *      they participate in step 3 directly). A hot key contributes
+    *      #buckets rows to this window, not #rows;
+    *   3. seed each (key, bucket) group with its carry-in as a
+    *      side=-1 row at the bucket's start instant, union the real
+    *      right (side=0) and left (side=1) rows, and run the [[asOf]]
+    *      window partitioned by (key, bucket).
+    *
+    * Determinism caveat matches [[asOf]]: ties on (key, time) within
+    * the right side carry an arbitrary winner — pre-aggregate the
+    * right side to one row per (key, time) when that matters.
+    */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, bucketWidth: Long,
+      maxLookback: Option[Column] = None): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val (l, r, _, leftPayload, unpack) =
+      prepare(left, right, keys, leftTime, rightTime, maxLookback)
+
+    val axis = left.schema(leftTime).dataType
+    // bucket start instant on the ORIGINAL axis: <= every row in the
+    // bucket (floor to whole units), so a side=-1 seed row there sorts
+    // before all of them without losing sub-unit time resolution
+    def bucketOf(t: Column): Column = floor(t.cast("long") / bucketWidth)
+    def bucketStart(b: Column): Column = axis match {
+      case _: org.apache.spark.sql.types.TimestampType =>
+        timestamp_seconds(b * bucketWidth)
+      case dt => (b * bucketWidth).cast(dt)
+    }
+
+    val rb = r.withColumn("__b", bucketOf(col("__t")))
+    val lb = l.withColumn("__b", bucketOf(col("__t")))
+
+    // 1. per-(key, bucket) last right row — max_by on (__t, __side)
+    //    isn't needed: within a bucket only right rows compete, so
+    //    max_by over __t with struct tiebreak on __rp is the same
+    //    arbitrary-tie contract as the plain window's `last`
+    val summaries = rb.groupBy((keys :+ "__b").map(col): _*)
+      .agg(max_by(col("__rp"), col("__t")).as("__rp"))
+
+    // 2. carry-in per left bucket: markers (side 0) vs summaries
+    //    (side 1) ordered by (__b, side) — a marker at bucket B sees
+    //    exactly the summaries with __b < B
+    val markers = lb.select((keys :+ "__b").map(col): _*).distinct()
+      .withColumn("__s", lit(0))
+      .withColumn("__sum", lit(null).cast(r.schema("__rp").dataType))
+    val sums = summaries.withColumn("__s", lit(1))
+      .withColumnRenamed("__rp", "__sum")
+    val carryW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__b"), col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = markers.unionByName(sums)
+      .withColumn("__carry", last(col("__sum"), ignoreNulls = true).over(carryW))
+      .where(col("__s") === 0 && col("__carry").isNotNull)
+      .select(keys.map(col) ++ Seq(col("__b"),
+        bucketStart(col("__b")).as("__t"), lit(-1).as("__side"),
+        col("__carry").as("__rp")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // 3. the asOf window, now partitioned by (key, bucket)
+    val w = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unpack(lb.unionByName(rb).unionByName(carries)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w)))
+  }
+
   private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       maxLookback: Option[Column]): DataFrame = {
+    val (l, r, _, _, unpack) =
+      prepare(left, right, keys, leftTime, rightTime, maxLookback)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unpack(l.unionByName(r)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w)))
+  }
+
+  /** Shared front/back half of both as-of shapes: validation, the
+    * tagged left/right projections, and the final unpack (filter to
+    * left rows, apply the lookback freshness mask, restore names).
+    */
+  private def prepare(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, maxLookback: Option[Column])
+      : (DataFrame, DataFrame, Seq[String], Seq[String], DataFrame => DataFrame) = {
     require(keys.nonEmpty, "asOf needs at least one key column")
     val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
@@ -75,7 +174,7 @@ object AsOfJoin {
     // reserved internals — catch them on EITHER side up front, or they
     // surface later as an opaque ambiguous-reference AnalysisException
     val reserved = (left.columns ++ right.columns).distinct
-      .intersect(Seq("__t", "__side", "__rp", "__rt"))
+      .intersect(Seq("__t", "__side", "__rp", "__rt", "__b", "__s", "__sum", "__carry"))
     require(reserved.isEmpty,
       s"column names reserved by asOf: ${reserved.mkString(", ")}")
 
@@ -94,18 +193,15 @@ object AsOfJoin {
         lit(null).cast(r.schema("__rp").dataType).as("__rp")) ++
         leftPayload.map(col): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fresh = maxLookback match {
       case Some(d) => col("__rp.__rt") >= col("__t") - d
       case None => lit(true)
     }
-    l.unionByName(r)
-      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
+    val unpack: DataFrame => DataFrame = df => df
       .where(col("__side") === 1)
       .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
         leftPayload.map(col) ++
         rightPayload.map(c => when(fresh, col(s"__rp.$c")).as(c)): _*)
+    (l, r, rightPayload, leftPayload, unpack)
   }
 }

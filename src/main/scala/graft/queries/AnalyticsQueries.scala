@@ -15,8 +15,21 @@ import graft.core.Tables
   * scaladoc); every FINAL decimal output column is cast to DOUBLE on
   * both sides — the driver's hasher renders decimals through a
   * shortest-repr float path, so fixed-scale decimals with trailing
-  * zeros ("123.40") never hash-match, while the IEEE-nearest double of
-  * the same exact decimal is identical in Spark and DuckDB.
+  * zeros ("123.40") never hash-match, while the double of the same
+  * exact decimal is identical in Spark and DuckDB.
+  *
+  * The ORACLE side of that cast must go through a VARCHAR round-trip
+  * (`CAST(CAST(x AS VARCHAR) AS DOUBLE)`): DuckDB's direct
+  * decimal→double multiplies the unscaled integer by 10^-scale in
+  * double arithmetic — one extra rounding — where Spark's
+  * BigDecimal-backed cast is correctly rounded. Invisible at sf0.1, a
+  * real 1-ulp hash mismatch at sf1 magnitudes (caught by the q1
+  * sum_charge column there, DECIMAL(38,6): direct ...278 vs correct
+  * ...274). DuckDB parses the exact decimal STRING to the
+  * correctly-rounded nearest double, matching Spark bit-for-bit; the
+  * wrap is applied to EVERY oracle `AS DOUBLE` cast uniformly — it is
+  * an identity when the input is already DOUBLE (shortest-repr
+  * round-trip) or integer (exact render, correct parse).
   *
   * Scale notes per query are in each def's scaladoc: these are the
   * plans whose shape must survive 100 TB (partial aggregation before
@@ -294,6 +307,27 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts", "purchase_value")
   }
 
+  /** The skew-hardened as-of join (one-day buckets): identical output
+    * to [[qAsofJoin]], checked against the same DuckDB ASOF oracle —
+    * proving the bucketed carry-in machinery end-to-end. Scale: the
+    * window partitions by (user, day), so one hot user's history
+    * spreads over its days instead of one reducer
+    * ([[graft.operators.AsOfJoin.asOfBucketed]]).
+    */
+  def qAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("SECOND", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      .withColumn("view_ts", col("ts"))
+    graft.operators.AsOfJoin.asOfBucketed(purchases, views, Seq("user_id"),
+        "ts", "ts", bucketWidth = 86400L)
+      .orderBy("user_id", "ts", "purchase_value")
+  }
+
   /** Range join: line items banded by quantity interval. The bands
     * derive from region (5 half-open [lo, hi) intervals covering
     * 1..50) so both engines see identical inputs. Scale: see
@@ -442,6 +476,7 @@ object AnalyticsQueries {
     "q_percentile" -> (qPercentile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_bucketed" -> (qAsofBucketed _),
     "q_range_join" -> (qRangeJoin _),
     "q_sketch_hll" -> (qSketchHll _),
     "q_window_range" -> (qWindowRange _),
@@ -454,10 +489,10 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -466,7 +501,7 @@ object AnalyticsQueries {
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -478,7 +513,7 @@ object AnalyticsQueries {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -496,21 +531,21 @@ object AnalyticsQueries {
         |  FROM events)
         |SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS rn,
-        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |  CAST(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running
         |FROM e ORDER BY user_id, rn""".stripMargin,
 
     "q_time_bucket" ->
       """SELECT time_bucket(INTERVAL '15 minutes',
         |         CAST(date_trunc('second', ts) AS TIMESTAMP)) AS bucket_start,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
@@ -525,7 +560,7 @@ object AnalyticsQueries {
 
     "q_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey,
-        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS price,
         |       CAST(rk AS BIGINT) AS rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rk FROM orders)
@@ -534,7 +569,7 @@ object AnalyticsQueries {
     "q_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "q_anti_join" ->
@@ -578,8 +613,8 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -603,6 +638,18 @@ object AnalyticsQueries {
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
 
+    // the bucketed form must produce EXACTLY the plain as-of answer
+    "q_asof_bucketed" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |                   event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS view_value FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts, p.purchase_value, v.view_value, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
+
     "q_asof_tolerance" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
         |                   event_type, value FROM events),
@@ -616,10 +663,10 @@ object AnalyticsQueries {
         |ORDER BY p.user_id, p.ts, p.purchase_value""".stripMargin,
 
     "q_range_join" ->
-      """WITH bands AS (SELECT r_name AS band, CAST(r_regionkey*10+1 AS DOUBLE) AS lo,
-        |                      CAST(r_regionkey*10+11 AS DOUBLE) AS hi FROM region)
+      """WITH bands AS (SELECT r_name AS band, CAST(CAST(r_regionkey*10+1 AS VARCHAR) AS DOUBLE) AS lo,
+        |                      CAST(CAST(r_regionkey*10+11 AS VARCHAR) AS DOUBLE) AS hi FROM region)
         |SELECT band, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
@@ -632,15 +679,15 @@ object AnalyticsQueries {
       """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
         |                  value FROM events)
         |SELECT user_id, ts_sec, value,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
         |    PARTITION BY user_id ORDER BY CAST(epoch(ts_sec) AS BIGINT)
-        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rolling_1h
         |FROM e ORDER BY user_id, ts_sec, value""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
@@ -662,15 +709,15 @@ object AnalyticsQueries {
         |                     time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
         |             AS w_start, ts, value FROM e)
         |SELECT w_start, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM m WHERE ts >= w_start AND ts < w_start + INTERVAL '30 minutes'
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     "q_interval_join" ->
-      """WITH a AS (SELECT r_name AS band, CAST(r_regionkey*10+1 AS DOUBLE) AS a_lo,
-        |                  CAST(r_regionkey*10+11 AS DOUBLE) AS a_hi FROM region),
-        |b AS (SELECT n_name AS nband, CAST(n_nationkey*4 AS DOUBLE) AS b_lo,
-        |             CAST(n_nationkey*4+6 AS DOUBLE) AS b_hi FROM nation)
+      """WITH a AS (SELECT r_name AS band, CAST(CAST(r_regionkey*10+1 AS VARCHAR) AS DOUBLE) AS a_lo,
+        |                  CAST(CAST(r_regionkey*10+11 AS VARCHAR) AS DOUBLE) AS a_hi FROM region),
+        |b AS (SELECT n_name AS nband, CAST(CAST(n_nationkey*4 AS VARCHAR) AS DOUBLE) AS b_lo,
+        |             CAST(CAST(n_nationkey*4+6 AS VARCHAR) AS DOUBLE) AS b_hi FROM nation)
         |SELECT band, nband FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
         |ORDER BY band, nband""".stripMargin)
 }

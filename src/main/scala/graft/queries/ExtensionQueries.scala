@@ -55,8 +55,8 @@ object ExtensionQueries {
   private val jaccardTailSql =
     """, jc AS (
       |  SELECT c.i, c.j,
-      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-      |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jac
+      |    CAST(CAST(len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) AS jac
       |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
       |SELECT i, j, round(jac, 6) AS jaccard FROM jc WHERE jac >= 0.7 ORDER BY i, j""".stripMargin
 
@@ -359,7 +359,7 @@ object ExtensionQueries {
     * Spark's aggregate(zip_with(...)): ((0+p1)+p2)+…).
     */
   private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    s"""list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
        |      list_transform(range(1, len($a) + 1),
        |        i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
 
@@ -369,7 +369,7 @@ object ExtensionQueries {
 
   private def bucketSql(v: String): String =
     (0 until 4).map { h =>
-      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
          |      list_transform(range(1, len($v) + 1),
          |        j -> $v[CAST(j AS INT)] * ${planeSql(h)})), (x, y) -> x + y) >= 0
          |  THEN ${1L << h} ELSE 0 END)""".stripMargin
@@ -377,7 +377,7 @@ object ExtensionQueries {
 
   private val embCte =
     """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS v
       |  FROM embeddings),
       |nn AS (
       |  SELECT vec_id, v,
@@ -417,21 +417,21 @@ object ExtensionQueries {
         |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
         |  CAST(t.n_distinct AS BIGINT) AS n_distinct,
         |  round(CASE WHEN t.n_tokens = 0 THEN 0
-        |        ELSE CAST(t.n_distinct AS DOUBLE) / t.n_tokens END, 6) AS distinct_ratio,
+        |        ELSE CAST(CAST(t.n_distinct AS VARCHAR) AS DOUBLE) / t.n_tokens END, 6) AS distinct_ratio,
         |  round(CASE WHEN t.n_tokens = 0 THEN 0
-        |        ELSE CAST(coalesce(m.top_n, 0) AS DOUBLE) / t.n_tokens END, 6) AS top_share
+        |        ELSE CAST(CAST(coalesce(m.top_n, 0) AS VARCHAR) AS DOUBLE) / t.n_tokens END, 6) AS top_share
         |FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-         |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-         |  round(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-         |  round(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+         |  round(CAST(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS VARCHAR) AS DOUBLE)
+         |        / CAST(CAST(length(text) AS VARCHAR) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
+         |        / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+         |        / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE), 6) AS avg_token_len
          |FROM tk ORDER BY doc_id""".stripMargin),
 
     "x_text_langid" -> {
@@ -510,8 +510,8 @@ object ExtensionQueries {
          |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
          |jc AS (
          |  SELECT c.i, c.j,
-         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jac
+         |    CAST(CAST(len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) /
+         |    CAST(CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) AS jac
          |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j),
          |p AS (SELECT i, j FROM jc WHERE jac >= 0.7),
          |eg AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
@@ -528,7 +528,7 @@ object ExtensionQueries {
         |corp AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh WHERE doc_id % 100 <> 0),
         |hits AS (SELECT doc_id, count(*) AS n_hit FROM corp JOIN bench USING (h) GROUP BY doc_id)
         |SELECT c.doc_id, CAST(c.n_sh AS BIGINT) AS n_sh, CAST(h.n_hit AS BIGINT) AS n_hit,
-        |  round(CAST(h.n_hit AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 6) AS contaminated_frac
+        |  round(CAST(CAST(h.n_hit AS VARCHAR) AS DOUBLE) / CAST(CAST(c.n_sh AS VARCHAR) AS DOUBLE), 6) AS contaminated_frac
         |FROM (SELECT DISTINCT doc_id, n_sh FROM corp) c JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
 
@@ -537,7 +537,7 @@ object ExtensionQueries {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
          |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v")} AS bucket FROM nn),
@@ -597,8 +597,8 @@ object ExtensionQueries {
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
         |  CAST(nb AS BIGINT) AS bpeish_tokens,
-        |  round(CAST(length(text) AS DOUBLE) /
-        |        CAST(greatest(nb, 1) AS DOUBLE), 6) AS chars_per_token
+        |  round(CAST(CAST(length(text) AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(greatest(nb, 1) AS VARCHAR) AS DOUBLE), 6) AS chars_per_token
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_meta" ->
@@ -642,7 +642,7 @@ object ExtensionQueries {
 
     "x_skew_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 

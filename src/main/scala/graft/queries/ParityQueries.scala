@@ -423,7 +423,7 @@ object ParityQueries {
 
     "t6_diff_route" -> (snapCte +
       """SELECT COALESCE(i.id, c.id) AS id, i.name AS name, i.seg AS seg,
-        |  CAST(i.bal AS DOUBLE) AS bal,
+        |  CAST(CAST(i.bal AS VARCHAR) AS DOUBLE) AS bal,
         |  CASE WHEN c.id IS NULL THEN 'insert'
         |       WHEN i.id IS NULL THEN 'absent'
         |       WHEN (i.name IS DISTINCT FROM c.name) OR (i.seg IS DISTINCT FROM c.seg)
@@ -454,16 +454,16 @@ object ParityQueries {
         |FROM t ORDER BY id""".stripMargin,
 
     "k1_insert_if_absent" -> (snapCte +
-      """SELECT id, name, seg, CAST(bal AS DOUBLE) AS bal FROM current
+      """SELECT id, name, seg, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS bal FROM current
         |UNION ALL
-        |SELECT i.id, i.name, i.seg, CAST(i.bal AS DOUBLE) AS bal FROM incoming i
+        |SELECT i.id, i.name, i.seg, CAST(CAST(i.bal AS VARCHAR) AS DOUBLE) AS bal FROM incoming i
         |WHERE NOT EXISTS (SELECT 1 FROM current c WHERE c.id = i.id)
         |ORDER BY id""".stripMargin),
 
     "k2_upsert" -> (snapCte +
-      """SELECT id, name, seg, CAST(bal AS DOUBLE) AS bal FROM incoming
+      """SELECT id, name, seg, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS bal FROM incoming
         |UNION ALL
-        |SELECT c.id, c.name, c.seg, CAST(c.bal AS DOUBLE) AS bal FROM current c
+        |SELECT c.id, c.name, c.seg, CAST(CAST(c.bal AS VARCHAR) AS DOUBLE) AS bal FROM current c
         |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.id = c.id)
         |ORDER BY id""".stripMargin),
 
@@ -480,7 +480,7 @@ object ParityQueries {
         |              ELSE o_orderpriority END AS address
         |  FROM orders)
         |SELECT i.id AS id, i.address,
-        |  CAST(CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_lat END AS DOUBLE) AS latitude,
+        |  CAST(CAST(CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_lat END AS VARCHAR) AS DOUBLE) AS latitude,
         |  CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN CAST(0 AS BIGINT) ELSE c.cur_attempts END AS geocoding_attempts,
         |  CASE WHEN c.cur_address IS DISTINCT FROM i.address THEN NULL ELSE c.cur_err END AS geocoding_error
         |FROM inc i JOIN cur c ON i.id = c.id
@@ -521,7 +521,7 @@ object ParityQueries {
 
     "s2_backfill_partitioned" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
         |  AND strftime(ts, '%Y-%m-%d') < '2024-01-12'

@@ -125,6 +125,57 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("asOfBucketed equals plain asOf across bucket widths (pseudo-random)") {
+    val left = (0 until 400).map { i =>
+      (i * 7919 % 13L, (i * 104729 % 500).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rightRows = (0 until 300).map { i =>
+      ((i * 6101 % 13).toLong, (i * 99991 % 500).toLong)
+    }.distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val right = rightRows.toDF("k", "t", "rv")
+    val expected = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // widths spanning every regime: 1 (one instant per bucket — every
+    // match crosses buckets via carry-in), mid, and wider than the
+    // whole time domain (degenerates to the plain single-window case)
+    for (width <- Seq(1L, 7L, 40L, 1000L)) {
+      val got = AsOfJoin.asOfBucketed(left, right, Seq("k"), "t", "t", width)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"bucketed(width=$width) diverged from plain asOf")
+    }
+  }
+
+  test("asOfBucketed: lookback mask and timestamp axis match the plain form") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val left = (0 until 200).map { i =>
+      (i * 7919 % 5L, ts((i * 104729 % 3000).toLong), i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = (0 until 150).map { i =>
+      ((i * 6101 % 5).toLong, (i * 99991 % 3000).toLong)
+    }.distinct.map { case (k, s) => (k, ts(s), s"v$k-$s") }.toDF("k", "t", "rv")
+    val look = expr("INTERVAL 600 SECONDS")
+    val expected = AsOfJoin.asOfWithin(left, right, Seq("k"), "t", "t", look)
+      .as[(Long, Timestamp, Long, String)].collect().toSet
+    val got = AsOfJoin.asOfBucketed(left, right, Seq("k"), "t", "t",
+        bucketWidth = 450L, maxLookback = Some(look))
+      .as[(Long, Timestamp, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("asOfBucketed: one hot key spreads across bucket partitions, same answer") {
+    // 5k rows on ONE key — the plain form puts all of them on a single
+    // reducer; the bucketed form must split them AND still agree
+    val left = (0 until 5000).map(i => (1L, i.toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = (0 until 500).map(i => (1L, i * 10L, s"r$i")).toDF("k", "t", "rv")
+    val expected = (0 until 5000).map { i =>
+      (1L, i.toLong, i.toLong, s"r${i / 10}")
+    }.toSet
+    val got = AsOfJoin.asOfBucketed(left, right, Seq("k"), "t", "t", 250L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("pointInInterval: half-open [lo, hi), bucket-crossing intervals, exact boundaries") {
     val points = Seq(0.0, 1.0, 9.999, 10.0, 15.0, 25.0, 30.0).map(Tuple1(_))
       .toDF("p")

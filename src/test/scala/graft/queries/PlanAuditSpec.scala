@@ -117,6 +117,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly two hash exchanges in as-of plan, got $hashExchanges:\n$p")
   }
 
+  test("bucketed as-of join: equi-only plan, bounded exchange count") {
+    val p = plan("q_asof_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed as-of must stay equi-only:\n$p")
+    // the skew trade buys per-(key, bucket) reducers at the cost of a
+    // fixed number of extra SMALL exchanges. Static plan shows 6: the
+    // ONE full-data exchange (main (key, bucket) window over the
+    // union), the right side's (user, ts) tie-break pre-agg appearing
+    // twice (identical subtree under the union and under the bucket
+    // summaries — ReuseExchange dedupes it at runtime), the bucket
+    // summary groupBy, the marker distinct, and the tiny per-key carry
+    // window. Pin the total so a regression that adds a shuffle of the
+    // big union fails here.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 6,
+      s"expected exactly six hash exchanges in bucketed as-of plan, got $hashExchanges:\n$p")
+  }
+
   test("range join buckets to an equi-join, no cross product") {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
