@@ -78,6 +78,41 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(e, InternalRow(UTF8String.fromString("the cat and the hat is in it")))
   }
 
+  test("RankedCentroidCells compiles, matches interpreted, and matches the Column form") {
+    import org.apache.spark.sql.functions._
+    val cents = Seq(Seq(1.0, 0.0, 0.5), Seq(-0.5, 1.0, 0.0), Seq(0.25, 0.25, 1.0))
+    val vecT = ArrayType(FloatType, containsNull = false)
+    val e = RankedCentroidCells(
+      BoundReference(0, vecT, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), cents)
+    val vec = ArrayData.toArrayData(Array(0.3f, -0.7f, 0.2f))
+    val nsq = 0.3 * 0.3 + 0.7 * 0.7 + 0.2 * 0.2
+    val compiled = GenerateUnsafeProjection.generate(Seq(e))
+    val got = compiled(InternalRow(vec, nsq)).getArray(0)
+    val want = e.eval(InternalRow(vec, nsq)).asInstanceOf[ArrayData]
+    assert(got.numElements() == 3 && want.numElements() == 3)
+    (0 until 3).foreach { i =>
+      assert(got.getStruct(i, 2).getDouble(0) == want.getStruct(i, 2).getDouble(0))
+      assert(got.getStruct(i, 2).getInt(1) == want.getStruct(i, 2).getInt(1))
+    }
+    // bit-identical to the literal-column composition it replaced
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    val centNorms = cents.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val df = Seq(Tuple1(Seq(0.3f, -0.7f, 0.2f))).toDF("v")
+      .withColumn("nsq", V.normSq(col("v")))
+    val legacy = df.withColumn("arr",
+      sort_array(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct((-V.cosinePrenormed(V.dot(col("v"), typedLit(cv)), col("nsq"),
+          lit(centNorms(i)))).as("ns"), lit(i).as("cell"))
+      }: _*))).select("arr").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val kernel = df.withColumn("arr",
+        RankedCentroidCells.ranked(col("v"), col("nsq"), cents))
+      .select("arr").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(kernel.map(r => (r.getDouble(0), r.getInt(1))) ==
+      legacy.map(r => (r.getDouble(0), r.getInt(1))))
+  }
+
   test("kernel query runs with codegen fallback disabled") {
     // End-to-end guard: with fallback off, any Janino failure in a real
     // plan aborts the query instead of silently interpreting.
