@@ -397,6 +397,92 @@ object AnalyticsQueries {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
 
+  /** PIVOT: returnflag rows × linestatus columns. The pivot values
+    * are pinned (`Seq("F","O")`) so the plan is a single partial-agg
+    * pass — an unpinned pivot pays an extra distinct-scan job to
+    * discover the column set, a real cost at 100 TB. The oracle
+    * expresses the same thing as conditional aggregation (the
+    * engine-portable form of PIVOT).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec("l_quantity")).cast("double"))
+      .select(col("l_returnflag"), col("F").as("f_qty"), col("O").as("o_qty"))
+      .orderBy("l_returnflag")
+
+  /** Ranking-function battery: rank / dense_rank / percent_rank /
+    * ntile / cume_dist over suppliers per nation. rank family ordering
+    * uses (acctbal DESC, suppkey) — the unique tie-break makes ntile
+    * deterministic (ntile over a tied order is partition-layout
+    * dependent on ANY engine). Scale: one hash exchange on the
+    * partition key, same as every window query here.
+    */
+  def qRankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(desc("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(s, dir).select(
+      col("s_nationkey"), col("s_suppkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** Explicit GROUPING SETS — a set rollup/cube can't express:
+    * ((rflag, lstatus), (lstatus)). Spark's Dataset API has no
+    * grouping-sets verb, so this goes through SQL (same Catalyst plan
+    * machinery as cube/rollup: expand + partial agg).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       l_linestatus AS lstatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(1) AS n
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  /** Uncorrelated scalar subquery: orders above 90% of the maximum
+    * price. The subquery result broadcasts (1 row); max is exact on
+    * DECIMAL, and the 0.9 multiply happens in double identically on
+    * both engines. Scale: one pass for max (partial agg), one pushed
+    * filterable pass for the probe — no shuffle beyond the 1-row agg.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cutoff = o.agg((max(dec("o_totalprice")).cast("double") * 0.9).as("__cut"))
+    o.join(broadcast(cutoff))
+      .where(col("o_totalprice").cast("double") > col("__cut"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+  }
+
+  /** first_value / last_value / nth_value with an explicit full-frame:
+    * the "compare each event to its user's first/latest/second" shape.
+    * Unique (ts, event_id) ordering keeps every value deterministic.
+    */
+  def qFirstLastWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("value"),
+      date_trunc("SECOND", col("ts")).as("ts_sec"))
+    val wRun = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select(col("event_id"), col("user_id"), col("value"),
+      first_value(col("value")).over(wRun).as("first_v"),
+      last_value(col("value")).over(wFull).as("last_v"),
+      nth_value(col("value"), 2).over(wRun).as("second_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Ordered string aggregation (LISTAGG): deterministic via
     * collect_set → array_sort → join, the distributed-safe form (an
     * unsorted collect_list depends on partition arrival order).
@@ -484,7 +570,12 @@ object AnalyticsQueries {
     "q_string_agg" -> (qStringAgg _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_window_sliding" -> (qWindowSliding _),
-    "q_interval_join" -> (qIntervalJoin _))
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_rank_funcs" -> (qRankFuncs _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_first_last_window" -> (qFirstLastWindow _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -719,5 +810,58 @@ object AnalyticsQueries {
         |b AS (SELECT n_name AS nband, CAST(CAST(n_nationkey*4 AS VARCHAR) AS DOUBLE) AS b_lo,
         |             CAST(CAST(n_nationkey*4+6 AS VARCHAR) AS DOUBLE) AS b_hi FROM nation)
         |SELECT band, nband FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
-        |ORDER BY band, nband""".stripMargin)
+        |ORDER BY band, nband""".stripMargin,
+
+    // conditional aggregation = the engine-portable PIVOT
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS f_qty,
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT s_nationkey, s_suppkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       l_linestatus AS lstatus,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |       count(1) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) * 0.9
+        |   FROM orders)""".stripMargin,
+
+    "q_first_last_window" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |                  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec
+        |           FROM events)
+        |SELECT event_id, user_id, value,
+        |  first_value(value) OVER wrun AS first_v,
+        |  last_value(value) OVER wfull AS last_v,
+        |  nth_value(value, 2) OVER wrun AS second_v
+        |FROM e
+        |WINDOW
+        |  wrun AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wfull AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin)
 }

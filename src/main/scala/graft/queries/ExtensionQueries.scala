@@ -388,7 +388,7 @@ object ExtensionQueries {
 
   private val embCte =
     """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS v
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |nn AS (
       |  SELECT vec_id, v,
@@ -548,7 +548,7 @@ object ExtensionQueries {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS v FROM e0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
          |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v", EmbDedupPlanes)} AS bucket FROM nn),
