@@ -64,46 +64,47 @@ object ExtensionQueries {
 
   // ---- text analysis ------------------------------------------------------
 
-  private def xTextStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = T.tokens(col("text"))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      T.tokenCount(col("text")).cast("long").as("n_tokens"),
-      round(T.punctCount(col("text")).cast("double") /
-        length(col("text")).cast("double"), 6).as("punct_ratio"),
-      round(T.dictHits(toks, T.EnWords).cast("double") /
-        size(toks).cast("double"), 6).as("stopword_ratio"),
-      round(aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
-        .cast("double") / size(toks).cast("double"), 6).as("avg_token_len"))
+  /** One fused [[graft.expressions.TokenStats]] pass per document —
+    * semantically identical to the Column/HOF composition it replaced
+    * (kept as the cross-check in `TextFunctionsSpec`), ~5× less
+    * per-doc overhead and still map-only.
+    */
+  private def xTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("__st", graft.expressions.TokenStats.stats(col("text"), T.EnWords))
+      .select(
+        col("doc_id"),
+        col("__st.n_chars").cast("long").as("n_chars"),
+        col("__st.n_tokens").cast("long").as("n_tokens"),
+        round(col("__st.n_punct").cast("double") /
+          col("__st.n_chars").cast("double"), 6).as("punct_ratio"),
+        round(col("__st.n_dict").cast("double") /
+          col("__st.n_tokens").cast("double"), 6).as("stopword_ratio"),
+        round(col("__st.tok_len_sum").cast("double") /
+          col("__st.n_tokens").cast("double"), 6).as("avg_token_len"))
       .orderBy("doc_id")
-  }
 
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
-    * and degenerate generations score low ratio / high share. One
-    * explode + two aggregations on doc_id; at corpus scale the explode
-    * is map-local and both aggs partial-combine.
+    * and degenerate generations score low ratio / high share. The
+    * per-doc token multiset is bounded by the document, so the fused
+    * [[graft.expressions.TokenStats]] fold computes both signals
+    * MAP-ONLY — this used to be an explode into (doc, token) rows plus
+    * two corpus-sized aggregations, a shuffle the kernel deletes.
     */
-  private def xTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-    val counts = base.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id").agg(max(col("n")).as("top_n"))
-    counts.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(when(col("n_tokens") === 0, 0.0)
-          .otherwise(col("n_distinct").cast("double") / col("n_tokens")), 6)
+  private def xTextRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("__st", graft.expressions.TokenStats.stats(col("text"), Nil))
+      .select(col("doc_id"),
+        col("__st.n_tokens").cast("long").as("n_tokens"),
+        col("__st.n_distinct").cast("long").as("n_distinct"),
+        round(when(col("__st.n_tokens") === 0, 0.0)
+          .otherwise(col("__st.n_distinct").cast("double") / col("__st.n_tokens").cast("long")), 6)
           .as("distinct_ratio"),
-        round(when(col("n_tokens") === 0, 0.0)
-          .otherwise(coalesce(col("top_n"), lit(0L)).cast("double") / col("n_tokens")), 6)
+        round(when(col("__st.n_tokens") === 0, 0.0)
+          .otherwise(col("__st.top_n").cast("long").cast("double") / col("__st.n_tokens").cast("long")), 6)
           .as("top_share"))
       .orderBy("doc_id")
-  }
 
   private def xTextLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

@@ -113,6 +113,51 @@ class KernelCodegenSpec extends SparkSpec {
       legacy.map(r => (r.getDouble(0), r.getInt(1))))
   }
 
+  test("TokenStats compiles, matches interpreted, and matches the HOF Column form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val dict = T.EnWords
+    val e = TokenStats(BoundReference(0, StringType, nullable = true), dict)
+    val samples = Seq(
+      "the quick, brown fox! the fox.",   // punct, repeats, dict hits
+      "",                                  // empty
+      "   ",                               // spaces only -> [] rule
+      " \tthe cat ",                       // tab survives the space-trim: leading empty token
+      "one",                               // single token
+      "a a a a b")                         // heavy repetition
+    samples.foreach { s =>
+      val row = InternalRow(UTF8String.fromString(s))
+      val compiled = GenerateUnsafeProjection.generate(Seq(e))(row).getStruct(0, 7)
+      val want = e.eval(row).asInstanceOf[InternalRow]
+      (0 until 7).foreach(i => assert(compiled.getInt(i) == want.getInt(i),
+        s"field $i for '$s'"))
+      // top_n against the obvious Scala reference
+      val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val expectTop = if (trimmed.isEmpty) 0
+        else trimmed.split("\\s+", -1).groupBy(identity).values.map(_.length).max
+      assert(want.getInt(6) == expectTop, s"top_n for '$s'")
+    }
+    // equivalence with the Column/HOF composition the kernel replaced
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val toks = T.tokens(col("text"))
+    val legacy = df.select(
+      length(col("text")).as("n_chars"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.punctCount(col("text")).as("n_punct"),
+      T.dictHits(toks, dict).as("n_dict"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+        .as("tok_len_sum"),
+      size(array_distinct(toks)).as("n_distinct")).collect().toSeq
+    val kernel = df.select(TokenStats.stats(col("text"), dict).as("st"))
+      .select("st.n_chars", "st.n_tokens", "st.n_punct", "st.n_dict",
+        "st.tok_len_sum", "st.n_distinct").collect().toSeq
+    kernel.zip(legacy).zip(samples).foreach { case ((k, l), s) =>
+      (0 until 6).foreach(i => assert(k.getInt(i) == l.getInt(i),
+        s"col $i for '$s': kernel=$k legacy=$l"))
+    }
+  }
+
   test("kernel query runs with codegen fallback disabled") {
     // End-to-end guard: with fallback off, any Janino failure in a real
     // plan aborts the query instead of silently interpreting.
