@@ -66,6 +66,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"hash-based assignment must be a pure map:\n$p")
   }
 
+  test("token repetition signals are map-only: the explode shuffle is gone") {
+    val p = plan("x_text_repetition")
+    // exactly one Exchange — the final ORDER BY's range partitioning;
+    // the TokenStats fold must not explode into a (doc, token) shuffle
+    val exchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"repetition signals must be one map pass:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+  }
+
+  test("pivot: two partial-agged exchanges, no value-discovery job") {
+    val p = plan("q_pivot")
+    // Spark's pivot contract: partial_sum per (group, pivot) -> exchange
+    // -> partial_pivotfirst per group -> exchange -> pivotfirst. Both
+    // exchanges carry at most groups x pivot-values rows after the
+    // map-side partials; pinned values mean no extra distinct scan.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected the two pivot exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_pivotfirst"),
+      s"pivot must partial-aggregate map-side at both levels:\n$p")
+  }
+
+  test("ranking battery shuffles once on the partition key") {
+    val p = plan("q_rank_funcs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$p")
+  }
+
+  test("grouping sets expand before a single partial-agg exchange") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan an Expand:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$p")
+  }
+
+  test("scalar subquery broadcasts its 1-row cutoff, probe side never shuffles") {
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("Broadcast"), s"cutoff must broadcast:\n$p")
+    // the big orders probe: filter + partial agg map-side; the only
+    // exchanges are the two 1-row aggregations' and the broadcast
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"probe side must not hash-shuffle full data:\n$p")
+  }
+
   test("documents scan prunes to the referenced columns (x_text_stats)") {
     val p = plan("x_text_stats")
     assert(p.contains("doc_id") && p.contains("text"),
