@@ -281,13 +281,29 @@ object Dedup {
       .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
   }
 
+  /** Plane count sized to the corpus: enough hyperplanes that the
+    * EXPECTED bucket occupancy stays near `targetBucketRows`, keeping
+    * the bucket join's Σ bucket² cost near-linear as n grows. A FIXED
+    * plane count is a scale bug: 4 planes = 16 buckets made the pair
+    * join quadratic at 20k clustered vectors (measured Σb² ≈ 36M
+    * pairs; 12 planes ≈ 2.4M). Clustered data concentrates buckets, so
+    * the default target is conservative; exact duplicates share every
+    * plane sign and are found under ANY plane count — only sub-1.0
+    * near-dup recall trades off as planes grow.
+    */
+  def planesFor(corpusRows: Long, targetBucketRows: Long = 64L): Int = {
+    require(targetBucketRows > 0)
+    val buckets = math.max(1.0, corpusRows.toDouble / targetBucketRows)
+    math.min(30, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Embedding near-dup pairs with hyperplane-LSH bucket prefiltering —
     * the scale path: the pair join is an equi-join on the bucket id,
     * so cost is Σ bucket² instead of n². Exact duplicates always share
     * a bucket; near-dups below cos 1.0 can straddle a plane and be
     * missed — that recall trade-off is inherent to LSH blocking and
     * tunable via nPlanes (fewer planes → bigger buckets → higher
-    * recall).
+    * recall; size with [[planesFor]] so the cost stays near-linear).
     */
   def embeddingDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {

@@ -25,6 +25,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g.toSeq == Seq((1L, 2L)))
   }
 
+  test("planesFor scales the bucket count with the corpus, clamped to [4,30]") {
+    assert(Dedup.planesFor(0L) == 4 && Dedup.planesFor(1000L) == 4)
+    assert(Dedup.planesFor(20000L) == 9)       // ~313 buckets of ~64
+    assert(Dedup.planesFor(20000L, 2000L) == 4)
+    assert(Dedup.planesFor(Long.MaxValue) == 30)
+    // monotone in corpus size
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L).map(Dedup.planesFor(_))
+    assert(ns == ns.sorted)
+    // exact duplicates co-bucket under any plane count: same vector ⇒
+    // same plane signs ⇒ same bucket — checked via the bucketed pair
+    // finder at an aggressive plane count
+    val e = (0L until 40L).map(i => (i, Seq.tabulate(8)(j => (i * 7 + j).toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val withDup = e.unionByName(
+      e.where($"vec_id" === 3L).select(($"vec_id" + 100).as("vec_id"), $"embedding"))
+    val pairs = Dedup.embeddingDupPairsBucketed(withDup, "vec_id", "embedding",
+      0.9999, nPlanes = 20, dim = 8).select($"i", $"j").as[(Long, Long)].collect()
+    assert(pairs.toSeq.contains((3L, 103L)), s"planted exact dup lost: ${pairs.toSeq}")
+  }
+
   test("minhash-LSH finds exact and near dups, not unrelated pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
