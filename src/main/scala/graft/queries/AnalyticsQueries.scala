@@ -483,6 +483,25 @@ object AnalyticsQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** CORRELATED scalar subquery — each order compared to its own
+    * customer's maximum. Catalyst decorrelates this into an aggregate
+    * + equi-join (verify with explain: no per-row re-execution, which
+    * is how a naive engine dies on this shape at scale); max on
+    * DECIMAL keeps the comparison exact.
+    */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_corr_orders")
+    s.sql(
+      """SELECT o.o_custkey, count(1) AS n_at_max,
+        |  CAST(max(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+        |FROM graft_corr_orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) =
+        |  (SELECT max(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |   FROM graft_corr_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin)
+  }
+
   /** Ordered string aggregation (LISTAGG): deterministic via
     * collect_set → array_sort → join, the distributed-safe form (an
     * unsorted collect_list depends on partition arrival order).
@@ -575,7 +594,8 @@ object AnalyticsQueries {
     "q_rank_funcs" -> (qRankFuncs _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
-    "q_first_last_window" -> (qFirstLastWindow _))
+    "q_first_last_window" -> (qFirstLastWindow _),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -863,5 +883,15 @@ object AnalyticsQueries {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  wfull AS (PARTITION BY user_id ORDER BY ts_sec, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o.o_custkey, count(1) AS n_at_max,
+        |  CAST(CAST(max(CAST(o.o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS max_price
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) =
+        |  (SELECT max(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin)
 }

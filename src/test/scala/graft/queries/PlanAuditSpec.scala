@@ -109,6 +109,16 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must not hash-shuffle full data:\n$p")
   }
 
+  test("correlated subquery decorrelates to an aggregate join, one key shuffle") {
+    val p = plan("q_correlated_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation failed — per-row subquery shape:\n$p")
+    // the subquery's per-customer max aggregates once; the probe join
+    // and the final group share the custkey partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected at most two custkey exchanges, got $exchanges:\n$p")
+  }
+
   test("documents scan prunes to the referenced columns (x_text_stats)") {
     val p = plan("x_text_stats")
     assert(p.contains("doc_id") && p.contains("text"),
