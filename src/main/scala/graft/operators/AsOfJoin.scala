@@ -88,6 +88,11 @@ object AsOfJoin {
     * Determinism caveat matches [[asOf]]: ties on (key, time) within
     * the right side carry an arbitrary winner — pre-aggregate the
     * right side to one row per (key, time) when that matters.
+    *
+    * Numeric-axis caveat: bucket assignment divides the long-cast time
+    * in double, so axis values must fit double precision (< 2^53 —
+    * epoch seconds/millis are fine; raw nanos are not. Timestamps cast
+    * to epoch SECONDS and are always safe).
     */
   def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, bucketWidth: Long,
