@@ -62,7 +62,14 @@ object Bench {
     // still land on the first timed run, by design. (AQE-replanned
     // stages may still generate novel classes at runtime — those few
     // compiles remain visible in raw_times.)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — dev-loop filter for profiling one
+    // kernel without paying the full sweep; the driver never sets it,
+    // so round artifacts always cover the whole surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (_, fn) =>
       try org.apache.spark.sql.execution.debug.codegenStringSeq(
         fn(spark, sfDir).queryExecution.executedPlan): Unit
       catch { case _: Throwable => () }
@@ -80,7 +87,7 @@ object Bench {
     def lowerMedian(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
     var failedCount = 0
     var failedTime = 0.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = selected.flatMap { case (name, fn) =>
       val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
       val bad = scala.collection.mutable.ArrayBuffer.empty[Double]
       val chron = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -134,12 +134,11 @@ object ExtensionQueries {
       .otherwise(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), decorated.as("t"))
+      .withColumn("__r", graft.expressions.PiiRedactStats.stats(col("t")))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("t"), lit(T.InlineEmailPattern), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("t"), lit(T.InlinePhonePattern), lit(0)))
-          .cast("long").as("n_phones"),
-        md5(T.redactPii(col("t"))).as("redacted_md5"))
+        col("__r.n_emails").cast("long").as("n_emails"),
+        col("__r.n_phones").cast("long").as("n_phones"),
+        md5(col("__r.redacted")).as("redacted_md5"))
       .orderBy("doc_id")
   }
 

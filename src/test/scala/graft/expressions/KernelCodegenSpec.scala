@@ -158,6 +158,48 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
+  test("PiiRedactStats compiles, matches interpreted, and matches the regex Column form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    // the kernel re-spells the patterns to avoid an import cycle; pin them
+    assert(PiiRedactStats.EmailRegex == T.InlineEmailPattern)
+    assert(PiiRedactStats.PhoneRegex == T.InlinePhonePattern)
+    val samples = Seq(
+      "no pii here at all",
+      "mail me at a.b+c@ex-ample.co.uk thanks",           // email only
+      "call +123456789 now",                              // phone only
+      "x@y.io then +12345678901 then z@w.dev",            // both, interleaved
+      "+12345678u@bc.de",                                 // email swallows the phone in the redaction
+      "+1234567 too short, +1234567890123456 too long",   // phone non-matches
+      "",                                                 // empty
+      "a@b.co a@b.co a@b.co")                             // repeats
+    val e = PiiRedactStats(BoundReference(0, StringType, nullable = true))
+    samples.foreach { s =>
+      val row = InternalRow(UTF8String.fromString(s))
+      val compiled = GenerateUnsafeProjection.generate(Seq(e))(row).getStruct(0, 3)
+      val want = e.eval(row).asInstanceOf[InternalRow]
+      assert(compiled.getInt(0) == want.getInt(0), s"n_emails for '$s'")
+      assert(compiled.getInt(1) == want.getInt(1), s"n_phones for '$s'")
+      assert(compiled.getUTF8String(2) == want.getUTF8String(2), s"redacted for '$s'")
+    }
+    // equivalence with the four-scan Column composition the kernel replaced
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val legacy = df.select(
+      size(regexp_extract_all(col("text"), lit(T.InlineEmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(T.InlinePhonePattern), lit(0)))
+        .as("n_phones"),
+      T.redactPii(col("text")).as("redacted")).collect().toSeq
+    val kernel = df.select(PiiRedactStats.stats(col("text")).as("r"))
+      .select("r.n_emails", "r.n_phones", "r.redacted").collect().toSeq
+    kernel.zip(legacy).zip(samples).foreach { case ((k, l), s) =>
+      assert(k.getInt(0) == l.getInt(0), s"n_emails for '$s'")
+      assert(k.getInt(1) == l.getInt(1), s"n_phones for '$s'")
+      assert(k.getString(2) == l.getString(2), s"redacted for '$s'")
+    }
+  }
+
   test("kernel query runs with codegen fallback disabled") {
     // End-to-end guard: with fallback off, any Janino failure in a real
     // plan aborts the query instead of silently interpreting.
