@@ -94,7 +94,12 @@ object RankedCentroidCells {
     while (i < k) {
       val c = cents(i)
       var acc = 0.0
-      val n = math.min(v.numElements(), c.length)
+      // a silent min() here would mis-rank malformed vectors (truncated
+      // dot product), where the Column form it replaced surfaced nulls;
+      // a dimension mismatch must fail loudly, not corrupt the ANN
+      require(v.numElements() == c.length,
+        s"vector dimension ${v.numElements()} != centroid dimension ${c.length}")
+      val n = c.length
       var j = 0
       while (j < n) {
         val xv = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)

@@ -64,10 +64,35 @@ object Multimodal {
   private object ImageIo {
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Decode-allocation cap: a payload is untrusted input, and a hostile
+      * or corrupt header declaring huge dimensions (a 10-byte GIF header
+      * can claim 65535×65535 → a ~17 GB raster) would make `r.read()`
+      * throw OutOfMemoryError — fatal, NOT caught by the NonFatal
+      * handler, killing the executor instead of degrading to the stub.
+      * 64 M pixels ≈ 256 MB ARGB, comfortably above any legitimate
+      * training-corpus image; larger claims fall back to the stub codec
+      * like any other undecodable payload.
+      */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** `r.read(i)` behind the pixel cap. Throws IllegalArgumentException
+      * (non-fatal → caught by [[withReader]] → stub fallback) instead of
+      * letting the JVM attempt the allocation.
+      */
+    def checkedRead(r: javax.imageio.ImageReader, i: Int): java.awt.image.BufferedImage = {
+      val px = r.getWidth(i).toLong * r.getHeight(i).toLong
+      require(px >= 0 && px <= MaxPixels,
+        s"image declares $px pixels, cap is $MaxPixels")
+      r.read(i)
+    }
+
     def withReader[T](payload: Array[Byte])(
         f: javax.imageio.ImageReader => T): Option[T] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // no stream SPI registered → null; without this guard the
+      // `finally iis.close()` NPE would escape the NonFatal catch
+      if (iis == null) return None
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -114,7 +139,7 @@ object Multimodal {
   object ImageIoTranscoder extends MediaTranscoder {
     override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       ImageIo.withReader(payload) { r =>
-        val src = r.read(0)
+        val src = ImageIo.checkedRead(r, 0)
         val dst = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()
@@ -133,7 +158,7 @@ object Multimodal {
         val n = r.getNumImages(true)
         // materialized inside withReader — the reader is disposed on exit,
         // so the frames must be read eagerly, not from a lazy iterator
-        (0 until n by everyN).map(i => (i, ImageIo.encodePng(r.read(i)))).toVector
+        (0 until n by everyN).map(i => (i, ImageIo.encodePng(ImageIo.checkedRead(r, i)))).toVector
       }.map(_.iterator).getOrElse(StubTranscoder.sampleFrames(payload, everyN))
   }
 

@@ -127,6 +127,26 @@ object LakeIngest {
       require(fs.delete(staging, true), // torn write from a crashed run
         s"could not discard torn staging for dt=$day")
 
+    // A COMMITTED staging with no manifest predates the manifest
+    // protocol (current code writes _FOLDED before _SUCCESS, so it can
+    // never produce this state). Its input provenance is unknown:
+    // finishing the swap can't know which batch dirs to delete (double
+    // count), and deleting it may destroy the only copy of rows whose
+    // inputs the legacy cleanup already removed. Quarantine it under a
+    // hidden name instead — invisible to [[read]] and to the fold
+    // listing — so compaction unwedges, nothing double-counts, and an
+    // operator can reconcile the quarantined copy offline.
+    if (fs.exists(staging) && !fs.exists(manifest)) {
+      val quarantine = Iterator.from(0)
+        .map(i => new Path(dayDir, s"_orphan_staging_$i"))
+        .find(p => !fs.exists(p)).get
+      require(fs.rename(staging, quarantine),
+        s"quarantine rename of manifest-less staging failed for dt=$day")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dt=$day: committed staging had no $FoldedManifest manifest " +
+          s"(pre-manifest writer); quarantined to $quarantine and refolding")
+    }
+
     if (!fs.exists(staging)) {
       val foldCeiling: Long => Boolean = checkpointDir match {
         case None => _ => true

@@ -209,6 +209,48 @@ class SaltingMultimodalSpec extends SparkSpec {
     assert(one.map(_.frame_idx).toSeq == Seq(0))
   }
 
+  test("hostile header declaring a huge raster degrades to the stub, not OOM") {
+    implicit val s = spark
+    // a syntactically valid 65535x65535 GIF89a header (~17 GB raster if
+    // decoded) followed by a minimal image descriptor; getWidth/getHeight
+    // report the declared dims, so only the pre-read pixel cap stands
+    // between this payload and an executor-killing OutOfMemoryError
+    val huge: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      bos.write(Array[Byte](-1, -1, -1, -1)) // logical screen 65535x65535
+      bos.write(Array[Byte](0x00, 0x00, 0x00)) // no GCT, bg, aspect
+      bos.write(0x2c) // image descriptor
+      bos.write(Array[Byte](0, 0, 0, 0, -1, -1, -1, -1, 0x00)) // 65535x65535 frame
+      bos.write(Array[Byte](0x02, 0x01, 0x00, 0x00)) // minimal LZW data
+      bos.write(0x3b) // trailer
+      bos.toByteArray
+    }
+    // sanity: ImageIO does claim this payload and reports the huge dims
+    val claimed = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(huge))
+      val it = javax.imageio.ImageIO.getImageReaders(iis)
+      val ok = it.hasNext && { val r = it.next(); r.setInput(iis)
+        val w = r.getWidth(0); r.dispose(); w == 65535 }
+      iis.close(); ok
+    }
+    assert(claimed, "test payload must be reader-claimed with declared 65535 width")
+    val rows = Seq(Multimodal.MediaRow(9L, huge)).toDS()
+    val resized = Multimodal.resizeBatch(rows, Multimodal.ImageIoTranscoder, 8, 6)
+      .collect().head
+    assert(resized.payload.sameElements(Multimodal.StubTranscoder.resize(huge, 8, 6)),
+      "capped decode must fall back to the stub resize")
+    val frames = Multimodal.sampleFramesBatch(rows, Multimodal.ImageIoTranscoder, 1)
+      .collect()
+    val stubFrames = Multimodal.StubTranscoder.sampleFrames(huge, 1).toSeq
+    assert(frames.length == stubFrames.length,
+      "capped frame sampling must fall back to the stub chunking")
+    // decode-only metadata never allocates the raster; real dims flow through
+    val meta = Multimodal.decodeBatch(rows, Multimodal.ImageIoDecoder).collect().head
+    assert(meta.width == 65535L && meta.height == 65535L)
+  }
+
   test("scraper_status watermark mirror: upsert advances date (K6)") {
     import java.sql.{DriverManager, Timestamp}
     import graft.sinks.{DerbyDialect, JdbcMergeWriter, MergeSpecs}

@@ -159,6 +159,39 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("LakeIngest compaction: manifest-less committed staging is quarantined, not wedged") {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("graft-ingest-orphan").toString
+    try {
+      def day(d: String) = Seq((1L, ts(s"$d 10:00:00"), "click", 1.0),
+        (2L, ts(s"$d 11:00:00"), "view", 2.0))
+        .toDF("event_id", "ts", "event_type", "value")
+      LakeIngest.writeBatch(day("2024-03-05"), lake, 0L)
+      // a pre-manifest-era commit: staged bytes + _SUCCESS, no _FOLDED
+      val dayDir = new java.io.File(s"$lake/dt=2024-03-05")
+      val staging = new java.io.File(dayDir, "batch=-2")
+      staging.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(staging, "junk").toPath, Array[Byte](1))
+      new java.io.File(staging, "_SUCCESS").createNewFile()
+      // must NOT throw (the wedge), and must refold the surviving input
+      LakeIngest.compactDay(spark, lake, "2024-03-05")
+      assert(LakeIngest.read(spark, lake)
+        .where(col("dt") === "2024-03-05").count() == 2)
+      val names = dayDir.listFiles().map(_.getName).toSet
+      assert(names.contains("batch=-1"), s"day must be compacted: $names")
+      assert(names.exists(_.startsWith("_orphan_staging_")),
+        s"legacy staging must be quarantined, not deleted: $names")
+      assert(!names.contains("batch=-2"), s"staging must be gone: $names")
+      // idempotent: a second pass neither throws nor disturbs quarantine
+      LakeIngest.compactDay(spark, lake, "2024-03-05")
+      assert(LakeIngest.read(spark, lake)
+        .where(col("dt") === "2024-03-05").count() == 2)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(lake)).deleteRecursively(): Unit
+    }
+  }
+
   test("LakeIngest compaction respects the checkpoint's committed high-water mark") {
     import org.apache.spark.sql.functions.col
     val lake = java.nio.file.Files.createTempDirectory("graft-ingest-hwm").toString

@@ -115,8 +115,13 @@ NE = S(10000)
 NU = S(150)
 span_us = 30 * 86400 * 1_000_000
 gaps = rng.exponential(span_us / NE, NE)
+# rescale (not clamp) the cumulative gaps onto the month: clamping piles
+# every overshooting tail event onto one identical microsecond (~50% of
+# seeds overshoot since the mean total equals the span), breaking the
+# "ts increasing with event_id" contract with a pileup at month end
+cum = np.cumsum(gaps)
 ets = (np.datetime64("2024-01-01T00:00:00", "us") +
-       np.minimum(np.cumsum(gaps), span_us - 1).astype(np.int64))
+       (cum / cum[-1] * (span_us - 1)).astype(np.int64))
 ETYPES = ["click", "view", "purchase", "signup", "error"]
 write("events", pa.table({
     "event_id": pa.array(range(NE), pa.int64()),
