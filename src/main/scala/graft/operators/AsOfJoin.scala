@@ -93,6 +93,16 @@ object AsOfJoin {
     * in double, so axis values must fit double precision (< 2^53 —
     * epoch seconds/millis are fine; raw nanos are not. Timestamps cast
     * to epoch SECONDS and are always safe).
+    *
+    * PRICE (measured, sf0.1–sf3 sweeps): on UNSKEWED data this form
+    * costs ~3–5× the plain [[asOf]] wall clock — e.g. 2.55 s vs 0.54 s
+    * at sf0.1 — because it makes three shuffled passes (bucket
+    * summaries, carry-in window, bucketed window) where [[asOf]] makes
+    * one. It exists for the hot-key case, where the plain form's
+    * single per-key reducer becomes the straggler; reach for it on
+    * evidence (a key with more rows than one executor comfortably
+    * sorts, ~5M), not defensively. [[pick]] encodes that decision rule
+    * and chooses the form from the data's own key histogram.
     */
   def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, bucketWidth: Long,
@@ -148,6 +158,69 @@ object AsOfJoin {
     unpack(lb.unionByName(rb).unionByName(carries)
       .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w)))
   }
+
+  /** The decision [[pick]] made, exposed so callers (and tests) can see
+    * WHY a form was chosen without re-deriving the histogram.
+    */
+  sealed trait Choice
+  case object Plain extends Choice
+  final case class Bucketed(bucketWidth: Long) extends Choice
+
+  /** Decision rule for [[pick]], as data: runs one counting job over
+    * the two sides' key projections (cheap — keys + time only, full
+    * map-side partial aggregation) and returns [[Plain]] unless some
+    * key's combined row count exceeds `hotKeyThreshold`, in which case
+    * [[Bucketed]] with a width sized so the hottest key's densest
+    * bucket carries roughly `hotKeyThreshold` rows.
+    *
+    * The default threshold is 5M rows: the point where a single
+    * reducer's sort of one key's history stops fitting comfortably in
+    * one task (~hundreds of MB at typical row widths). Uniform data
+    * stays on the single-exchange plain form — the 3–5× bucketed
+    * constant is only paid when the straggler it prevents would cost
+    * more.
+    */
+  def plan(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      hotKeyThreshold: Long = 5000000L): Choice = {
+    require(hotKeyThreshold > 0, "hotKeyThreshold must be positive")
+    val lk = left.select(keys.map(col) :+ col(leftTime).cast("long").as("__t"): _*)
+    val rk = right.select(keys.map(col) :+ col(rightTime).cast("long").as("__t"): _*)
+    val both = lk.unionByName(rk)
+    val stats = both.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min("__t").as("__lo"), max("__t").as("__hi"))
+      .agg(max("__n").as("maxPerKey"),
+        max_by(col("__hi") - col("__lo"), col("__n")).as("hotSpan"))
+    val row = stats.collect()(0)
+    if (row.isNullAt(0)) Plain // both sides empty
+    else {
+      val maxPerKey = row.getLong(0)
+      if (maxPerKey <= hotKeyThreshold) Plain
+      else {
+        val span = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val nBuckets = math.max(1L, (maxPerKey + hotKeyThreshold - 1) / hotKeyThreshold)
+        Bucketed(math.max(1L, span / nBuckets))
+      }
+    }
+  }
+
+  /** As-of join that chooses between [[asOf]] and [[asOfBucketed]] from
+    * the data's own key histogram (see [[plan]]): the plain
+    * single-exchange form on uniform keys, the skew-hardened bucketed
+    * form once one key's history would land >`hotKeyThreshold` rows on
+    * a single reducer. Costs one extra counting job over the key
+    * columns — amortize by calling [[plan]] once and reusing the
+    * choice when joining repeatedly against the same distribution.
+    */
+  def pick(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      maxLookback: Option[Column] = None,
+      hotKeyThreshold: Long = 5000000L): DataFrame =
+    plan(left, right, keys, leftTime, rightTime, hotKeyThreshold) match {
+      case Plain => asOfImpl(left, right, keys, leftTime, rightTime, maxLookback)
+      case Bucketed(w) =>
+        asOfBucketed(left, right, keys, leftTime, rightTime, w, maxLookback)
+    }
 
   private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,

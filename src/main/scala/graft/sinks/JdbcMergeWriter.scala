@@ -142,10 +142,20 @@ object JdbcMergeWriter {
     * partition with `it.toSeq`; at 100 TB a bridge partition doesn't
     * fit in executor heap.)
     */
+  /** The exact frame [[overwriteGroups]] streams: hash-partitioned AND
+    * sorted by the group key, so every group's rows are contiguous
+    * inside exactly one partition — the invariant that lets the writer
+    * run each group's DELETE once, on first sight, with O(BatchSize)
+    * memory. Exposed so PlanAuditSpec can pin the physical plan
+    * (exchange on the key + non-global sort) instead of trusting this
+    * comment.
+    */
+  private[graft] def groupedStream(df: DataFrame, groupCol: String): DataFrame =
+    df.repartition(col(groupCol)).sortWithinPartitions(col(groupCol))
+
   def overwriteGroups(df: DataFrame, table: String, groupCol: String,
       cols: Seq[String], dialect: SqlDialect, cf: ConnFactory): Unit = {
-    val repartitioned = df.repartition(col(groupCol))
-      .sortWithinPartitions(col(groupCol))
+    val repartitioned = groupedStream(df, groupCol)
     repartitioned.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val conn = cf()

@@ -176,6 +176,48 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pick: plain on uniform keys, bucketed on a hot key, same answer either way") {
+    // uniform: 13 keys x ~30 rows each, far under any threshold
+    val left = (0 until 400).map { i =>
+      (i * 7919 % 13L, (i * 104729 % 500).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rightRows = (0 until 300).map { i =>
+      ((i * 6101 % 13).toLong, (i * 99991 % 500).toLong)
+    }.distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val right = rightRows.toDF("k", "t", "rv")
+    assert(AsOfJoin.plan(left, right, Seq("k"), "t", "t") == AsOfJoin.Plain)
+
+    // hot key: key 0 carries 500 of the 530 right rows; threshold 100
+    // forces the bucketed form with a width that splits the hot span
+    val hotRight = ((0 until 500).map(i => (0L, i.toLong * 2, s"h$i")) ++
+      (0 until 30).map(i => (1L + i % 5, i.toLong * 7, s"c$i"))).toDF("k", "t", "rv")
+    val hotLeft = (0 until 200).map(i => (i % 6L, (i * 13 % 1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val choice = AsOfJoin.plan(hotLeft, hotRight, Seq("k"), "t", "t",
+      hotKeyThreshold = 100L)
+    choice match {
+      case AsOfJoin.Bucketed(w) =>
+        // hottest key spans ~1200 time units over ~600 rows; 6+ buckets
+        assert(w >= 1 && w <= 250, s"bucket width should split the hot span, got $w")
+      case other => fail(s"expected Bucketed on a hot key, got $other")
+    }
+    // the chosen form is semantics-preserving in both regimes
+    val expectUniform = AsOfJoin.asOf(left, right, Seq("k"), "t", "t")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val gotUniform = AsOfJoin.pick(left, right, Seq("k"), "t", "t")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(gotUniform == expectUniform)
+    val expectHot = AsOfJoin.asOf(hotLeft, hotRight, Seq("k"), "t", "t")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val gotHot = AsOfJoin.pick(hotLeft, hotRight, Seq("k"), "t", "t",
+      hotKeyThreshold = 100L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(gotHot == expectHot)
+    // empty inputs stay on the plain form instead of dividing by zero
+    assert(AsOfJoin.plan(left.limit(0), right.limit(0), Seq("k"), "t", "t")
+      == AsOfJoin.Plain)
+  }
+
   test("pointInInterval: half-open [lo, hi), bucket-crossing intervals, exact boundaries") {
     val points = Seq(0.0, 1.0, 9.999, 10.0, 15.0, 25.0, 30.0).map(Tuple1(_))
       .toDF("p")
