@@ -27,8 +27,16 @@ rng = np.random.default_rng(42)
 S = lambda n: int(round(n * SF * 100))  # tables ship sf*100 of the sf0.01 counts
 
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet")
-    print(f"{name}: {table.num_rows} rows")
+    # Spark parallelizes a parquet scan by ROW GROUP — a single-group
+    # file is read by one task no matter how many cores exist. pyarrow's
+    # 1M-row default left documents/embeddings as ONE group even at
+    # sf10 (500k docs), serializing every per-document kernel onto a
+    # single thread (measured: 31 idle cores, 4-5x "superlinear" text
+    # scaling that was really zero scan parallelism). Target ~64 groups
+    # per table, never smaller than 8k rows.
+    rg = max(8192, min(1_000_000, table.num_rows // 64))
+    pq.write_table(table, f"{OUT}/{name}.parquet", row_group_size=rg)
+    print(f"{name}: {table.num_rows} rows ({-(-table.num_rows // rg)} row groups)")
 
 # --- region / nation (fixed size at every sf) ---------------------------
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
