@@ -273,4 +273,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyToPartitions.values.forall(_ == 1),
       "a group key was split across partitions")
   }
+
+  test("multi-column distinct agg: per-column passes, no Expand blowup") {
+    // agg(countDistinct(a), countDistinct(b), countDistinct(c)) makes
+    // Catalyst Expand every input row 3×, interleaving three key
+    // domains in one partial-agg hash map — measured super-linear at
+    // sf10 (ratio 5.25 for 3.3× rows) once that map outgrew memory.
+    // The per-column formulation must keep Expand out of the plan and
+    // broadcast the tiny per-column results back together.
+    val p = plan("q_distinct_agg")
+    assert(!p.contains("Expand"),
+      s"multi-distinct fell back to the Expand rewrite:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"3-row per-column results should broadcast-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tiny result join degraded:\n$p")
+  }
 }
