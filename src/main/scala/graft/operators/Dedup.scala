@@ -297,6 +297,28 @@ object Dedup {
     math.min(30, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Plane count for CLUSTERED corpora. [[planesFor]] assumes every
+    * plane halves every bucket — true for directionally uniform
+    * vectors, false for real embedding corpora, where a random
+    * hyperplane only splits a cluster when it cuts the cluster's cone
+    * (probability ≈ angular radius / 90°). Measured on a 10-cluster
+    * corpus at 204k vectors: going 12 → 30 planes cut Σ bucket² by
+    * 2^5.6, i.e. ~0.31 effective splits per plane — a FIXED count
+    * sized by the uniform rule goes quadratic again one decade later
+    * (the sf10 sweep caught exactly that: 12 planes = 198M candidate
+    * pairs; 24 planes = 12.5M). The clustered rule divides the
+    * uniform count by the split efficiency; 0.5 is a conservative
+    * default for moderately tight clusters (measured 0.31 here, but
+    * recall decays as planes grow — oversizing costs recall, not
+    * correctness, so the default leans mid-range).
+    */
+  def planesForClustered(corpusRows: Long, targetBucketRows: Long = 64L,
+      splitEfficiency: Double = 0.5): Int = {
+    require(splitEfficiency > 0 && splitEfficiency <= 1)
+    val uniform = planesFor(corpusRows, targetBucketRows)
+    math.min(30, math.ceil(uniform / splitEfficiency).toInt)
+  }
+
   /** Embedding near-dup pairs with hyperplane-LSH bucket prefiltering —
     * the scale path: the pair join is an equi-join on the bucket id,
     * so cost is Σ bucket² instead of n². Exact duplicates always share

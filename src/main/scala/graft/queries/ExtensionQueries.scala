@@ -375,8 +375,17 @@ object ExtensionQueries {
     * Exact duplicates share every plane sign, so the planted dedup
     * signal is invariant to this knob; only sub-1.0 near-dup recall
     * trades off, and the oracle applies the identical prefilter.
+    *
+    * Pinned at `Dedup.planesForClustered(204k) = 24`, the CLUSTERED
+    * sizing rule, not the uniform one: on this 10-cluster corpus a
+    * random hyperplane splits a cluster with only ~0.31 probability,
+    * so the uniform-rule count (12 at sf10) left Σb² ≈ 198M candidate
+    * pairs — measured quadratic growth in the sf10 sweep; 24 planes
+    * measure Σb² ≈ 12.5M and restore near-linear cost. Pinned (not
+    * computed from a count job) because the DuckDB oracle SQL is
+    * static; library callers should size with planesForClustered.
     */
-  private val EmbDedupPlanes = 12
+  private val EmbDedupPlanes = 24
 
   private def bucketSql(v: String, nPlanes: Int = 4): String =
     (0 until nPlanes).map { h =>
