@@ -48,6 +48,20 @@ object GraftExtensions {
         case n: Int => WordShingleHashes(args.head, n)
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hashes: n must be an INT literal, got $other")
+      }),
+    ("graft_percentile_cm",
+      info("graft_percentile_cm",
+        "exact interpolated percentiles of a bounded-cardinality double column " +
+          "(primitive count-map aggregate); trailing args are percentage literals, " +
+          "returns array<double>"),
+      (args: Seq[Expression]) => {
+        val ps = args.tail.map(_.eval() match {
+          case d: Double => d
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_percentile_cm: percentages must be numeric literals, got $other")
+        })
+        CountMapPercentile(args.head, ps)
       }))
 
   /** Imperative registration on an existing session. */

@@ -269,18 +269,25 @@ object AnalyticsQueries {
         .cast("double").as("revenue"))
 
   /** Exact interpolated percentiles per group (the distribution-shape
-    * summary an OLAP user reaches for first). Scale: Spark's exact
-    * `percentile` keeps a per-group value buffer — fine for bounded
-    * domains like quantity (50 distinct); for unbounded heavy columns
-    * switch to `approx_percentile` (t-digest, mergeable partials).
-    * Both engines interpolate linearly at (n-1)*p, so doubles match.
+    * summary an OLAP user reaches for first), computed by
+    * [[graft.expressions.CountMapPercentile]]: ONE primitive count-map
+    * insert per row serves all three percentages, versus three
+    * separate `percentile` aggregates each paying a boxed
+    * `OpenHashMap[AnyRef, Long]` insert. Bounded-domain contract
+    * (quantity has 50 distinct values); for unbounded heavy columns
+    * switch to `percentile_approx` (GK summary, mergeable partials).
+    * Interpolation is linear at (n−1)·p — identical to Spark's
+    * `percentile` and DuckDB's `quantile_cont`, so doubles match.
     */
   def qPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
-        percentile(col("l_quantity"), lit(0.5)).as("p50"),
-        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .agg(graft.expressions.CountMapPercentile
+        .of(col("l_quantity"), Seq(0.25, 0.5, 0.75)).as("__ps"))
+      .select(col("l_returnflag"),
+        col("__ps").getItem(0).as("p25"),
+        col("__ps").getItem(1).as("p50"),
+        col("__ps").getItem(2).as("p75"))
       .orderBy("l_returnflag")
 
   /** As-of join: each purchase picks up the user's latest prior (or
@@ -527,18 +534,28 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
-  /** t-digest approximate quantile with a self-asserting bound: emits
-    * the EXACT interpolated median (oracle-checked value) plus a
-    * boolean that `approx_percentile`'s answer lies within ±1.5 of it
-    * (quantity domain is 1..50). At 100 TB the approx form is the
-    * point — mergeable constant-size partials versus the exact
-    * percentile's per-group value buffer.
+  /** Approximate quantile sketch with a self-asserting bound: emits
+    * the EXACT interpolated median (oracle-checked value, via the
+    * count-map kernel — itself a mergeable bounded-state sketch for
+    * this bounded domain) plus a boolean that `percentile_approx`'s
+    * answer lies within ±1.5 of it. At 100 TB the approx form is the
+    * point for UNBOUNDED domains — mergeable constant-size GK
+    * partials.
+    *
+    * The GK accuracy is DERIVED from the asserted band, not defaulted:
+    * accuracy 1000 bounds rank error to N/1000; the quantity domain's
+    * 50 values each hold ~2% of the mass, so the answer can shift at
+    * most one adjacent value (≤ 1.0 < the ±1.5 band). Measured at
+    * sf10: accuracy 10000 cost 4.3 s of per-row compress for precision
+    * the band never uses; 1000 costs 1.0 s for the same asserted
+    * guarantee.
     */
   def qSketchQuantile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__approx"))
+      .agg(graft.expressions.CountMapPercentile
+          .of(col("l_quantity"), Seq(0.5)).getItem(0).as("exact_p50"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__approx"))
       .select(col("l_returnflag"), col("exact_p50"),
         (abs(col("__approx") - col("exact_p50")) <= 1.5).as("within_band"))
       .orderBy("l_returnflag")
