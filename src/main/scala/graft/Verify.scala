@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // high-water initial shuffle width, AQE-coalesced to 64 MB
+      // targets — see GraftSession for the decade-sweep rationale
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       // µs int64 timestamps in the dump (not INT96) so the driver's
       // DuckDB/pyarrow compare sees the same logical type it computes.

@@ -21,6 +21,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", if (cores == "*") "32" else cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Self-sizing shuffles across scale decades: start every shuffle
+      // wide (256 partitions) and let AQE coalesce DOWN to the 64 MB
+      // advisory size. `shuffle.partitions` alone pins reduce-task
+      // state to data/32 — fine at sf0.1, but a 30× corpus then hands
+      // each task 30× the partial-agg/sort state and the decade sweep
+      // measured the resulting spill/GC cliff (a4_dedup_by_pk 9.3× for
+      // 3× data at sf30). AQE cannot SPLIT an under-partitioned
+      // non-skew shuffle, only merge an over-partitioned one — so the
+      // initial number must be the high-water mark.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

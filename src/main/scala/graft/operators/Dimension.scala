@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * enough for that to matter it is a fact table and persistent keys
   * must come from the store's sequence instead (SURVEY.md K4: never
   * `monotonically_increasing_id` for persistent keys — it is
-  * partition-dependent and collides across appends).
+  * partition-dependent and collides across appends). The contract is
+  * ENFORCED, not just documented: past `maxNew` new names the job
+  * fails with a pointer to store-assigned keys, instead of quietly
+  * funneling a fact table through one partition.
   */
 object Dimension {
 
@@ -27,17 +30,28 @@ object Dimension {
     *
     * @param dim      current dimension `(idCol, nameCol)`
     * @param incoming any DataFrame containing `nameCol`
+    * @param maxNew   cardinality guard on the single-partition id
+    *                 assignment: exceeding it throws at execution time
     */
   def getOrCreate(dim: DataFrame, incoming: DataFrame,
-      idCol: String, nameCol: String): DataFrame = {
+      idCol: String, nameCol: String, maxNew: Int = 1000000): DataFrame = {
     val newNames = incoming.select(nameCol).where(col(nameCol).isNotNull)
       .distinct()
       .join(dim, Seq(nameCol), "left_anti")
     val maxId = dim.agg(coalesce(max(col(idCol)), lit(0)).as("__max_id"))
+    // The guard is fused into the id expression (not a standalone
+    // check column) so column pruning can never drop it; it costs one
+    // comparison per NEW row and only in the violating case evaluates
+    // raise_error.
+    val guardedRn = when(col("__rn") <= lit(maxNew), col("__rn"))
+      .otherwise(raise_error(lit(
+        s"Dimension.getOrCreate: more than $maxNew new names - a 'dimension' " +
+          "at this cardinality is a fact table; use store-assigned keys " +
+          "(or raise maxNew deliberately)")))
     val created = newNames
       .withColumn("__rn", row_number().over(Window.orderBy(nameCol)))
       .crossJoin(maxId) // 1-row broadcast, not a real cross product
-      .select((col("__max_id") + col("__rn")).cast("int").as(idCol), col(nameCol))
+      .select((col("__max_id") + guardedRn).cast("int").as(idCol), col(nameCol))
     dim.select(col(idCol).cast("int"), col(nameCol)).unionByName(created)
   }
 }

@@ -25,6 +25,21 @@ class OperatorSpecs extends SparkSpec {
     assert(again.as[(Int, String)].collect().toMap == m)
   }
 
+  test("dimension get-or-create: cardinality contract enforced, not just documented") {
+    val dim = Seq((1, "Existing Type")).toDF("type_id", "type_name")
+    val wide = (1 to 10).map(i => s"t$i").toDF("type_name")
+    // under the cap: fine (guard costs one comparison per new row)
+    assert(Dimension.getOrCreate(dim, wide, "type_id", "type_name", maxNew = 10)
+      .count() == 11)
+    // past the cap: the single-partition id assignment fails loudly
+    val ex = intercept[Exception] {
+      Dimension.getOrCreate(dim, wide, "type_id", "type_name", maxNew = 9).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("store-assigned keys")))
+  }
+
   test("bridge resolve: unmatched shortname yields NULL executor_id, kept by LEFT join (J1)") {
     val tasks = Seq((101L, Seq("E1", "Ghost")), (102L, Seq.empty[String]))
       .toDF("task_id", "executors")
