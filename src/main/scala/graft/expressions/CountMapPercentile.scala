@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
 /** Exact interpolated percentiles over a bounded-cardinality numeric
   * column, via a primitive open-addressing count map.
   *
-  * Same linear-interpolation semantics as Spark's `percentile` (and
-  * DuckDB's `quantile_cont`): position `(N−1)·p` over the sorted
-  * multiset, interpolating between adjacent order statistics. Nulls
-  * ignored; empty input → null.
+  * Same linear-interpolation semantics as DuckDB's `quantile_cont`
+  * (the oracle this engine hash-matches against): position `(N−1)·p`
+  * over the sorted multiset, interpolated in the lerp form
+  * `vlo + frac·(vhi−vlo)`. Spark's exact `percentile` computes the
+  * algebraically-equal two-term form `(hi−pos)·vlo + (pos−lo)·vhi`,
+  * which can differ by 1 ulp on non-dyadic values — so agreement with
+  * Spark is exact on dyadic inputs and within 1 ulp in general (pinned
+  * in `CountMapPercentileSpec`). Nulls ignored; empty input → null.
   *
   * Why a kernel: Spark's exact `Percentile` keeps its counts in an
   * `OpenHashMap[AnyRef, Long]` — every row boxes the value and hashes

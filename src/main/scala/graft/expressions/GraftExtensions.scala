@@ -57,6 +57,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val ps = args.tail.map(_.eval() match {
           case d: Double => d
+          case f: Float => f.toDouble
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case s: Short => s.toDouble
+          case b: Byte => b.toDouble
           case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
           case other => throw new IllegalArgumentException(
             s"graft_percentile_cm: percentages must be numeric literals, got $other")

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   * must come from the store's sequence instead (SURVEY.md K4: never
   * `monotonically_increasing_id` for persistent keys — it is
   * partition-dependent and collides across appends). The contract is
-  * ENFORCED, not just documented: past `maxNew` new names the job
+  * ENFORCED, not just documented: past `maxNew` new names the call
   * fails with a pointer to store-assigned keys, instead of quietly
   * funneling a fact table through one partition.
+  *
+  * The guard is an EAGER count at call time, not an expression in the
+  * returned plan. A projected `raise_error` is column-pruned together
+  * with the id column it protects (e.g. a count-only action needs no
+  * columns, so the projection — and the guard — never evaluate;
+  * Spark 4.1.2's `RaiseError` is deterministic and unprotected from
+  * pruning). The eager form is one tiny aggregate over a set that is
+  * dimension-sized by contract, and holds for every action shape.
   */
 object Dimension {
 
@@ -31,27 +39,25 @@ object Dimension {
     * @param dim      current dimension `(idCol, nameCol)`
     * @param incoming any DataFrame containing `nameCol`
     * @param maxNew   cardinality guard on the single-partition id
-    *                 assignment: exceeding it throws at execution time
+    *                 assignment: exceeding it throws at CALL time
+    *                 (eager count; see class doc for why not a plan
+    *                 expression)
     */
   def getOrCreate(dim: DataFrame, incoming: DataFrame,
       idCol: String, nameCol: String, maxNew: Int = 1000000): DataFrame = {
     val newNames = incoming.select(nameCol).where(col(nameCol).isNotNull)
       .distinct()
       .join(dim, Seq(nameCol), "left_anti")
+    val nNew = newNames.count()
+    if (nNew > maxNew) throw new IllegalStateException(
+      s"Dimension.getOrCreate: $nNew new names exceeds maxNew=$maxNew - a " +
+        "'dimension' at this cardinality is a fact table; use store-assigned " +
+        "keys (or raise maxNew deliberately)")
     val maxId = dim.agg(coalesce(max(col(idCol)), lit(0)).as("__max_id"))
-    // The guard is fused into the id expression (not a standalone
-    // check column) so column pruning can never drop it; it costs one
-    // comparison per NEW row and only in the violating case evaluates
-    // raise_error.
-    val guardedRn = when(col("__rn") <= lit(maxNew), col("__rn"))
-      .otherwise(raise_error(lit(
-        s"Dimension.getOrCreate: more than $maxNew new names - a 'dimension' " +
-          "at this cardinality is a fact table; use store-assigned keys " +
-          "(or raise maxNew deliberately)")))
     val created = newNames
       .withColumn("__rn", row_number().over(Window.orderBy(nameCol)))
       .crossJoin(maxId) // 1-row broadcast, not a real cross product
-      .select((col("__max_id") + guardedRn).cast("int").as(idCol), col(nameCol))
+      .select((col("__max_id") + col("__rn")).cast("int").as(idCol), col(nameCol))
     dim.select(col(idCol).cast("int"), col(nameCol)).unionByName(created)
   }
 }

@@ -225,15 +225,21 @@ object AnalyticsQueries {
     * once the fused hash map outgrew memory. Per-column passes keep
     * partial state bounded by one domain, each scan prunes to two
     * parquet columns, and the 3-row join sides broadcast. Same exact
-    * results; sf10 wall 16.8 s → ~5 s.
+    * results; sf10 wall 16.8 s → ~5 s. The per-column frames re-join
+    * on a NULL-SAFE key (`<=>`, still an equi-join key for Catalyst)
+    * so a NULL group — which a single multi-distinct agg would keep —
+    * survives the rewrite too; plain equality would silently drop it.
     */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     def one(c: String, as: String): DataFrame =
       li.groupBy("l_linestatus").agg(countDistinct(col(c)).as(as))
-    one("l_suppkey", "n_supp")
-      .join(one("l_partkey", "n_part"), Seq("l_linestatus"))
-      .join(one("l_orderkey", "n_orders"), Seq("l_linestatus"))
+    val supp = one("l_suppkey", "n_supp")
+    val part = one("l_partkey", "n_part").withColumnRenamed("l_linestatus", "__ls_p")
+    val ord = one("l_orderkey", "n_orders").withColumnRenamed("l_linestatus", "__ls_o")
+    supp.join(part, col("l_linestatus") <=> col("__ls_p"))
+      .join(ord, col("l_linestatus") <=> col("__ls_o"))
+      .select(col("l_linestatus"), col("n_supp"), col("n_part"), col("n_orders"))
       .orderBy("l_linestatus")
   }
 

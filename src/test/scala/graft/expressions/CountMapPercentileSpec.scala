@@ -5,28 +5,36 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** CountMapPercentile must agree bit-for-bit with Spark's exact
-  * `percentile` (the oracle-checked form) on every shape: ties, single
-  * values, nulls, empty groups, multiple percentages, negative and
-  * fractional values, partial-merge across partitions.
+/** CountMapPercentile uses DuckDB's lerp interpolation
+  * (`vlo + frac·(vhi−vlo)` — the oracle-hash-matched form); Spark's
+  * exact `percentile` computes the algebraically-equal two-term form,
+  * which can differ by 1 ulp on non-dyadic values. So: bit-for-bit vs
+  * Spark on dyadic inputs (every `compare` call below uses eighths /
+  * quarters / integers), ≤1 ulp on non-dyadic (own test), across every
+  * shape: ties, single values, nulls, empty groups, multiple
+  * percentages, negatives, partial-merge across partitions.
   */
 class CountMapPercentileSpec extends SparkSpec {
   import spark.implicits._
 
   private val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
 
-  private def compare(df: org.apache.spark.sql.DataFrame, col0: String): Unit = {
+  private def sparkVsKernel(df: org.apache.spark.sql.DataFrame,
+      col0: String): Seq[(Double, Double)] = {
     val got = df.agg(CountMapPercentile.of(col(col0), ps).as("a"))
       .head.getSeq[Double](0)
     val want = df.agg(percentile(col(col0).cast("double"),
         typedLit(ps.toArray)).as("p"))
       .head.getSeq[Double](0)
     assert(got.size == want.size)
-    got.zip(want).foreach { case (g, w) =>
-      assert(java.lang.Double.doubleToLongBits(g) ==
-        java.lang.Double.doubleToLongBits(w), s"got $got want $want")
-    }
+    got.zip(want)
   }
+
+  private def compare(df: org.apache.spark.sql.DataFrame, col0: String): Unit =
+    sparkVsKernel(df, col0).foreach { case (g, w) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(w), s"got $g want $w")
+    }
 
   test("matches Spark percentile on a tied low-cardinality domain") {
     compare((1 to 5000).map(i => (i % 50 + 1).toDouble).toDF("v"), "v")
@@ -35,6 +43,17 @@ class CountMapPercentileSpec extends SparkSpec {
   test("matches Spark percentile on fractional and negative values") {
     val r = new scala.util.Random(7)
     compare(Seq.fill(2000)((r.nextInt(40) - 20) / 8.0).toDF("v"), "v")
+  }
+
+  test("non-dyadic values: within 1 ulp of Spark's two-term form") {
+    // 0.1 steps are not exact binary fractions — the lerp and two-term
+    // interpolations may legitimately differ in the last bit here.
+    val df = (1 to 3000).map(i => (i % 37) * 0.1).toDF("v")
+    sparkVsKernel(df, "v").foreach { case (g, w) =>
+      val ulps = math.abs(java.lang.Double.doubleToLongBits(g) -
+        java.lang.Double.doubleToLongBits(w))
+      assert(ulps <= 1L, s"got $g want $w ($ulps ulps apart)")
+    }
   }
 
   test("matches on a single distinct value and a single row") {
@@ -84,6 +103,11 @@ class CountMapPercentileSpec extends SparkSpec {
       "SELECT graft_percentile_cm(v, 0.5, 1.0) AS p FROM cmp_t")
       .head.getSeq[Double](0)
     assert(got == Seq(2.5, 4.0))
+    // integer literals are valid percentages too (0 and 1 bound the range)
+    val ints = spark.sql(
+      "SELECT graft_percentile_cm(v, 0, 1) AS p FROM cmp_t")
+      .head.getSeq[Double](0)
+    assert(ints == Seq(1.0, 4.0))
   }
 
   test("serde round-trips the buffer exactly") {

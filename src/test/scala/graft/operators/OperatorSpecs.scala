@@ -28,16 +28,22 @@ class OperatorSpecs extends SparkSpec {
   test("dimension get-or-create: cardinality contract enforced, not just documented") {
     val dim = Seq((1, "Existing Type")).toDF("type_id", "type_name")
     val wide = (1 to 10).map(i => s"t$i").toDF("type_name")
-    // under the cap: fine (guard costs one comparison per new row)
+    // under the cap: fine (one tiny eager count over the new-name set)
     assert(Dimension.getOrCreate(dim, wide, "type_id", "type_name", maxNew = 10)
       .count() == 11)
-    // past the cap: the single-partition id assignment fails loudly
+    // past the cap, count-only action — the shape that proved a projected
+    // raise_error guard gets column-pruned (r5 defect): must still throw
     val ex = intercept[Exception] {
       Dimension.getOrCreate(dim, wide, "type_id", "type_name", maxNew = 9).count()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("store-assigned keys")))
+    // stronger: the eager guard fires at call time, before ANY action
+    val ex2 = intercept[Exception] {
+      Dimension.getOrCreate(dim, wide, "type_id", "type_name", maxNew = 9)
+    }
+    assert(msgs(ex2).exists(_.contains("store-assigned keys")))
   }
 
   test("bridge resolve: unmatched shortname yields NULL executor_id, kept by LEFT join (J1)") {
