@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
@@ -171,16 +172,44 @@ object Dedup {
   }
 
   /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are
-    * pairs sharing ≥1 distinct n-gram — an inverted-index equi-join.
-    * Selective for n ≥ 5 on natural text; for tiny vocabularies use
-    * [[minhashDupPairs]] whose banding keeps buckets bounded.
+    * pairs sharing ≥1 indexed n-gram — an inverted-index equi-join —
+    * then exact Jaccard verification. Same thresholded output as the
+    * naive all-shared-shingles index.
+    *
+    * The index holds only each document's PREFIX: the first
+    * `|S| − ⌈t·|S|⌉ + 1` shingles under a global (document-frequency
+    * asc, hash asc) order — prefix filtering from Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search" (WWW 2007).
+    * Any pair with Jaccard ≥ t shares ≥ t·max(|x|,|y|) shingles, more
+    * than either suffix holds, so two disjoint prefixes would leave
+    * too few common positions — candidate completeness is guaranteed.
+    * Ordering by ASCENDING document frequency puts boilerplate
+    * shingles (the hot inverted-index buckets, whose self-join emits
+    * |bucket|² pairs) at the END of every document, outside almost
+    * every prefix: the sf30 sweep measured the unfiltered index going
+    * quadratic in shuffle/spill exactly there. Cost: one DF aggregate
+    * and a per-doc rank window; both shuffles are linear in corpus
+    * size and buy a superlinear candidate reduction.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.7): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, n)
-    // inverted index over the hashed shingles: 8-byte join keys
-    val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
-    val cand = sh.as("a").join(sh.as("b"),
+    val sh = sets.select(col("__sid"), size(col("__set")).as("__sz"),
+      explode(col("__set")).as("__h"))
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
+    // ceil(t·|S|) with a downward epsilon: double rounding may only
+    // LENGTHEN the prefix (more candidates), never shorten it.
+    val prefixLen = col("__sz") -
+      ceil(lit(threshold) * col("__sz") - lit(1e-6)).cast("int") + lit(1)
+    val prefix = sh.join(dfreq, Seq("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= prefixLen)
+      // df=1 shingles occupy prefix positions (rank BEFORE this filter)
+      // but can never produce a pair — drop them from the index
+      .where(col("__df") >= 2)
+      .select(col("__sid"), col("__h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))
       .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
       .distinct()
