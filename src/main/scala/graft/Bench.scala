@@ -46,6 +46,11 @@ object Bench {
       // high-water initial shuffle width, AQE-coalesced to 64 MB
       // targets — see GraftSession for the decade-sweep rationale
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // without this, persisted plans materialize at the full initial
+      // width (cached plans bypass AQE coalescing) — 256 near-empty
+      // cached partitions tax every downstream stage at small corpora;
+      // measured 2× on the dedup pipelines at sf0.1 (see GraftSession)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,8 @@ object Verify {
       // high-water initial shuffle width, AQE-coalesced to 64 MB
       // targets — see GraftSession for the decade-sweep rationale
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // cached plans coalesce with AQE too (see GraftSession)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // µs int64 timestamps in the dump (not INT96) so the driver's
       // DuckDB/pyarrow compare sees the same logical type it computes.

