@@ -187,43 +187,69 @@ object Dedup {
     * shingles (the hot inverted-index buckets, whose self-join emits
     * |bucket|² pairs) at the END of every document, outside almost
     * every prefix: the sf30 sweep measured the unfiltered index going
-    * quadratic in shuffle/spill exactly there. Cost: one DF aggregate
-    * and a per-doc rank window; both shuffles are linear in corpus
-    * size and buy a superlinear candidate reduction. Below
-    * `prefixFilterFloor` documents the filter is skipped — at tiny
-    * corpora its fixed shuffle cost exceeds any possible hot-bucket
-    * cost (measured +60% at 5k docs), and the unfiltered index is
-    * provably bounded there.
+    * quadratic in shuffle/spill exactly there.
+    *
+    * Cost: the global order is (is-hot, hash) rather than full
+    * df-rank — one compact document-frequency aggregate finds the few
+    * shingles hotter than √n (boilerplate is a SHORT list by nature),
+    * broadcast as a literal; the per-doc prefix is then a map-side
+    * `slice(concat(array_except, array_intersect))` over the already-
+    * sorted shingle array. No per-shingle join, no rank window —
+    * the only extra shuffle is the df aggregate (partial-agged
+    * hashes). Any fixed total order gives the Bayardo guarantee;
+    * this one both excludes hot shingles from almost every prefix
+    * and keeps a pure-boilerplate document indexable (its prefix
+    * then holds hot shingles — required for completeness: pairs of
+    * such documents are genuine near-dups and their cost is output
+    * cost). If the hot list overflows its broadcast cap (pathological
+    * tiny-vocabulary corpus), the exact df-rank window path runs
+    * instead — slower, still linear shuffles.
+    *
+    * Below `prefixFilterFloor` documents the filter is skipped
+    * entirely — at tiny corpora even its fixed cost exceeds any
+    * possible hot-bucket cost (measured +60% at 5k docs), and the
+    * unfiltered index is provably bounded there. The operator is
+    * already eager (materializeAndRelease), so the count/collect
+    * jobs add no new barrier.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.7,
-      prefixFilterFloor: Long = 20000L): DataFrame = {
+      prefixFilterFloor: Long = 20000L, hotBroadcastCap: Int = 512): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, n)
-    val sh = sets.select(col("__sid"), size(col("__set")).as("__sz"),
-      explode(col("__set")).as("__h"))
-    // Small-corpus floor: the prefix filter's two extra linear shuffles
-    // (document-frequency count + per-doc rank window) are pure fixed
-    // overhead while the corpus is small enough that even a worst-case
-    // hot bucket stays cheap — measured +60% wall at 5k docs, break-even
-    // by ~50k. The operator is already eager (materializeAndRelease),
-    // so the count job costs a metadata-cheap scan, not a new barrier.
+    // ceil(t·|S|) with a downward epsilon: double rounding may only
+    // LENGTHEN the prefix (more candidates), never shorten it.
+    def prefixLen(sz: Column): Column =
+      (sz - ceil(lit(threshold) * sz - lit(1e-6)) + lit(1)).cast("int")
+    val nDocs = docs.count()
     val index =
-      if (docs.count() < prefixFilterFloor)
+      if (nDocs < prefixFilterFloor)
         sets.select(col("__sid"), explode(col("__set")).as("__h"))
       else {
-        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-        val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
-        // ceil(t·|S|) with a downward epsilon: double rounding may only
-        // LENGTHEN the prefix (more candidates), never shorten it.
-        val prefixLen = col("__sz") -
-          ceil(lit(threshold) * col("__sz") - lit(1e-6)).cast("int") + lit(1)
-        sh.join(dfreq, Seq("__h"))
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= prefixLen)
-          // df=1 shingles occupy prefix positions (rank BEFORE this
-          // filter) but can never produce a pair — drop them from the index
-          .where(col("__df") >= 2)
-          .select(col("__sid"), col("__h"))
+        val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
+        // a bucket of df ≤ √n contributes ≤ n candidate pairs — only
+        // shingles above that can make Σ bucket² superlinear
+        val hotCut = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
+        val hotRows = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > hotCut)
+          .select(col("__h")).limit(hotBroadcastCap + 1).collect()
+        if (hotRows.length <= hotBroadcastCap) {
+          val hot = hotRows.map(_.getLong(0)).sorted
+          val ordered =
+            if (hot.isEmpty) col("__set")
+            else concat(array_except(col("__set"), typedLit(hot)),
+              array_intersect(col("__set"), typedLit(hot)))
+          sets.select(col("__sid"),
+              explode(slice(ordered, lit(1), prefixLen(size(col("__set"))))).as("__h"))
+        } else {
+          // exact fallback: rank every shingle by global (df, hash)
+          val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+          val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
+          sh.join(dfreq, Seq("__h"))
+            .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__sid")))
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= prefixLen(col("__sz")))
+            .select(col("__sid"), col("__h"))
+        }
       }
     val cand = index.as("a").join(index.as("b"),
         col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))

@@ -77,14 +77,16 @@ class DedupSimilaritySpec extends SparkSpec {
         else s"$boiler $noise tail$id"
       (id, text)
     }.toDF("doc_id", "text")
-    def run(floor: Long) =
+    def run(floor: Long, hotCap: Int = 512) =
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
-          threshold = 0.5, prefixFilterFloor = floor)
+          threshold = 0.5, prefixFilterFloor = floor, hotBroadcastCap = hotCap)
         .as[(Long, Long, Double)].collect().toSet
-    val prefixPath = run(0L)          // always prefix-filter
-    val unfiltered = run(Long.MaxValue) // never
-    assert(prefixPath == unfiltered)
-    assert(prefixPath.nonEmpty) // the planted dups actually matched
+    val hotSlicePath = run(0L)           // hot-set broadcast + map-side slice
+    val windowPath = run(0L, hotCap = 0) // cap overflow -> exact df-rank window
+    val unfiltered = run(Long.MaxValue)  // no prefix filter at all
+    assert(hotSlicePath == unfiltered)
+    assert(windowPath == unfiltered)
+    assert(unfiltered.nonEmpty) // the planted dups actually matched
   }
 
   test("simhash: near dups at small hamming distance, unrelated far") {
