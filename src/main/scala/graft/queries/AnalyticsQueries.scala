@@ -215,25 +215,44 @@ object AnalyticsQueries {
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .orderBy("id")
 
-  /** Exact multi-column DISTINCT aggregation. Scale: one two-phase
-    * distinct aggregate PER column, joined on the tiny group key —
-    * NOT a single `agg(countDistinct, countDistinct, countDistinct)`.
-    * Catalyst rewrites multi-distinct over different columns with a
-    * 3× Expand, so every task's partial-agg state interleaves all
-    * three key domains; the sf10 sweep measured that formulation
-    * going super-linear (3.2 s → 16.8 s for 3.3× rows, ratio 5.25)
-    * once the fused hash map outgrew memory. Per-column passes keep
-    * partial state bounded by one domain, each scan prunes to two
-    * parquet columns, and the 3-row join sides broadcast. Same exact
-    * results; sf10 wall 16.8 s → ~5 s. The per-column frames re-join
-    * on a NULL-SAFE key (`<=>`, still an equi-join key for Catalyst)
-    * so a NULL group — which a single multi-distinct agg would keep —
-    * survives the rewrite too; plain equality would silently drop it.
+  /** Exact multi-column DISTINCT aggregation. Scale: one pass PER
+    * column, joined on the tiny group key — NOT a single
+    * `agg(countDistinct, countDistinct, countDistinct)`. Catalyst
+    * rewrites multi-distinct over different columns with a 3× Expand,
+    * so every task's partial-agg state interleaves all three key
+    * domains; the sf10 sweep measured that formulation going
+    * super-linear (3.2 s → 16.8 s for 3.3× rows, ratio 5.25) once the
+    * fused hash map outgrew memory.
+    *
+    * Each per-column pass is `repartition(group, col)` →
+    * `dropDuplicates` → count, NOT `agg(countDistinct)`. A two-phase
+    * distinct agg builds a map-side dedup hash over every (group,
+    * value) pair a task scans — for a near-unique column (l_orderkey:
+    * ~1 order per 4 lineitems) that map absorbs most of the input for
+    * almost no row reduction, and its growth is what went super-linear
+    * in the sf10→sf30 decade. Repartitioning by the PAIR first means
+    * the dedup hash only ever sees one partition's share
+    * (rows/partitions, AQE-sized), bounded at any scale; the dedup and
+    * the final count then run post-shuffle where each pair occurs in
+    * exactly one task. Probe-measured (tools/DistinctProbe, n≥2 warm):
+    * sf10 8.4–15.4 s → 6.7–8.8 s; sf30 34.4–37.0 s → 27.4–28.3 s
+    * (and 22.5 s at an explicit width of 256 — left to AQE here
+    * because a hard-coded width is a local[32] artifact, while the
+    * AQE-managed form scales with the data). `count(col(c))` skips the
+    * one surviving (group, NULL) row, matching `countDistinct`'s
+    * NULL-skipping exactly while keeping the group alive with 0. The
+    * per-column frames re-join on a NULL-SAFE key (`<=>`, still an
+    * equi-join key for Catalyst) so a NULL group — which a single
+    * multi-distinct agg would keep — survives the rewrite too; plain
+    * equality would silently drop it.
     */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     def one(c: String, as: String): DataFrame =
-      li.groupBy("l_linestatus").agg(countDistinct(col(c)).as(as))
+      li.select(col("l_linestatus"), col(c))
+        .repartition(col("l_linestatus"), col(c))
+        .dropDuplicates("l_linestatus", c)
+        .groupBy("l_linestatus").agg(count(col(c)).as(as))
     val supp = one("l_suppkey", "n_supp")
     val part = one("l_partkey", "n_part").withColumnRenamed("l_linestatus", "__ls_p")
     val ord = one("l_orderkey", "n_orders").withColumnRenamed("l_linestatus", "__ls_o")

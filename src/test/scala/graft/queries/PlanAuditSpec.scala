@@ -288,5 +288,12 @@ class PlanAuditSpec extends SparkSpec {
       s"3-row per-column results should broadcast-join:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"tiny result join degraded:\n$p")
+    // Each pass must dedup POST-shuffle: an explicit repartition by the
+    // (group, value) pair feeds the dedup aggregate, so no map-side
+    // dedup hash absorbs a near-unique column's full input (the
+    // sf10→sf30 super-linear mechanism; tools/DistinctProbe measured
+    // the shapes). REPARTITION_BY_COL is that exchange's origin tag.
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"per-column pass lost its explicit pair repartition:\n$p")
   }
 }
