@@ -337,10 +337,25 @@ object ParityQueries {
     * fine when duplicates are byte-identical (replayed batch), but the
     * oracle-checked form aggregates a deterministic winner (min) per
     * key, the pattern to use when duplicate payloads can differ.
+    *
+    * Scale: the PK groupBy repartitions by the PK FIRST and aggregates
+    * post-shuffle — same shape as qDistinctAgg, same reason. The PK is
+    * near-unique (1-2 rows per key), so a map-side partial agg builds
+    * a hash over nearly every row a task scans for almost no row
+    * reduction; repartitioning first bounds dedup state to one
+    * AQE-sized partition's share. Probe-measured (tools/DistinctProbe
+    * `dedup` mode, warm): sf10 8.0-13.0 → 6.6-7.7 s, sf30 24-32 →
+    * 20 s. Counter-example measured in the same probe: k5's
+    * collect_set per PK is LEFT two-phase, because there the partial
+    * agg genuinely reduces (~4 lineitems → 1 array) and
+    * repartition-first measured ~25% SLOWER — the rewrite pays only
+    * where map-side aggregation yields no reduction.
     */
   private def a4DedupByPk(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     li.unionByName(li.where(col("l_orderkey") % 2 === 0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .repartition(col("l_orderkey"), col("l_linenumber"))
       .groupBy("l_orderkey", "l_linenumber")
       .agg(min(col("l_returnflag")).as("l_returnflag"))
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))

@@ -296,4 +296,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_COL"),
       s"per-column pass lost its explicit pair repartition:\n$p")
   }
+
+  test("dedup-by-PK aggregates post-shuffle (A4)") {
+    // The PK is near-unique (1-2 rows per key): a map-side partial agg
+    // would hash nearly every scanned row for no reduction. The shipped
+    // shape repartitions by the PK first so all dedup state lives in
+    // AQE-sized post-shuffle partitions (tools/DistinctProbe `dedup`
+    // mode measured the win at sf10 and sf30 — and measured the
+    // OPPOSITE for k5's collect_set, which is left two-phase).
+    val p = plan("a4_dedup_by_pk")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"a4 lost its explicit PK repartition:\n$p")
+    assert(!p.contains("Expand"), s"unexpected Expand in a4:\n$p")
+  }
 }
