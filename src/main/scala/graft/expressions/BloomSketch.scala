@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.lit
+
+/** Column forms of Spark's own Bloom-filter expressions — the same
+  * `BloomFilterAggregate` / `BloomFilterMightContain` pair Catalyst
+  * injects for runtime shuffle-join pruning, exposed here so operators
+  * can build the filter over an explicit key set and probe it in a
+  * whole-stage-codegen'd predicate.
+  *
+  * Contract mirrors the internal expressions: the build side takes
+  * LONG keys (hash upstream if needed), the probe side requires the
+  * serialized filter to be FOLDABLE (a literal or scalar subquery) —
+  * so the intended flow is: distributed `agg(bloomAgg(...))`, ONE
+  * bounded 1-row collect of the serialized sketch, then probe with
+  * `mightContain(bloomLit(bytes), key)`. That is exactly how Spark
+  * materializes its own runtime filters (subquery result broadcast
+  * into the probe plan); the sketch is megabytes for tens of millions
+  * of keys, never data-scale.
+  */
+object BloomSketch {
+
+  /** Distributed Bloom build over a LONG column; returns BINARY (the
+    * serialized `org.apache.spark.util.sketch.BloomFilter`). Partials
+    * are fixed-size bit arrays merged by OR — map-side combine cost is
+    * O(bits), independent of row count. `expectedItems` only tunes the
+    * false-positive rate (sizing follows Spark's own n·ln(1/fpp)
+    * rule); an underestimate degrades speed, never correctness.
+    */
+  def bloomAgg(keys: Column, expectedItems: Long): Column =
+    B.column(new BloomFilterAggregate(B.expression(keys), expectedItems)
+      .toAggregateExpression())
+
+  /** Codegen'd membership probe: true if `key` MIGHT be in the sketch
+    * (no false negatives). `bloom` must be foldable — see class doc.
+    */
+  def mightContain(bloom: Column, key: Column): Column =
+    B.column(BloomFilterMightContain(B.expression(bloom), B.expression(key)))
+
+  /** Foldable literal from a collected serialized sketch. */
+  def bloomLit(bytes: Array[Byte]): Column = lit(bytes)
+}

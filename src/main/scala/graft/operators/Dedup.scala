@@ -82,6 +82,54 @@ object Dedup {
         round(col("n_hit").cast("double") / col("n_sh"), 6))
   }
 
+  /** [[contaminationFractions]] for when the benchmark inventory
+    * outgrows broadcast (a full eval-suite union at 100 TB corpus
+    * scale can reach billions of distinct shingles): same output,
+    * Bloom-pre-filtered exact confirm instead of a broadcast probe.
+    *
+    * Shape: (1) distributed Bloom build over the distinct benchmark
+    * hashes ([[graft.expressions.BloomSketch]] — Spark's own
+    * runtime-filter aggregate; partials are fixed-size bit arrays, the
+    * 1-row collect is megabytes, never data-scale); (2) per-doc totals
+    * from a joinless map-side-combining count (explode keeps a doc's
+    * shingles in one partition, so the partial agg fully reduces to
+    * one row per doc before the shuffle); (3) hits via the
+    * bloom-thinned SHUFFLE semi-join — only shingles the sketch
+    * admits (true hits + the fpp tail) ever enter the exchange, and
+    * the join keeps the result exact, so a lying sketch can cost
+    * speed but never a wrong answer. The corpus is scanned twice
+    * (totals + hits), both passes joinless-or-thinned; the broadcast
+    * variant's single pass is preferable while the inventory fits.
+    */
+  def contaminationFractionsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, expectedItems: Long): DataFrame = {
+    val bench = benchmark
+      .select(explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+      .distinct()
+    // bounded 1-row collect of the serialized sketch (same shape as
+    // Spark's materialized runtime-filter subquery); null only when
+    // the benchmark has no rows at all — then nothing can hit
+    val bloomBytes = Option(bench
+      .agg(graft.expressions.BloomSketch.bloomAgg(col("__sh"), expectedItems))
+      .head().getAs[Array[Byte]](0))
+    val exploded = corpus.select(col(idCol).as("doc_id"),
+      explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+    val totals = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefiltered = bloomBytes match {
+      case Some(b) => exploded.where(graft.expressions.BloomSketch.mightContain(
+        graft.expressions.BloomSketch.bloomLit(b), col("__sh")))
+      case None => exploded.limit(0)
+    }
+    val hits = prefiltered
+      .join(bench, Seq("__sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_sh"), 6).as("contaminated_frac"))
+  }
+
   /** MinHash signatures from precomputed hashed shingle sets: each
     * shingle hash (already < P) seeds the affine family — see
     * [[graft.functions.HashFunctions]] — and the k mins aggregate per

@@ -177,6 +177,22 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** [[xContamination]] through the Bloom-pre-filtered scale path —
+    * the variant for an inventory too big to broadcast. Output is
+    * identical by construction (the exact semi-join removes Bloom
+    * false positives), so the oracle SQL is shared verbatim with
+    * `x_contamination`.
+    */
+  private def xContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationFractionsBloom(
+      docs.where(col("doc_id") % 100 =!= 0),
+      docs.where(col("doc_id") % 100 === 0),
+      "doc_id", "text", 5, expectedItems = 1L << 22)
+      .where(col("n_hit") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Skew-salted fact⋈dim join, oracle-checked against the PLAIN join:
     * salting must be result-invisible (salt only changes row
     * distribution), so the unsalted SQL is the exact oracle. Fact side
@@ -424,8 +440,21 @@ object ExtensionQueries {
     "x_split_stratified" -> (xSplitStratified _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
+    "x_contamination_bloom" -> (xContaminationBloom _),
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _))
+
+  /** Shared by `x_contamination` and `x_contamination_bloom` — see the
+    * map entries for why one SQL serves both.
+    */
+  private val contaminationOracle: String = shingleCte +
+    """, bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 100 = 0),
+      |corp AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh WHERE doc_id % 100 <> 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hit FROM corp JOIN bench USING (h) GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(c.n_sh AS BIGINT) AS n_sh, CAST(h.n_hit AS BIGINT) AS n_hit,
+      |  round(CAST(CAST(h.n_hit AS VARCHAR) AS DOUBLE) / CAST(CAST(c.n_sh AS VARCHAR) AS DOUBLE), 6) AS contaminated_frac
+      |FROM (SELECT DISTINCT doc_id, n_sh FROM corp) c JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_text_repetition" -> (tokCte +
@@ -543,14 +572,11 @@ object ExtensionQueries {
          |FROM r GROUP BY a HAVING least(a, min(b)) <> a
          |ORDER BY doc_id""".stripMargin),
 
-    "x_contamination" -> (shingleCte +
-      """, bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 100 = 0),
-        |corp AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh WHERE doc_id % 100 <> 0),
-        |hits AS (SELECT doc_id, count(*) AS n_hit FROM corp JOIN bench USING (h) GROUP BY doc_id)
-        |SELECT c.doc_id, CAST(c.n_sh AS BIGINT) AS n_sh, CAST(h.n_hit AS BIGINT) AS n_hit,
-        |  round(CAST(CAST(h.n_hit AS VARCHAR) AS DOUBLE) / CAST(CAST(c.n_sh AS VARCHAR) AS DOUBLE), 6) AS contaminated_frac
-        |FROM (SELECT DISTINCT doc_id, n_sh FROM corp) c JOIN hits h USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
+    "x_contamination" -> contaminationOracle,
+    // identical output by construction: the Bloom sketch only THINS the
+    // exact confirm join's input (no false negatives; false positives
+    // are removed by the semi-join), so the exact-path SQL is the oracle
+    "x_contamination_bloom" -> contaminationOracle,
 
     "x_dedup_embedding" ->
       ("""WITH e0 AS (

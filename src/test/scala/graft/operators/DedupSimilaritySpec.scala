@@ -331,6 +331,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L)._3 == 0 && out(4L)._4 == 0.0, "empty doc reports clean")
   }
 
+  test("contaminationFractionsBloom ≡ broadcast variant; empty benchmark safe") {
+    // fixture with real hits (the gate-scale query yields 0 rows, so
+    // this equality is the test that exercises the hit path)
+    val benchmark = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "yesterday the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated content talking about databases and query engines"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(
+      sortedRows(Dedup.contaminationFractionsBloom(
+        corpus, benchmark, "doc_id", "text", 5, expectedItems = 1L << 16)) ==
+      sortedRows(Dedup.contaminationFractions(
+        corpus, benchmark, "doc_id", "text", 5)),
+      "bloom path must be output-identical to the broadcast path")
+    // and on the real documents table (the shipped query's split)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corp = docs.where($"doc_id" % 100 =!= 0)
+    val bench = docs.where($"doc_id" % 100 === 0)
+    assert(
+      sortedRows(Dedup.contaminationFractionsBloom(
+        corp, bench, "doc_id", "text", 5, expectedItems = 1L << 16)) ==
+      sortedRows(Dedup.contaminationFractions(corp, bench, "doc_id", "text", 5)))
+    // empty benchmark: no hits, no NPE from a null sketch
+    val none = sortedRows(Dedup.contaminationFractionsBloom(
+      corpus, benchmark.limit(0), "doc_id", "text", 5, expectedItems = 16))
+    assert(none.size == 4 && none.forall(r => r._3 == 0 && r._4 == 0.0))
+  }
+
   test("redactPii strips emails and international phones, leaves prose") {
     val rows = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org thanks"),
