@@ -147,14 +147,41 @@ object Dedup {
     * The self-join is an equi-join on the band key — the whole point:
     * candidates come from hash buckets, never from a cross product.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
-      rowsPerBand: Int): DataFrame = {
-    val nBands = k / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
+  /** Band keys from the k `sig_*` columns of [[minhashSignatures]] —
+    * the ONE definition of what a band key looks like (`"b:s:s"`),
+    * shared by batch LSH and the streaming corpus index so their keys
+    * can never drift.
+    */
+  private[graft] def bandColsFromSigs(k: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until k / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       concat_ws(":", lit(b) +: parts: _*)
     }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+
+  /** The same band keys computed PER ROW from a hashed shingle set —
+    * map-only (`transform`/`array_min` over the set, no explode, no
+    * groupBy), which is what makes it legal on a STREAMING DataFrame:
+    * `min(seeded(h,i))` over an exploded set and
+    * `array_min(transform(set, seeded(_,i)))` are the same number, so
+    * these keys equal [[bandColsFromSigs]]'s by construction (pinned
+    * in `StreamingDedupSpec`). HOFs skip whole-stage codegen — fine
+    * for micro-batch-sized inputs, use the batch form for corpus-scale
+    * signing.
+    */
+  def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(set, h => graft.functions.HashFunctions.seeded(h, i)))
+    }
+    array((0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r))
+      concat_ws(":", lit(b) +: parts: _*)
+    }: _*)
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol),
+      explode(array(bandColsFromSigs(k, rowsPerBand): _*)).as("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** In-flight dedup gating for streaming document ingest — the "is this
+  * incoming doc already in (or nearly in) the corpus" pass a
+  * continuously-fed training pipeline runs before accepting a crawl
+  * batch. Composes with [[LakeIngest]]: gate the stream, then ingest
+  * the survivors.
+  *
+  * Everything here is STATELESS per micro-batch — stream-static joins
+  * and map-side predicates only, no streaming aggregation, no state
+  * store, no watermark requirement (compose
+  * [[EventStreams.dedupWithinWatermark]] upstream for within-stream
+  * exact dups). That is the scale contract: state-store size can never
+  * become the bottleneck because there is no state; the static corpus
+  * index is an ordinary DataFrame (parquet/lake-backed at scale) that
+  * each micro-batch joins against — broadcast when it fits,
+  * shuffle-partitioned when it does not.
+  */
+object StreamingDedup {
+
+  /** Exact gate: incoming docs whose content hash is NOT already in
+    * `corpus` (stream-static LEFT ANTI join on md5 — supported with
+    * the static side on the right). Byte-identical re-crawls drop;
+    * everything else passes through unchanged.
+    */
+  def notInCorpus(incoming: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame =
+    incoming.join(
+      corpus.select(md5(col(textCol)).as("__corpus_md5")).distinct(),
+      md5(incoming(textCol)) === col("__corpus_md5"), "left_anti")
+
+  /** Static near-dup index over the corpus: one row per (corpus_id,
+    * band), carrying the doc's full band array and hashed shingle set
+    * for the pair-dedup predicate and the exact-Jaccard confirm in
+    * [[nearDupFlags]]. Built with the batch signing path
+    * (codegen'd explode + groupBy-min, corpus-scale friendly), then
+    * banded via [[Dedup.bandColsFromSigs]] — the same key definition
+    * the streaming side computes per row, so keys match by
+    * construction. Materialize this to the lake and refresh on corpus
+    * compaction; a stream reads it as plain static input.
+    */
+  def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sets = corpus.select(col(idCol).as("__sid"),
+      Dedup.hashedShingleSet(col(textCol), n).as("__set"))
+    val sigs = Dedup.minhashSignatures(sets, k)
+      .withColumn("__cbands",
+        array(Dedup.bandColsFromSigs(k, rowsPerBand): _*))
+      .select(col("__sid"), col("__cbands"))
+    sigs.join(sets, Seq("__sid"))
+      .select(col("__sid").as("corpus_id"), col("__set").as("__cset"),
+        col("__cbands"), explode(col("__cbands")).as("band"))
+  }
+
+  /** Near-dup flags for a streaming batch of documents against a
+    * [[corpusIndex]]: emits ONE row per (incoming doc, corpus doc)
+    * pair with Jaccard ≥ `threshold`. Downstream drops flagged docs
+    * with a left-anti join on `doc_id` (or keeps the pairs as a
+    * provenance log).
+    *
+    * Shape, all stateless: (1) map-only per-row shingle set + band
+    * keys ([[Dedup.rowBandArray]] — no groupBy, hence streamable);
+    * (2) stream-static equi-join on the band key generates candidates
+    * from hash buckets, never a cross product; (3) a pair sharing
+    * SEVERAL bands would surface once per band, so keep only the row
+    * whose joined band is the MINIMUM of the pair's shared bands — a
+    * plain predicate over the two band arrays already in hand, which
+    * dedups pairs exactly without `distinct()` (a streaming
+    * aggregation this operator deliberately has none of); (4) exact
+    * Jaccard on the two shingle sets confirms, so band collisions can
+    * cost work but never a wrong flag.
+    */
+  def nearDupFlags(incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, k: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val in = incoming
+      .select(col(idCol).as("doc_id"),
+        Dedup.hashedShingleSet(col(textCol), n).as("__dset"))
+      .withColumn("__dbands", Dedup.rowBandArray(col("__dset"), k, rowsPerBand))
+      .select(col("doc_id"), col("__dset"), col("__dbands"),
+        explode(col("__dbands")).as("band"))
+    in.join(index, Seq("band"))
+      .where(col("band") ===
+        array_min(array_intersect(col("__dbands"), col("__cbands"))))
+      .withColumn("jaccard",
+        graft.expressions.SortedArrayJaccard(col("__dset"), col("__cset")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+  }
+}
