@@ -297,6 +297,19 @@ class PlanAuditSpec extends SparkSpec {
       s"per-column pass lost its explicit pair repartition:\n$p")
   }
 
+  test("bloom contamination probes the sketch before the confirm join") {
+    // The point of the variant: the exact semi-join's input must be
+    // pre-thinned by the codegen'd might_contain probe (a foldable
+    // literal sketch — same materialized shape as Spark's own runtime
+    // filters), and candidates must come from an equi-join, never a
+    // cross product.
+    val p = plan("x_contamination_bloom")
+    assert(p.contains("might_contain"),
+      s"confirm join input lost its Bloom pre-filter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross products in the contamination path:\n$p")
+  }
+
   test("dedup-by-PK aggregates post-shuffle (A4)") {
     // The PK is near-unique (1-2 rows per key): a map-side partial agg
     // would hash nearly every scanned row for no reduction. The shipped
