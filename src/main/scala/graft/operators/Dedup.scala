@@ -152,11 +152,15 @@ object Dedup {
     * shared by batch LSH and the streaming corpus index so their keys
     * can never drift.
     */
-  private[graft] def bandColsFromSigs(k: Int, rowsPerBand: Int): Seq[Column] =
+  private[graft] def bandColsFromSigs(k: Int, rowsPerBand: Int): Seq[Column] = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand — a remainder " +
+        "would silently drop the trailing signatures from every band")
     (0 until k / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       concat_ws(":", lit(b) +: parts: _*)
     }
+  }
 
   /** The same band keys computed PER ROW from a hashed shingle set —
     * map-only (`transform`/`array_min` over the set, no explode, no
@@ -169,6 +173,9 @@ object Dedup {
     * signing.
     */
   def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand — a remainder " +
+        "would silently drop the trailing signatures from every band")
     val sigs = (0 until k).map { i =>
       array_min(transform(set, h => graft.functions.HashFunctions.seeded(h, i)))
     }

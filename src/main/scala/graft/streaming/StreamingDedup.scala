@@ -78,6 +78,17 @@ object StreamingDedup {
   def nearDupFlags(incoming: DataFrame, index: DataFrame,
       idCol: String, textCol: String, n: Int = 5, k: Int = 8,
       rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
+    // an index built with different (k, rowsPerBand) produces disjoint
+    // band keys and the join silently matches NOTHING — fail loudly
+    // instead. One-row peek at the static side, at plan-construction
+    // time (the index is parquet-backed at scale; head of one row is a
+    // single-split read).
+    index.select(size(col("__cbands")).as("w")).head(1).foreach { r =>
+      require(r.getInt(0) == k / rowsPerBand,
+        s"index has ${r.getInt(0)} bands/doc but the probe expects " +
+          s"${k / rowsPerBand} (k=$k, rowsPerBand=$rowsPerBand) — " +
+          "rebuild the index or match its parameters")
+    }
     val in = incoming
       .select(col(idCol).as("doc_id"),
         Dedup.hashedShingleSet(col(textCol), n).as("__dset"))

@@ -61,6 +61,23 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("band-parameter footguns fail loudly, never silently zero-match") {
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    // k not a multiple of rowsPerBand would silently drop trailing sigs
+    intercept[IllegalArgumentException] {
+      StreamingDedup.corpusIndex(corpus, "doc_id", "text", 5, 8, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.rowBandArray(col("text"), 8, 3)
+    }
+    // probing an index built with a different band width would join on
+    // disjoint keys and flag nothing — construction must refuse
+    val index2 = StreamingDedup.corpusIndex(corpus, "doc_id", "text", 5, 8, 2)
+    intercept[IllegalArgumentException] {
+      StreamingDedup.nearDupFlags(corpus, index2, "doc_id", "text", 5, 8, 4)
+    }
+  }
+
   test("notInCorpus drops byte-identical docs, passes everything else") {
     val corpus = corpusDocs.toDF("doc_id", "text")
     implicit val sqlCtx = spark.sqlContext
