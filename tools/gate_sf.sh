@@ -6,6 +6,10 @@
 #   tools/gate_sf.sh 10 /data     # keep artifacts under /data
 #   SKIP_GEN=1 tools/gate_sf.sh 3 # reuse an existing dataset dir
 #
+# sf30 needs SPARK_DRIVER_MEM=24g (single local JVM sorts a 45M-row
+# dump; the 8g default OOMs a read-ahead thread — cluster-irrelevant,
+# local[n] heap sizing only).
+#
 # Exit 0 iff EVERY query matches rows+schema+hash (check_oracle.py's
 # contract). This is the same chain the round driver runs at sf0.01 —
 # kept one invocation so every round's scale re-verification is cheap.
