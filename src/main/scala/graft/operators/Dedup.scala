@@ -98,8 +98,12 @@ object Dedup {
     * admits (true hits + the fpp tail) ever enter the exchange, and
     * the join keeps the result exact, so a lying sketch can cost
     * speed but never a wrong answer. The corpus is scanned twice
-    * (totals + hits), both passes joinless-or-thinned; the broadcast
-    * variant's single pass is preferable while the inventory fits.
+    * (totals + hits), both passes joinless-or-thinned, and the
+    * benchmark inventory is computed twice (once under the Bloom
+    * build, once as the semi-join's right side — materialize it to
+    * the lake first if the eval suite is itself expensive to
+    * shingle); the broadcast variant's single pass of each is
+    * preferable while the inventory fits.
     */
   def contaminationFractionsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, expectedItems: Long): DataFrame = {
