@@ -111,4 +111,26 @@ object TextFunctions {
     */
   def rollingHash(text: Column): Column =
     graft.expressions.RollingHash(normalizeText(text))
+
+  /** Context-window chunking: fixed `chunk`-token windows starting at
+    * multiples of `stride` (stride < chunk ⇒ overlapping windows, the
+    * standard sequence-prep shape). Returns an array of
+    * `(start, toks)` structs — one element per window whose start lies
+    * inside the document; the LAST window is partial when the tail is
+    * shorter than `chunk`; an empty document yields an empty array
+    * (no chunks, not one empty chunk). Pure per-row compute: callers
+    * `posexplode` it, so chunking 100 TB is map-only — the only
+    * shuffle a chunking job ever needs is whatever the caller does
+    * with the chunks afterwards.
+    */
+  def tokenChunks(text: Column, chunk: Int, stride: Int): Column = {
+    require(chunk > 0 && stride > 0,
+      s"chunk=$chunk and stride=$stride must be positive")
+    val toks = tokens(text)
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, s =>
+      struct(s.as("start"), slice(toks, s + 1, lit(chunk)).as("toks")))
+  }
 }

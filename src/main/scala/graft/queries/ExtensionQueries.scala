@@ -142,6 +142,25 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking — 64-token windows at stride 48
+    * (16-token overlap), the sequence-prep shape every training
+    * pipeline runs before tokenization. Map-only: the windows are a
+    * per-row HOF ([[T.tokenChunks]]) posexploded in place; the only
+    * exchange in the plan is the output ORDER BY (pinned in
+    * PlanAuditSpec). Chunk identity = md5 of the space-rejoined
+    * window, bit-matched by DuckDB's list_slice/array_to_string.
+    */
+  private def xTextChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(T.tokenChunks(col("text"), 64, 48)).as(Seq("chunk_ix", "c")))
+      .select(col("doc_id"),
+        col("chunk_ix").cast("long").as("chunk_ix"),
+        col("c.start").cast("long").as("chunk_start"),
+        size(col("c.toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
   /** Deterministic split/sampling assignment — pure per-row hash map,
     * no shuffle, replay-stable (no rand()).
     */
@@ -435,6 +454,7 @@ object ExtensionQueries {
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_text_tokens" -> (xTextTokens _),
+    "x_text_chunks" -> (xTextChunks _),
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
@@ -571,6 +591,20 @@ object ExtensionQueries {
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM r GROUP BY a HAVING least(a, min(b)) <> a
          |ORDER BY doc_id""".stripMargin),
+
+    "x_text_chunks" -> (tokCte +
+      """, st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS cstart
+        |  FROM tk WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, cstart,
+        |    list_slice(toks, cstart + 1, cstart + 64) AS ctoks
+        |  FROM st)
+        |SELECT doc_id, CAST(cstart // 48 AS BIGINT) AS chunk_ix,
+        |  CAST(cstart AS BIGINT) AS chunk_start,
+        |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin),
 
     "x_contamination" -> contaminationOracle,
     // identical output by construction: the Bloom sketch only THINS the

@@ -395,6 +395,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 0, 6L -> 8, 7L -> 2))
   }
 
+  test("tokenChunks: windows, stride overlap, partial tail, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, chunk 4 stride 3
+      (2L, "a b"),                                    // single partial window
+      (3L, ""))                                       // no chunks at all
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        posexplode(T.tokenChunks($"text", 4, 3)).as(Seq("ix", "c")))
+      .select($"doc_id", $"ix", $"c.start".as("st"),
+        concat_ws(" ", $"c.toks").as("txt"))
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0,3,6,9 — full windows then the partial tail
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (0, 0, "w1 w2 w3 w4"), (1, 3, "w4 w5 w6 w7"),
+      (2, 6, "w7 w8 w9 w10"), (3, 9, "w10")))
+    // doc 2: one window, shorter than chunk
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0, "a b")))
+    // doc 3: zero rows
+    assert(!out.exists(_._1 == 3L))
+    intercept[IllegalArgumentException] { T.tokenChunks($"text", 0, 3) }
+    intercept[IllegalArgumentException] { T.tokenChunks($"text", 4, -1) }
+  }
+
   test("text functions: tokens, shingles, language, fingerprint locality") {
     val df = Seq((1L, "  The quick   brown fox  ")).toDF("id", "text")
     assert(df.select(T.tokenCount($"text")).as[Int].head() == 4)

@@ -310,6 +310,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no cross products in the contamination path:\n$p")
   }
 
+  test("chunking is map-only: no hash exchange, only the output sort") {
+    // 100 TB chunking must stream through: per-row HOF + posexplode,
+    // with the ORDER BY's range exchange as the plan's only shuffle
+    val p = plan("x_text_chunks")
+    assert(p.contains("Generate"), s"chunks must posexplode in place:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+  }
+
   test("dedup-by-PK aggregates post-shuffle (A4)") {
     // The PK is near-unique (1-2 rows per key): a map-side partial agg
     // would hash nearly every scanned row for no reduction. The shipped
