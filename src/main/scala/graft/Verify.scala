@@ -2,10 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Optional third arg: comma-separated query names — dumps (and scopes
+  * oracle_sql.json to) just those, so a single query can be gated at an
+  * expensive scale point without re-running the whole surface:
+  * {{{
+  * sbt 'runMain graft.Verify /tmp/sf30 /tmp/v30_chunks x_text_chunks'
+  * python3 tools/check_oracle.py /tmp/sf30 /tmp/v30_chunks
+  * }}}
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
+    def selected[V](m: Map[String, V]): Map[String, V] =
+      only.fold(m)(names => m.filter { case (k, _) => names(k) })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +56,7 @@ object Verify {
       }
       df.select(cols.toSeq: _*)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -58,7 +75,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
