@@ -29,10 +29,30 @@ object BloomSketch {
     * O(bits), independent of row count. `expectedItems` only tunes the
     * false-positive rate (sizing follows Spark's own n·ln(1/fpp)
     * rule); an underestimate degrades speed, never correctness.
+    *
+    * CONF CAP: `BloomFilterAggregate` silently clamps the sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) and `...maxNumBits` (default 67M bits ≈ 8 MB). Past the cap
+    * the sketch saturates toward fpp≈1 and a pre-filter built on it
+    * degenerates to a no-op — correct (downstream exact confirms keep
+    * working) but pointless. When `expectedItems` exceeds the
+    * configured cap this method logs a warning naming the confs to
+    * raise; it does not mutate session conf behind the caller's back.
     */
-  def bloomAgg(keys: Column, expectedItems: Long): Column =
+  def bloomAgg(keys: Column, expectedItems: Long): Column = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    if (expectedItems > maxItems)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloomAgg: expectedItems=$expectedItems exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems - " +
+          "the sketch will be clamped and its fpp degrades toward 1 " +
+          "(pre-filter becomes a no-op; correctness is unaffected). Raise " +
+          "maxNumItems and maxNumBits to size the sketch for this key set.")
     B.column(new BloomFilterAggregate(B.expression(keys), expectedItems)
       .toAggregateExpression())
+  }
 
   /** Codegen'd membership probe: true if `key` MIGHT be in the sketch
     * (no false negatives). `bloom` must be foldable — see class doc.

@@ -86,6 +86,14 @@ object Dedup {
     * outgrows broadcast (a full eval-suite union at 100 TB corpus
     * scale can reach billions of distinct shingles): same output,
     * Bloom-pre-filtered exact confirm instead of a broadcast probe.
+    * At that scale the session must also raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4M items / 67M bits) — Spark clamps the sketch to those
+    * caps, and a saturated sketch admits everything, silently turning
+    * the pre-filter into a no-op (the exact confirm keeps the answer
+    * right; the exchange-thinning is what vanishes).
+    * [[graft.expressions.BloomSketch.bloomAgg]] warns when
+    * `expectedItems` exceeds the configured cap.
     *
     * Shape: (1) distributed Bloom build over the distinct benchmark
     * hashes ([[graft.expressions.BloomSketch]] — Spark's own
