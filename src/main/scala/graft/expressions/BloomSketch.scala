@@ -43,13 +43,26 @@ object BloomSketch {
     val conf = org.apache.spark.sql.internal.SQLConf.get
     val maxItems = conf.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     if (expectedItems > maxItems)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      log.warn(
         s"bloomAgg: expectedItems=$expectedItems exceeds " +
           s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems - " +
           "the sketch will be clamped and its fpp degrades toward 1 " +
           "(pre-filter becomes a no-op; correctness is unaffected). Raise " +
           "maxNumItems and maxNumBits to size the sketch for this key set.")
+    // Sizing is ALSO clamped by maxNumBits (Spark sizes 8 bits/item):
+    // raising maxNumItems alone still saturates once 8·items passes the
+    // bits cap. `/ 8` form avoids 8·items overflowing Long.
+    else if (expectedItems > maxBits / 8)
+      log.warn(
+        s"bloomAgg: expectedItems=$expectedItems needs ~8x that in bits, " +
+          s"exceeding spark.sql.optimizer.runtime.bloomFilter" +
+          s".maxNumBits=$maxBits - the sketch will be clamped and its fpp " +
+          "degrades toward 1 (pre-filter becomes a no-op; correctness is " +
+          "unaffected). Raise maxNumBits to size the sketch for this key set.")
     B.column(new BloomFilterAggregate(B.expression(keys), expectedItems)
       .toAggregateExpression())
   }

@@ -45,9 +45,17 @@ object Dimension {
     */
   def getOrCreate(dim: DataFrame, incoming: DataFrame,
       idCol: String, nameCol: String, maxNew: Int = 1000000): DataFrame = {
+    // Eager localCheckpoint pins ONE evaluation of `incoming`: the
+    // guard count and the returned plan both read this materialized
+    // snapshot, so a source that mutates between call and action can
+    // never slip >maxNew rows past the count into the single-partition
+    // id window. The set is dimension-sized by contract, so the
+    // materialization is tiny; blocks are freed by the ContextCleaner
+    // once the result is GC'd.
     val newNames = incoming.select(nameCol).where(col(nameCol).isNotNull)
       .distinct()
       .join(dim, Seq(nameCol), "left_anti")
+      .localCheckpoint()
     val nNew = newNames.count()
     if (nNew > maxNew) throw new IllegalStateException(
       s"Dimension.getOrCreate: $nNew new names exceeds maxNew=$maxNew - a " +

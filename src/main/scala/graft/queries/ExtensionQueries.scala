@@ -282,13 +282,24 @@ object ExtensionQueries {
     * ≈ 0.48), so signal is planted to make the operator observable.
     * Uses the LSH-bucketed scale path (the oracle applies the same
     * bucket prefilter, so both engines see identical candidate sets).
+    *
+    * Planes are sized at query-build time from the corpus row count
+    * via [[Dedup.planesForClustered]] — the library's own sizing rule,
+    * so the blocking cost stays near-linear at every decade instead of
+    * hitting the fixed-count cliff (24 planes was right at sf10's 204k
+    * rows and would go quadratic again one decade later). The computed
+    * count is recorded in [[embDedupPlanes]] for [[oracles]] to emit
+    * the identical prefilter. The count job is a columnar parquet
+    * row-count — metadata-cheap at any scale.
     */
   private def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val planes = Dedup.planesForClustered(src.count())
+    embDedupPlanes = planes
     Dedup.embeddingDupPairsBucketed(src, "vec_id", "embedding", 0.95,
-      EmbDedupPlanes, 64)
+      planes, 64)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy("i", "j")
   }
@@ -411,16 +422,22 @@ object ExtensionQueries {
     * signal is invariant to this knob; only sub-1.0 near-dup recall
     * trades off, and the oracle applies the identical prefilter.
     *
-    * Pinned at `Dedup.planesForClustered(204k) = 24`, the CLUSTERED
-    * sizing rule, not the uniform one: on this 10-cluster corpus a
-    * random hyperplane splits a cluster with only ~0.31 probability,
-    * so the uniform-rule count (12 at sf10) left Σb² ≈ 198M candidate
-    * pairs — measured quadratic growth in the sf10 sweep; 24 planes
-    * measure Σb² ≈ 12.5M and restore near-linear cost. Pinned (not
-    * computed from a count job) because the DuckDB oracle SQL is
-    * static; library callers should size with planesForClustered.
+    * Sized per-run by [[xDedupEmbedding]] via
+    * `Dedup.planesForClustered(corpusRows)` — the CLUSTERED rule, not
+    * the uniform one: on this 10-cluster corpus a random hyperplane
+    * splits a cluster with only ~0.31 probability, so the uniform-rule
+    * count (12 at sf10) left Σb² ≈ 198M candidate pairs — measured
+    * quadratic growth in the sf10 sweep; 24 planes (= the clustered
+    * rule's answer at 204k rows) measured Σb² ≈ 12.5M and restored
+    * near-linear cost. The var carries the computed count from the
+    * query build to [[oracles]] (a `def`, so the generated DuckDB SQL
+    * interpolates the same constant): Verify runs every selected query
+    * before dumping `oracle_sql.json`, so the value is always current
+    * when the oracle is emitted. The default only covers paths that
+    * read the oracle without building the query (and a query-build
+    * failure, which the driver flags independently).
     */
-  private val EmbDedupPlanes = 24
+  @volatile private var embDedupPlanes: Int = 24
 
   private def bucketSql(v: String, nPlanes: Int = 4): String =
     (0 until nPlanes).map { h =>
@@ -476,7 +493,12 @@ object ExtensionQueries {
       |FROM (SELECT DISTINCT doc_id, n_sh FROM corp) c JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** A `def`, not a `val`: the `x_dedup_embedding` entry interpolates
+    * [[embDedupPlanes]], which is computed during that query's build —
+    * rebuilding the map at dump time keeps the oracle's prefilter
+    * identical to the one the Spark plan actually used.
+    */
+  def oracles: Map[String, String] = Map(
     "x_text_repetition" -> (tokCte +
       """, t AS (SELECT doc_id, len(toks) AS n_tokens,
         |             len(list_distinct(toks)) AS n_distinct FROM tk),
@@ -620,7 +642,7 @@ object ExtensionQueries {
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
-         |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v", EmbDedupPlanes)} AS bucket FROM nn),
+         |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v", embDedupPlanes)} AS bucket FROM nn),
          |p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
          |    ${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cs

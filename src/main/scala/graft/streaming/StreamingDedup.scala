@@ -27,6 +27,15 @@ object StreamingDedup {
     * `corpus` (stream-static LEFT ANTI join on md5 — supported with
     * the static side on the right). Byte-identical re-crawls drop;
     * everything else passes through unchanged.
+    *
+    * NULL text is deliberately NOT deduplicated: `md5(NULL)` is NULL
+    * and the join condition uses `===`, so a null-text row never
+    * matches the corpus (even a corpus null-text row) and always
+    * passes the gate. The gate dedups CONTENT, and null is the absence
+    * of content, not a value of it — collapsing all null-text docs
+    * into one would silently drop distinct (id, metadata) rows whose
+    * text merely failed extraction. Callers that do want null-collapse
+    * semantics should filter or `coalesce` the text column upstream.
     */
   def notInCorpus(incoming: DataFrame, corpus: DataFrame,
       textCol: String): DataFrame =
