@@ -309,22 +309,66 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.7,
       prefixFilterFloor: Long = 20000L, hotBroadcastCap: Int = 512): DataFrame = {
+    val (cand, sets) = ngramJaccardCandidates(docs, idCol, textCol, n,
+      threshold, prefixFilterFloor, hotBroadcastCap)
+    materializeAndRelease(jaccardVerify(cand, sets, threshold), sets)
+  }
+
+  /** Candidate stage of [[ngramJaccardPairs]], exposed for stage-level
+    * cost attribution (tools/JaccardProbe): returns (candidate pairs,
+    * persisted shingle sets). The CALLER owns the `sets` cache —
+    * unpersist it (or go through ngramJaccardPairs, whose
+    * materializeAndRelease does) when done.
+    */
+  private[graft] def ngramJaccardCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      prefixFilterFloor: Long, hotBroadcastCap: Int): (DataFrame, DataFrame) = {
     val sets = hashedSets(docs, idCol, textCol, n)
     // ceil(t·|S|) with a downward epsilon: double rounding may only
     // LENGTHEN the prefix (more candidates), never shorten it.
     def prefixLen(sz: Column): Column =
       (sz - ceil(lit(threshold) * sz - lit(1e-6)) + lit(1)).cast("int")
     val nDocs = docs.count()
+    // Every index variant emits (__sid, __h, __sz, __pos): set size and
+    // the 1-based rank of __h in the doc's set under a GLOBAL total
+    // order (array order for the explode paths, (df, hash) for the
+    // ranked fallback — each path is internally consistent, which is
+    // all the positional bound needs). These feed the Bayardo/PPJoin
+    // length + positional filters (WWW'07 §4) in the join below.
     val index =
       if (nDocs < prefixFilterFloor)
-        sets.select(col("__sid"), explode(col("__set")).as("__h"))
+        sets.select(col("__sid"), size(col("__set")).as("__sz"),
+            posexplode(col("__set")).as(Seq("__p", "__h")))
+          .select(col("__sid"), col("__h"), col("__sz"),
+            (col("__p") + 1).as("__pos"))
       else {
-        val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
         // a bucket of df ≤ √n contributes ≤ n candidate pairs — only
         // shingles above that can make Σ bucket² superlinear
         val hotCut = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
-        val hotRows = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-          .where(col("__df") > hotCut)
+        // Hot detection runs on a ~50k-doc SAMPLE, not the full
+        // corpus: the sf30 stage probe measured the full-corpus df
+        // aggregate (explode of every shingle of every doc) at
+        // 24-162 s — the query's single most expensive job — while
+        // the hot list it produces only picks the prefix ORDER. Any
+        // fixed total order keeps the Bayardo completeness guarantee,
+        // so sampling affects candidate count (performance), never
+        // the verified output. The sampled cut is half the
+        // proportionally scaled threshold: a truly-hot shingle
+        // (df > √n, e.g. 1225 at 1.5M docs) sits >3σ above it at a
+        // 1/30 sample, and both error directions are benign
+        // (over-detection reorders a few prefixes, under-detection
+        // admits some extra candidates for the exact confirm to
+        // discard).
+        val sampleFrac = math.min(1.0, 50000.0 / nDocs)
+        val sampled =
+          if (sampleFrac >= 1.0) docs
+          else docs.sample(withReplacement = false, sampleFrac, seed = 42L)
+        val sampledCut = math.max(1L,
+          math.floor(hotCut * sampleFrac / 2.0).toLong)
+        val hotRows = sampled
+          .select(explode(hashedShingleSet(col(textCol), n)).as("__h"))
+          .groupBy("__h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > sampledCut)
           .select(col("__h")).limit(hotBroadcastCap + 1).collect()
         if (hotRows.length <= hotBroadcastCap) {
           val hot = hotRows.map(_.getLong(0)).sorted
@@ -332,24 +376,69 @@ object Dedup {
             if (hot.isEmpty) col("__set")
             else concat(array_except(col("__set"), typedLit(hot)),
               array_intersect(col("__set"), typedLit(hot)))
-          sets.select(col("__sid"),
-              explode(slice(ordered, lit(1), prefixLen(size(col("__set"))))).as("__h"))
+          // prefix positions ARE positions in the full ordered array
+          sets.select(col("__sid"), size(col("__set")).as("__sz"),
+              posexplode(slice(ordered, lit(1), prefixLen(size(col("__set")))))
+                .as(Seq("__p", "__h")))
+            .select(col("__sid"), col("__h"), col("__sz"),
+              (col("__p") + 1).as("__pos"))
         } else {
           // exact fallback: rank every shingle by global (df, hash)
+          // over the FULL corpus (the sampled counts above only gate
+          // which path runs; this path pays for exactness)
+          val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
           val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
           val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
           sh.join(dfreq, Seq("__h"))
             .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__sid")))
             .withColumn("__rn", row_number().over(w))
             .where(col("__rn") <= prefixLen(col("__sz")))
-            .select(col("__sid"), col("__h"))
+            .select(col("__sid"), col("__h"), col("__sz"),
+              col("__rn").as("__pos"))
         }
       }
+    // Bayardo/PPJoin pruning ON the index join — all three filters are
+    // sound (no true pair lost) and cut candidates before the
+    // distinct's shuffle and the exact-Jaccard confirm, which the
+    // sf30 stage probe measured as the dominant cost (31.7M raw
+    // candidates for 3k true pairs; verify 133-254 s):
+    //  - length: J(a,b) ≥ t ⇒ t·|a| ≤ |b| (and symmetric) — a pair of
+    //    very different sizes can't clear the threshold.
+    //  - positional: J ≥ t ⇔ overlap ≥ t/(1+t)·(|a|+|b|); a match at
+    //    ranks (i, j) bounds the remaining possible overlap by
+    //    1 + min(|a|−i, |b|−j). For a TRUE pair the FIRST common
+    //    shingle (which the prefix provably contains on both sides)
+    //    has α−1 common successors in both docs, so that row always
+    //    passes — keeping any-match-passes semantics exact.
+    //  - asymmetric index prefix: orient every pair so the probe side
+    //    `a` is the LARGER set (ties broken by id); then α ≥
+    //    t/(1+t)·(|a|+|b|) ≥ 2t/(1+t)·|b|, so the first common
+    //    shingle sits within b's SHORTER index prefix
+    //    |b| − ⌈2t/(1+t)·|b|⌉ + 1 (≈ 0.18·|b| at t=0.7 vs the probe
+    //    prefix's 0.3·|b|) — the b side of the join shrinks ~40%
+    //    with completeness intact.
+    val eps = 1e-6
+    val lenOk =
+      col("b.__sz") >= ceil(lit(threshold) * col("a.__sz") - lit(eps)) &&
+        col("a.__sz") >= ceil(lit(threshold) * col("b.__sz") - lit(eps))
+    val overlapNeeded = ceil(
+      lit(threshold / (1 + threshold)) * (col("a.__sz") + col("b.__sz")) -
+        lit(eps))
+    val posOk = (lit(1) +
+      least(col("a.__sz") - col("a.__pos"), col("b.__sz") - col("b.__pos"))
+      ) >= overlapNeeded
+    val orient = (col("a.__sz") > col("b.__sz")) ||
+      (col("a.__sz") === col("b.__sz") && col("a.__sid") < col("b.__sid"))
+    val bInIndexPrefix = col("b.__pos") <= (col("b.__sz") -
+      ceil(lit(2 * threshold / (1 + threshold)) * col("b.__sz") - lit(eps)) +
+      lit(1))
     val cand = index.as("a").join(index.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__sid") < col("b.__sid"))
-      .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
+        col("a.__h") === col("b.__h") && orient && bInIndexPrefix &&
+          lenOk && posOk)
+      .select(least(col("a.__sid"), col("b.__sid")).as("i"),
+        greatest(col("a.__sid"), col("b.__sid")).as("j"))
       .distinct()
-    materializeAndRelease(jaccardVerify(cand, sets, threshold), sets)
+    (cand, sets)
   }
 
   /** 16-bit SimHash fingerprint of the token stream — computed with

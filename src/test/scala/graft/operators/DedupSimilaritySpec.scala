@@ -89,6 +89,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(unfiltered.nonEmpty) // the planted dups actually matched
   }
 
+  test("jaccard candidates with Bayardo length+positional filters equal brute force") {
+    // Varied doc lengths + shared vocabulary put real pressure on the
+    // length filter (size-skewed pairs) and the positional filter
+    // (late-prefix matches); brute-force all-pairs exact Jaccard is
+    // the unarguable reference. All three index paths must agree with
+    // it EXACTLY — an unsound filter (a dropped true pair) fails here.
+    val r = new scala.util.Random(7)
+    val corpus = (1L to 90L).map { id =>
+      val len = 3 + r.nextInt(40)
+      val words = Seq.fill(len)(s"w${r.nextInt(25)}").mkString(" ")
+      val text =
+        if (id % 9 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+        else if (id % 9 == 1) "alpha beta gamma delta epsilon zeta eta iota"
+        else words
+      (id, text)
+    }.toDF("doc_id", "text")
+    def run(floor: Long, hotCap: Int = 512) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.7, prefixFilterFloor = floor, hotBroadcastCap = hotCap)
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val sets = corpus.select($"doc_id",
+        Dedup.hashedShingleSet($"text", 3).as("s"))
+      .as[(Long, Array[Long])].collect()
+    val brute = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = a.toSet.intersect(b.toSet).size.toDouble
+      union = a.toSet.union(b.toSet).size.toDouble
+      if union > 0 && inter / union >= 0.7
+    } yield (i, j)).toSet
+    assert(run(0L) == brute)                 // hot-slice prefix path
+    assert(run(0L, hotCap = 0) == brute)     // df-rank window path
+    assert(run(Long.MaxValue) == brute)      // unfiltered-index path
+    assert(brute.nonEmpty)
+  }
+
   test("simhash: near dups at small hamming distance, unrelated far") {
     val fp = docs.select($"doc_id", Dedup.simhash16($"text").as("f"))
       .as[(Long, Long)].collect().toMap
