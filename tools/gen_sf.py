@@ -12,7 +12,6 @@ c_custkey=42, c_mktsegment='BUILDING', r_name='ASIA', order/ship dates
 
 Usage: python3 tools/gen_sf.py <sf> <outdir>   e.g. 1 target/testdata/sf1
 """
-import json
 import os
 import sys
 
@@ -97,26 +96,55 @@ write("orders", pa.table({
 # --- lineitem (~4 lines per order) --------------------------------------
 NL = S(60000)
 lorder = np.sort(rng.integers(0, NO, NL)).astype(np.int64)
-lnum = np.ones(NL, np.int32)
-same = np.concatenate(([False], lorder[1:] == lorder[:-1]))
-for i in range(1, NL):  # linenumber restarts per order
-    if same[i]:
-        lnum[i] = lnum[i - 1] + 1
-qty = rng.integers(1, 51, NL).astype(np.float64)
-ship = (odates[lorder].astype("datetime64[D]") +
-        rng.integers(1, 122, NL)).astype("datetime64[us]")
-write("lineitem", pa.table({
-    "l_orderkey": pa.array(lorder),
-    "l_partkey": pa.array(rng.integers(0, NP, NL), pa.int64()),
-    "l_suppkey": pa.array(rng.integers(0, NS, NL), pa.int64()),
-    "l_linenumber": pa.array(lnum, pa.int32()),
-    "l_quantity": qty,
-    "l_extendedprice": np.round(qty * rng.uniform(901.0, 2100.0, NL), 2),
-    "l_discount": np.round(rng.integers(0, 11, NL) / 100.0, 2),
-    "l_tax": np.round(rng.integers(0, 9, NL) / 100.0, 2),
-    "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, NL)]),
-    "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, NL)]),
-    "l_shipdate": pa.array(ship)}))
+# linenumber restarts per order: row index minus the index of the
+# order's first row (vectorized — the per-row Python loop this
+# replaces is O(minutes) at sf100's 600M rows)
+first = np.zeros(NL, np.int64)
+starts = np.flatnonzero(np.diff(lorder)) + 1
+first[starts] = starts
+np.maximum.accumulate(first, out=first)
+lnum = (np.arange(NL) - first + 1).astype(np.int32)
+del first, starts
+
+def lineitem_chunk(a, b):
+    """Columns for rows [a, b) — rng consumed per chunk, so chunked
+    and single-shot runs draw different (equally valid) streams."""
+    m = b - a
+    qty = rng.integers(1, 51, m).astype(np.float64)
+    ship = (odates[lorder[a:b]].astype("datetime64[D]") +
+            rng.integers(1, 122, m)).astype("datetime64[us]")
+    return pa.table({
+        "l_orderkey": pa.array(lorder[a:b]),
+        "l_partkey": pa.array(rng.integers(0, NP, m), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, NS, m), pa.int64()),
+        "l_linenumber": pa.array(lnum[a:b], pa.int32()),
+        "l_quantity": qty,
+        "l_extendedprice": np.round(qty * rng.uniform(901.0, 2100.0, m), 2),
+        "l_discount": np.round(rng.integers(0, 11, m) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, m) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, m)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, m)]),
+        "l_shipdate": pa.array(ship)})
+
+# Above ~200M rows the all-at-once numpy working set (~10 columns ×
+# 8 B × rows, plus pyarrow copies) no longer fits comfortably in RAM;
+# stream 100M-row chunks through one ParquetWriter instead. Threshold
+# keeps every sf ≤ 30 on the original single-shot rng stream.
+# (env override exists only so tests can exercise the chunked path
+# at a small sf)
+if NL > int(os.environ.get("GEN_CHUNK_ROWS", 200_000_000)):
+    CH = max(1, int(os.environ.get("GEN_CHUNK_ROWS", 200_000_000)) // 2)
+    t0 = lineitem_chunk(0, min(CH, NL))
+    with pq.ParquetWriter(f"{OUT}/lineitem.parquet", t0.schema) as w:
+        w.write_table(t0, row_group_size=1_000_000)
+        del t0
+        for a in range(CH, NL, CH):
+            w.write_table(lineitem_chunk(a, min(a + CH, NL)),
+                          row_group_size=1_000_000)
+    print(f"lineitem: {NL} rows (chunked, {-(-NL // 1_000_000)} row groups)")
+else:
+    write("lineitem", lineitem_chunk(0, NL))
+del lorder, lnum
 
 # --- events (Jan 2024, ts increasing with event_id, ~sf*100 users) ------
 NE = S(10000)
@@ -137,7 +165,9 @@ write("events", pa.table({
     "user_id": pa.array(rng.integers(0, NU, NE), pa.int64()),
     "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, NE)]),
     "value": np.round(rng.uniform(0.01, 500.0, NE), 2),
-    "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, NE)]}))
+    # value-identical to json.dumps({"k": int(k)}) but vectorized — the
+    # per-row dumps loop is ~an hour at sf100's 100M events
+    "props": pa.array(np.char.mod('{"k": %d}', rng.integers(0, 100, NE)))}))
 
 # --- documents (word-salad text; a few planted exact dups) --------------
 ND = S(500)
