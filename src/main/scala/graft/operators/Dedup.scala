@@ -95,6 +95,21 @@ object Dedup {
     * [[graft.expressions.BloomSketch.bloomAgg]] warns when
     * `expectedItems` exceeds the configured cap.
     *
+    * Sizing: `expectedItems <= 0` (the default) sizes the sketch from
+    * an EXACT distinct count of the benchmark inventory — the
+    * inventory is localCheckpoint'ed once and reused by the count, the
+    * sketch build, and the semi-join's right side, so auto-sizing
+    * costs one materialization, not extra recomputes. Exact sizing
+    * matters beyond fpp: every partial aggregation buffer is a
+    * fixed-size bit array of 8·expectedItems bits PER TASK, so a
+    * blanket over-estimate (e.g. 4M items = 4 MB × every build task)
+    * taxes small benchmarks with megabytes of allocation and exchange
+    * for a kilobyte-scale key set. Pass `expectedItems` explicitly
+    * only when the inventory is pre-materialized in the lake and its
+    * cardinality is already known — that skips the checkpoint (the
+    * count would still be cheap, but re-reading a lake-resident
+    * inventory twice beats checkpointing a copy of it).
+    *
     * Shape: (1) distributed Bloom build over the distinct benchmark
     * hashes ([[graft.expressions.BloomSketch]] — Spark's own
     * runtime-filter aggregate; partials are fixed-size bit arrays, the
@@ -106,24 +121,29 @@ object Dedup {
     * admits (true hits + the fpp tail) ever enter the exchange, and
     * the join keeps the result exact, so a lying sketch can cost
     * speed but never a wrong answer. The corpus is scanned twice
-    * (totals + hits), both passes joinless-or-thinned, and the
-    * benchmark inventory is computed twice (once under the Bloom
-    * build, once as the semi-join's right side — materialize it to
-    * the lake first if the eval suite is itself expensive to
-    * shingle); the broadcast variant's single pass of each is
-    * preferable while the inventory fits.
+    * (totals + hits), both passes joinless-or-thinned; the broadcast
+    * variant's single corpus pass is preferable while the inventory
+    * fits.
     */
   def contaminationFractionsBloom(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int, expectedItems: Long): DataFrame = {
-    val bench = benchmark
+      idCol: String, textCol: String, n: Int,
+      expectedItems: Long = 0L): DataFrame = {
+    val inventory = benchmark
       .select(explode(hashedShingleSet(col(textCol), n)).as("__sh"))
       .distinct()
+    // auto-size: materialize the inventory once (blocks freed by the
+    // ContextCleaner when the plan is GC'd) and count it exactly
+    val bench = if (expectedItems > 0) inventory
+                else inventory.localCheckpoint()
+    val items = if (expectedItems > 0) expectedItems else bench.count()
     // bounded 1-row collect of the serialized sketch (same shape as
-    // Spark's materialized runtime-filter subquery); null only when
+    // Spark's materialized runtime-filter subquery); None only when
     // the benchmark has no rows at all — then nothing can hit
-    val bloomBytes = Option(bench
-      .agg(graft.expressions.BloomSketch.bloomAgg(col("__sh"), expectedItems))
-      .head().getAs[Array[Byte]](0))
+    val bloomBytes =
+      if (items == 0L) None
+      else Option(bench
+        .agg(graft.expressions.BloomSketch.bloomAgg(col("__sh"), items))
+        .head().getAs[Array[Byte]](0))
     val exploded = corpus.select(col(idCol).as("doc_id"),
       explode(hashedShingleSet(col(textCol), n)).as("__sh"))
     val totals = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

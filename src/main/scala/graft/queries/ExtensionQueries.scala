@@ -200,14 +200,18 @@ object ExtensionQueries {
     * the variant for an inventory too big to broadcast. Output is
     * identical by construction (the exact semi-join removes Bloom
     * false positives), so the oracle SQL is shared verbatim with
-    * `x_contamination`.
+    * `x_contamination`. The sketch auto-sizes from an exact count of
+    * the checkpointed inventory (no pinned `expectedItems` — a fixed
+    * 2^22 both tripped the conf-cap warning at every sf and taxed
+    * every sketch-build task with a 4 MB partial buffer for what is a
+    * kilobyte-scale key set at gate sf).
     */
   private def xContaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Dedup.contaminationFractionsBloom(
       docs.where(col("doc_id") % 100 =!= 0),
       docs.where(col("doc_id") % 100 === 0),
-      "doc_id", "text", 5, expectedItems = 1L << 22)
+      "doc_id", "text", 5)
       .where(col("n_hit") > 0)
       .orderBy("doc_id")
   }

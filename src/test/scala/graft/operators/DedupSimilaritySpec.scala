@@ -386,6 +386,14 @@ class DedupSimilaritySpec extends SparkSpec {
       sortedRows(Dedup.contaminationFractions(
         corpus, benchmark, "doc_id", "text", 5)),
       "bloom path must be output-identical to the broadcast path")
+    // auto-sized sketch (exact inventory count, the shipped query's
+    // mode) — identical output, no expectedItems pin
+    assert(
+      sortedRows(Dedup.contaminationFractionsBloom(
+        corpus, benchmark, "doc_id", "text", 5)) ==
+      sortedRows(Dedup.contaminationFractions(
+        corpus, benchmark, "doc_id", "text", 5)),
+      "auto-sized bloom path must be output-identical too")
     // and on the real documents table (the shipped query's split)
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val corp = docs.where($"doc_id" % 100 =!= 0)
@@ -394,10 +402,15 @@ class DedupSimilaritySpec extends SparkSpec {
       sortedRows(Dedup.contaminationFractionsBloom(
         corp, bench, "doc_id", "text", 5, expectedItems = 1L << 16)) ==
       sortedRows(Dedup.contaminationFractions(corp, bench, "doc_id", "text", 5)))
-    // empty benchmark: no hits, no NPE from a null sketch
-    val none = sortedRows(Dedup.contaminationFractionsBloom(
-      corpus, benchmark.limit(0), "doc_id", "text", 5, expectedItems = 16))
-    assert(none.size == 4 && none.forall(r => r._3 == 0 && r._4 == 0.0))
+    // empty benchmark: no hits, no NPE from a null sketch — in both
+    // the pinned and the auto-sized (count()==0) modes
+    for (items <- Seq(16L, 0L)) {
+      val none = sortedRows(Dedup.contaminationFractionsBloom(
+        corpus, benchmark.limit(0), "doc_id", "text", 5,
+        expectedItems = items))
+      assert(none.size == 4 && none.forall(r => r._3 == 0 && r._4 == 0.0),
+        s"expectedItems=$items")
+    }
   }
 
   test("redactPii strips emails and international phones, leaves prose") {
