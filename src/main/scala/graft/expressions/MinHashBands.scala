@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LSH band keys from a hashed shingle set, fused into one array scan.
+  *
+  * Replaces the per-row HOF formulation
+  * `array_min(transform(set, h => seeded(h, i)))` × k followed by
+  * k/rowsPerBand `concat_ws` calls — a chain of 2k+ CodegenFallback
+  * HOF nodes that re-walks the set k times and boxes every
+  * intermediate. Here one pass over the set updates all k seeded
+  * minima (`seeded(h,i) = ((2i+1)·h + 7919·i + 13) mod P`, the same
+  * affine family as [[graft.functions.HashFunctions.seeded]];
+  * elements are md5-mod-P values < 2³⁰ so the products stay < 2⁶³,
+  * overflow-free in both engines), then the band keys are rendered
+  * directly as `"b:s:s"` — byte-identical to
+  * [[graft.operators.Dedup.bandColsFromSigs]]'s `concat_ws` keys, the
+  * ONE band-key definition shared with the batch signing path (pinned
+  * in `StreamingDedupSpec` and `MinHashBandsSpec`).
+  *
+  * Edge parity with the HOF chain it replaces: null elements are
+  * skipped (as `array_min` skips them), and an EMPTY set yields keys
+  * with no signature parts (`"0"`, `"1"`, …) exactly as `concat_ws`
+  * skips the null `array_min` results — such keys can never match a
+  * corpus key (always `"b:…"`), so empty docs pass the near-dup gate.
+  */
+case class MinHashBands(child: Expression, k: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && rowsPerBand >= 1 && k % rowsPerBand == 0,
+    s"k=$k must be a positive multiple of rowsPerBand=$rowsPerBand — a " +
+      "remainder would silently drop the trailing signatures from every band")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashBands.compute(v.asInstanceOf[ArrayData], k, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinHashBands.compute($c, $k, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  private val P = 1000000007L
+
+  // Named `compute`, not `eval`: the case class inherits Expression.eval,
+  // which suppresses scalac's static forwarder — Janino then fails to
+  // resolve the static call and Spark silently falls back to interpreted.
+  def compute(set: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
+    val m = set.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < m) {
+      if (!set.isNullAt(i)) {
+        seen = true
+        val h = set.getLong(i)
+        var s = 0
+        while (s < k) {
+          val v = (h * (2L * s + 1) + (7919L * s + 13)) % P
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val nb = k / rowsPerBand
+    val out = new Array[Any](nb)
+    val sb = new java.lang.StringBuilder(4 + 11 * rowsPerBand)
+    var b = 0
+    while (b < nb) {
+      sb.setLength(0)
+      sb.append(b)
+      if (seen) {
+        var r = 0
+        while (r < rowsPerBand) {
+          sb.append(':').append(mins(b * rowsPerBand + r))
+          r += 1
+        }
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(set: Column, k: Int, rowsPerBand: Int): Column =
+    GraftColumnBridge.column(MinHashBands(
+      GraftColumnBridge.expression(set), k, rowsPerBand))
+}

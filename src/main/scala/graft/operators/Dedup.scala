@@ -195,27 +195,22 @@ object Dedup {
   }
 
   /** The same band keys computed PER ROW from a hashed shingle set —
-    * map-only (`transform`/`array_min` over the set, no explode, no
-    * groupBy), which is what makes it legal on a STREAMING DataFrame:
-    * `min(seeded(h,i))` over an exploded set and
-    * `array_min(transform(set, seeded(_,i)))` are the same number, so
+    * map-only (no explode, no groupBy), which is what makes it legal
+    * on a STREAMING DataFrame: `min(seeded(h,i))` over an exploded set
+    * and the per-row minimum over the same set are the same number, so
     * these keys equal [[bandColsFromSigs]]'s by construction (pinned
-    * in `StreamingDedupSpec`). HOFs skip whole-stage codegen — fine
-    * for micro-batch-sized inputs, use the batch form for corpus-scale
-    * signing.
+    * in `StreamingDedupSpec`). Computed by the fused
+    * [[graft.expressions.MinHashBands]] kernel — one codegen'd array
+    * scan updating all k seeded minima — replacing the former
+    * k×(`transform`+`array_min`) HOF chain, which fell out of
+    * whole-stage codegen and re-walked the set k times per row. A
+    * null set keys like an empty one (`"b"` with no signature parts,
+    * matching `concat_ws`'s null-skip in the HOF form): such keys
+    * never match a corpus key, so contentless docs pass the gate.
     */
-  def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column = {
-    require(k % rowsPerBand == 0,
-      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand — a remainder " +
-        "would silently drop the trailing signatures from every band")
-    val sigs = (0 until k).map { i =>
-      array_min(transform(set, h => graft.functions.HashFunctions.seeded(h, i)))
-    }
-    array((0 until k / rowsPerBand).map { b =>
-      val parts = (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r))
-      concat_ws(":", lit(b) +: parts: _*)
-    }: _*)
-  }
+  def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column =
+    graft.expressions.MinHashBands(
+      coalesce(set, typedLit(Array.empty[Long])), k, rowsPerBand)
 
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
       rowsPerBand: Int): DataFrame = {
