@@ -49,6 +49,16 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hashes: n must be an INT literal, got $other")
       }),
+    ("graft_minhash_bands",
+      info("graft_minhash_bands",
+        "LSH band keys (\"b:s:s\") from a hashed shingle set in one fused " +
+          "scan; args: set array<bigint>, k (int literal), rowsPerBand " +
+          "(int literal), k a multiple of rowsPerBand"),
+      (args: Seq[Expression]) => (args(1).eval(), args(2).eval()) match {
+        case (k: Int, r: Int) => MinHashBands(args.head, k, r)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_bands: k and rowsPerBand must be INT literals, got $other")
+      }),
     ("graft_percentile_cm",
       info("graft_percentile_cm",
         "exact interpolated percentiles of a bounded-cardinality double column " +

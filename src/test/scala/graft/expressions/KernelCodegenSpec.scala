@@ -229,13 +229,16 @@ class KernelCodegenSpec extends SparkSpec {
         |  graft_shingle_hashes(array('a','b','c'), 2) AS sh,
         |  graft_sorted_jaccard(array(1L, 2L), array(2L, 3L)) AS j,
         |  graft_simhash(array(1L, 2L, 3L)) AS s,
-        |  graft_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d
+        |  graft_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |  graft_minhash_bands(array(123456789L, 42L), 4, 2) AS mb
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) == Md5Prefix60.compute("abc".getBytes("UTF-8")))
     assert(row.getString(2) == "en")
     assert(row.getSeq[Long](3).length == 2)
     assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-15)
     assert(row.getDouble(6) == 11.0)
+    assert(row.getSeq[String](7).length == 2 &&
+      row.getSeq[String](7).forall(_.matches("\\d+:\\d+:\\d+")))
   }
 
   private def withCodegenStrict[A](body: => A): A = {
