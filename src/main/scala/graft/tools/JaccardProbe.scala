@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   * a superlinear cand_count curve across sf points convicts the plan;
   * flat-ish cand growth with wall-time swings convicts the box.
   *
-  * Env: PROBE_RUNS (default 2), SPARK_GRAFT_CPUS. Args: one or more
-  * SF dirs, e.g. `runMain graft.tools.JaccardProbe /tmp/sf10 /tmp/sf30`.
+  * Env: PROBE_RUNS (default 2), SPARK_GRAFT_CPUS, PROBE_FLOOR /
+  * PROBE_HOTCAP (index-path forcing, see below), PROBE_IDENTITY=1
+  * (output-identity check between independent index paths — the
+  * correctness evidence at scale points where the DuckDB oracle's
+  * unfiltered inverted-index join is computationally out of reach:
+  * the default sampled-hot path and the exact df-ranked fallback
+  * derive their prefixes from DIFFERENT global orders, so equal
+  * (count, Σ md5-prefix hashsum) over the verified pair outputs is
+  * two independent derivations agreeing, the same rollup contract as
+  * `tools/RollupCheck`). Args: one or more SF dirs, e.g.
+  * `runMain graft.tools.JaccardProbe /tmp/sf10 /tmp/sf30`.
   */
 object JaccardProbe {
   def main(args: Array[String]): Unit = {
@@ -56,15 +65,53 @@ object JaccardProbe {
         f"  2^${r.getLong(0)}%2d  ${r.getLong(1)}%12d  ${r.getDouble(2)}%18.0f"))
     }
 
+    if (sys.env.get("PROBE_IDENTITY").contains("1")) {
+      args.foreach { dir =>
+        val rollups = Seq(
+          ("sampled_hot", 0L, 512),   // floor=0 forces the filter on
+          ("ranked_exact", 0L, -1)    // cap=-1 forces the df-rank path
+        ).map { case (label, floor, cap) =>
+          val docs = graft.core.Tables.documents(spark, dir)
+          val (pairs, sec) = timed {
+            val p = graft.operators.Dedup.ngramJaccardPairs(
+              docs, "doc_id", "text", 5, 0.7, floor, cap)
+            val rendered = p.schema.fieldNames.map(c =>
+              coalesce(col(c).cast("string"), lit("null")))
+            val hashed = conv(
+              substring(md5(concat_ws(":", rendered.toSeq: _*)), 1, 15),
+              16, 10).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            p.agg(count(lit(1)).as("rows"), sum(hashed).as("hashsum")).head()
+          }
+          println(f"dir=$dir path=$label rows=${pairs.getLong(0)} " +
+            f"hashsum=${pairs.getDecimal(1)} sec=$sec%.1f")
+          (pairs.getLong(0), pairs.getDecimal(1))
+        }
+        val verdict = if (rollups.distinct.size == 1) "IDENTICAL" else "MISMATCH"
+        println(s"dir=$dir identity=$verdict")
+      }
+      spark.stop()
+      return
+    }
+
     args.foreach { dir =>
       (1 to runs).foreach { r =>
         val docs = graft.core.Tables.documents(spark, dir)
         val nDocs = docs.count()
         // the builder itself runs eager jobs (docs.count + hot-shingle
         // df aggregate + collect) — time it separately
+        // PROBE_FLOOR / PROBE_HOTCAP override the operator defaults to
+        // force an index path: floor=0 forces the prefix filter on,
+        // hotcap=-1 forces the exact df-ranked fallback (the
+        // hot-list collect is limit(cap+1)=0 rows, 0 <= -1 fails) —
+        // the knob behind the sampled-hot vs ranked crossover
+        // measurement at sf100+ (ranked trades a full df aggregate +
+        // per-doc rank window for minimal-collision prefixes on
+        // vocab-saturated corpora).
+        val floor = sys.env.getOrElse("PROBE_FLOOR", "20000").toLong
+        val hotCap = sys.env.getOrElse("PROBE_HOTCAP", "512").toInt
         val ((cand, sets), buildSec) = timed(
           graft.operators.Dedup.ngramJaccardCandidates(
-            docs, "doc_id", "text", 5, 0.7, 20000L, 512))
+            docs, "doc_id", "text", 5, 0.7, floor, hotCap))
         val (_, setSec) = timed(sets.count())
         val (nCand, candSec) = timed(cand.count())
         val ((nOut, outSec)) = timed(

@@ -17,6 +17,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 sfdir, sql_json, name = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
+# sf100-sized oracles (600M-row lineitem aggregates) exceed the
+# in-memory default; let DuckDB spill rather than OOM
+con.execute("SET temp_directory = '/tmp/duckdb_rollup_spill'")
+con.execute("SET memory_limit = '60GB'")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
