@@ -65,12 +65,17 @@ object JaccardProbe {
         f"  2^${r.getLong(0)}%2d  ${r.getLong(1)}%12d  ${r.getDouble(2)}%18.0f"))
     }
 
-    if (sys.env.get("PROBE_IDENTITY").contains("1")) {
+    // PROBE_IDENTITY=1 runs both paths in one session; at scale points
+    // where one path's shuffle footprint alone approaches local disk
+    // (the ranked leg sorts the full 250M-row df-rank at sf100), run
+    // each leg in its own JVM instead — PROBE_IDENTITY=sampled_hot /
+    // =ranked_exact — and compare the printed rollups by hand.
+    sys.env.get("PROBE_IDENTITY").filter(_ != "").foreach { sel =>
       args.foreach { dir =>
         val rollups = Seq(
           ("sampled_hot", 0L, 512),   // floor=0 forces the filter on
           ("ranked_exact", 0L, -1)    // cap=-1 forces the df-rank path
-        ).map { case (label, floor, cap) =>
+        ).filter(v => sel == "1" || v._1 == sel).map { case (label, floor, cap) =>
           val docs = graft.core.Tables.documents(spark, dir)
           val (pairs, sec) = timed {
             val p = graft.operators.Dedup.ngramJaccardPairs(
@@ -86,8 +91,11 @@ object JaccardProbe {
             f"hashsum=${pairs.getDecimal(1)} sec=$sec%.1f")
           (pairs.getLong(0), pairs.getDecimal(1))
         }
-        val verdict = if (rollups.distinct.size == 1) "IDENTICAL" else "MISMATCH"
-        println(s"dir=$dir identity=$verdict")
+        if (rollups.size > 1) {
+          val verdict =
+            if (rollups.distinct.size == 1) "IDENTICAL" else "MISMATCH"
+          println(s"dir=$dir identity=$verdict")
+        }
       }
       spark.stop()
       return
