@@ -1,9 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,11 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * ONE band-key definition shared with the batch signing path (pinned
   * in `StreamingDedupSpec` and `MinHashBandsSpec`).
   *
+  * Accepts array<int> (the shingle sets' storage type) or
+  * array<bigint> (caller-supplied hash arrays) — elements promote to
+  * int64 before the affine arithmetic, so both produce identical keys
+  * for identical values.
+  *
   * Edge parity with the HOF chain it replaces: null elements are
-  * skipped (as `array_min` skips them), and an EMPTY set yields keys
-  * with no signature parts (`"0"`, `"1"`, …) exactly as `concat_ws`
-  * skips the null `array_min` results — such keys can never match a
-  * corpus key (always `"b:…"`), so empty docs pass the near-dup gate.
+  * skipped (as `array_min` skips them), and an EMPTY or NULL set
+  * yields keys with no signature parts (`"0"`, `"1"`, …) exactly as
+  * `concat_ws` skips the null `array_min` results — such keys can
+  * never match a corpus key (always `"b:…"`), so empty docs pass the
+  * near-dup gate. The null case makes this expression deliberately
+  * NON-null-propagating (`nullable = false`).
   */
 case class MinHashBands(child: Expression, k: Int, rowsPerBand: Int)
     extends UnaryExpression {
@@ -39,18 +48,38 @@ case class MinHashBands(child: Expression, k: Int, rowsPerBand: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands expects array<bigint>, got ${t.catalogString}")
+  override def nullable: Boolean = false
+
+  private def isInt = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
   }
 
-  override def nullSafeEval(v: Any): Any =
-    MinHashBands.compute(v.asInstanceOf[ArrayData], k, rowsPerBand)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<int> or array<bigint>, got ${t.catalogString}")
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.expressions.MinHashBands.compute($c, $k, $rowsPerBand)")
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => MinHashBands.computeEmpty(k, rowsPerBand)
+    case v if isInt =>
+      MinHashBands.computeInt(v.asInstanceOf[ArrayData], k, rowsPerBand)
+    case v => MinHashBands.compute(v.asInstanceOf[ArrayData], k, rowsPerBand)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val m = if (isInt) "computeInt" else "compute"
+    val out = ctx.freshName("bands")
+    ev.copy(isNull = FalseLiteral, code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData $out = ${c.isNull}
+        ? graft.expressions.MinHashBands.computeEmpty($k, $rowsPerBand)
+        : graft.expressions.MinHashBands.$m(${c.value}, $k, $rowsPerBand);
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $out;""")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,7 +91,21 @@ object MinHashBands {
   // Named `compute`, not `eval`: the case class inherits Expression.eval,
   // which suppresses scalac's static forwarder — Janino then fails to
   // resolve the static call and Spark silently falls back to interpreted.
-  def compute(set: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
+  def compute(set: ArrayData, k: Int, rowsPerBand: Int): ArrayData =
+    render(minsOf(set, k, longAt), k, rowsPerBand)
+
+  def computeInt(set: ArrayData, k: Int, rowsPerBand: Int): ArrayData =
+    render(minsOf(set, k, intAt), k, rowsPerBand)
+
+  def computeEmpty(k: Int, rowsPerBand: Int): ArrayData =
+    render(null, k, rowsPerBand)
+
+  private val longAt: (ArrayData, Int) => Long = (a, i) => a.getLong(i)
+  private val intAt: (ArrayData, Int) => Long = (a, i) => a.getInt(i).toLong
+
+  /** All k seeded minima in one pass; null when no non-null element. */
+  private def minsOf(set: ArrayData, k: Int,
+      at: (ArrayData, Int) => Long): Array[Long] = {
     val m = set.numElements()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -71,7 +114,7 @@ object MinHashBands {
     while (i < m) {
       if (!set.isNullAt(i)) {
         seen = true
-        val h = set.getLong(i)
+        val h = at(set, i)
         var s = 0
         while (s < k) {
           val v = (h * (2L * s + 1) + (7919L * s + 13)) % P
@@ -81,6 +124,10 @@ object MinHashBands {
       }
       i += 1
     }
+    if (seen) mins else null
+  }
+
+  private def render(mins: Array[Long], k: Int, rowsPerBand: Int): ArrayData = {
     val nb = k / rowsPerBand
     val out = new Array[Any](nb)
     val sb = new java.lang.StringBuilder(4 + 11 * rowsPerBand)
@@ -88,7 +135,7 @@ object MinHashBands {
     while (b < nb) {
       sb.setLength(0)
       sb.append(b)
-      if (seen) {
+      if (mins != null) {
         var r = 0
         while (r < rowsPerBand) {
           sb.append(':').append(mins(b * rowsPerBand + r))

@@ -7,30 +7,47 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Jaccard similarity of two SORTED, DISTINCT long arrays via a single
-  * merge scan — O(n+m) versus the O(n·m) `array_intersect` lookup
-  * chain, and no intermediate array allocation. Used by the dedup
-  * verifiers on hashed shingle sets.
+/** Jaccard similarity of two SORTED, DISTINCT integer arrays (both
+  * array<int> or both array<bigint>) via a single merge scan — O(n+m)
+  * versus the O(n·m) `array_intersect` lookup chain, and no
+  * intermediate array allocation. Used by the dedup verifiers on
+  * hashed shingle sets (int32 since the sets moved to int32 elements;
+  * the long form remains for caller-supplied hash arrays).
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private def isInt = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_jaccard expects array<bigint>, got ${l.catalogString}/${r.catalogString}")
+        "sorted_jaccard expects both sides array<int> or both " +
+          s"array<bigint>, got ${l.catalogString}/${r.catalogString}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedArrayJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isInt)
+      SortedArrayJaccard.computeInt(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedArrayJaccard.compute(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isInt) "computeInt" else "compute"
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.expressions.SortedArrayJaccard.compute($a, $b)")
+      (a, b) => s"graft.expressions.SortedArrayJaccard.$m($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -50,6 +67,23 @@ object SortedArrayJaccard {
     while (i < n && j < m) {
       val x = a.getLong(i)
       val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  def computeInt(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

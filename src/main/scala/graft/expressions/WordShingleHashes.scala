@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   * Shorter-than-n docs produce one shingle over whatever is there
   * (empty → hash 0), mirroring the index range max(len−n+1, 1).
   *
+  * Output element type is INT32: every hash is in [0, P) ⊂ [0, 2³⁰),
+  * so int32 holds the identical value — and the shingle sets are the
+  * single biggest payload the dedup family shuffles (the sf100 probe
+  * measured the exact-Jaccard verify joins, which move two set arrays
+  * per candidate pair, as the dominant stage). Halving the element
+  * width halves that exchange and the per-doc set cache. Consumers
+  * that do mod-P arithmetic on the elements (the seeded minhash
+  * family) promote to int64 first; the DuckDB oracle keeps computing
+  * BIGINT — equal values, so results stay bit-matched.
+  *
   * Replaces: slice + array_join per shingle + md5-per-shingle — the
   * dominant cost of every shingle-based dedup query.
   */
@@ -31,7 +41,7 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
   // oracle formulation errors on BIGINT overflow
   require(n >= 1 && n <= 5, s"word_shingle_hashes supports n in [1,5], got $n")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -64,14 +74,14 @@ object WordShingleHashes {
       i += 1
     }
     val m = math.max(k - n + 1, 1)
-    val out = new Array[Long](m)
+    val out = new Array[Int](m)
     i = 0
     while (i < m) {
       var acc = 0L
       var j = i
       val end = math.min(i + n, k)
       while (j < end) { acc = acc * 131L + th(j); j += 1 }
-      out(i) = acc % P
+      out(i) = (acc % P).toInt // exact: the residue is in [0, P) < 2^30
       i += 1
     }
     Arrays.sort(out)

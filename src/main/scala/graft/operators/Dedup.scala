@@ -142,14 +142,18 @@ object Dedup {
     val bloomBytes =
       if (items == 0L) None
       else Option(bench
-        .agg(graft.expressions.BloomSketch.bloomAgg(col("__sh"), items))
+        // BloomFilterAggregate/MightContain type-check LONG keys; the
+        // int32 shingle hashes promote losslessly (same value hashes
+        // to the same sketch bits on both sides)
+        .agg(graft.expressions.BloomSketch.bloomAgg(
+          col("__sh").cast("long"), items))
         .head().getAs[Array[Byte]](0))
     val exploded = corpus.select(col(idCol).as("doc_id"),
       explode(hashedShingleSet(col(textCol), n)).as("__sh"))
     val totals = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val prefiltered = bloomBytes match {
       case Some(b) => exploded.where(graft.expressions.BloomSketch.mightContain(
-        graft.expressions.BloomSketch.bloomLit(b), col("__sh")))
+        graft.expressions.BloomSketch.bloomLit(b), col("__sh").cast("long")))
       case None => exploded.limit(0)
     }
     val hits = prefiltered
@@ -209,8 +213,7 @@ object Dedup {
     * never match a corpus key, so contentless docs pass the gate.
     */
   def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column =
-    graft.expressions.MinHashBands(
-      coalesce(set, typedLit(Array.empty[Long])), k, rowsPerBand)
+    graft.expressions.MinHashBands(set, k, rowsPerBand)
 
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int,
       rowsPerBand: Int): DataFrame = {
@@ -386,7 +389,7 @@ object Dedup {
           .where(col("__df") > sampledCut)
           .select(col("__h")).limit(hotBroadcastCap + 1).collect()
         if (hotRows.length <= hotBroadcastCap) {
-          val hot = hotRows.map(_.getLong(0)).sorted
+          val hot = hotRows.map(_.getInt(0)).sorted
           val ordered =
             if (hot.isEmpty) col("__set")
             else concat(array_except(col("__set"), typedLit(hot)),

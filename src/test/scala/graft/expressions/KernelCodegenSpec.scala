@@ -26,7 +26,8 @@ class KernelCodegenSpec extends SparkSpec {
     val want = expr.eval(row)
     (got, want) match {
       case (g: ArrayData, w: ArrayData) =>
-        assert(g.toLongArray().toSeq == w.toLongArray().toSeq)
+        val et = expr.dataType.asInstanceOf[ArrayType].elementType
+        assert(g.toObjectArray(et).toSeq == w.toObjectArray(et).toSeq)
       case (g, w) => assert(g == w)
     }
   }
@@ -234,7 +235,7 @@ class KernelCodegenSpec extends SparkSpec {
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) == Md5Prefix60.compute("abc".getBytes("UTF-8")))
     assert(row.getString(2) == "en")
-    assert(row.getSeq[Long](3).length == 2)
+    assert(row.getSeq[Int](3).length == 2)
     assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-15)
     assert(row.getDouble(6) == 11.0)
     assert(row.getSeq[String](7).length == 2 &&

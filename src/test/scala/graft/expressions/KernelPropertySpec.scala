@@ -67,11 +67,11 @@ class KernelPropertySpec extends AnyFunSuite {
     val tok = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
     check("shingles", Prop.forAll(Gen.listOf(tok), Gen.chooseNum(1, 5)) { (toks, n) =>
       val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
-      val out = WordShingleHashes.compute(arr, n).toLongArray().toSeq
+      val out = WordShingleHashes.compute(arr, n).toIntArray().toSeq
       val expectedMax = math.max(toks.size - n + 1, 1)
       out == out.sorted && out.distinct == out &&
         out.size <= expectedMax && out.nonEmpty &&
-        out.forall(h => h >= 0L && h < 1000000007L)
+        out.forall(h => h >= 0 && h < 1000000007)
     })
   }
 

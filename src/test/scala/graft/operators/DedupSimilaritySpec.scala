@@ -111,7 +111,7 @@ class DedupSimilaritySpec extends SparkSpec {
         .select($"i", $"j").as[(Long, Long)].collect().toSet
     val sets = corpus.select($"doc_id",
         Dedup.hashedShingleSet($"text", 3).as("s"))
-      .as[(Long, Array[Long])].collect()
+      .as[(Long, Array[Int])].collect()
     val brute = (for {
       (i, a) <- sets; (j, b) <- sets if i < j
       inter = a.toSet.intersect(b.toSet).size.toDouble
