@@ -612,4 +612,60 @@ object Dedup {
       .where(col("cos") > threshold)
       .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
   }
+
+  /** Embedding near-dup pairs with IVF-RESIDUAL blocking — the scale
+    * path for CLUSTERED corpora, where raw-vector hyperplane LSH
+    * ([[embeddingDupPairsBucketed]]) hits a wall: a random hyperplane
+    * splits a tight cluster only when it cuts the cluster's cone
+    * (measured ~0.31 effective splits/plane on the 10-cluster corpus),
+    * and [[planesForClustered]] caps at 30 planes — at sf100's 2M
+    * clustered vectors the bucket self-join went superlinear again
+    * (measured 280 s; SCALING.md §sf100). Here each vector is first
+    * assigned to its nearest exemplar centroid (the `nlist` lowest-id
+    * vectors — deterministic and oracle-expressible, the same rule as
+    * [[Similarity.ivfTopK]]), and the hyperplanes bucket the RESIDUAL
+    * v − centroid. Within a cell the residual is cluster noise plus a
+    * constant offset — near-isotropic — so each plane splits ~half the
+    * cell and the UNIFORM [[planesFor]] rule sizes correctly at every
+    * decade; the bucket key is (cell, residual-signs).
+    *
+    * Recall contract: identical vectors share cell (deterministic
+    * cos-then-cell-index tie-break) and residual, hence bucket — exact
+    * duplicates are never missed. Near-dups below cos 1.0 can straddle
+    * a cell or plane boundary, the LSH trade-off, tunable via
+    * nlist/nPlanes. Verification is exact cosine on the ORIGINAL
+    * vectors; spurious candidates cost time, never correctness.
+    *
+    * Cost: assignment is one map-side pass (nlist·dim mults per row,
+    * [[graft.expressions.RankedCentroidCells]]); the pair join is an
+    * equi-join on the (cell, signs) key — Σ bucket² with ~nlist·2ⁿᴾ
+    * buckets that keep subdividing as planes grow, because residual
+    * splits don't decay the way raw-vector splits do.
+    */
+  def embeddingDupPairsResidual(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val cents = Similarity.exemplarCentroids(emb, idCol, vecCol, nlist)
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cell", "__cv")
+    val n = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nsq", V.normSq(col("__v")))
+      .withColumn("__cell", element_at(
+        graft.expressions.RankedCentroidCells.ranked(
+          col("__v"), col("__nsq"), cents), 1)("cell"))
+      .join(broadcast(centsDf), Seq("__cell"))
+      .withColumn("__rv",
+        zip_with(V.asDouble(col("__v")), col("__cv"), (x, c) => x - c))
+      .withColumn("__bucket", concat_ws(":", col("__cell"),
+        Similarity.hyperplaneBucket(col("__rv"), planes)))
+      .select(col("__id"), col("__v"), col("__nsq"), col("__bucket"))
+    n.as("a").join(n.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .withColumn("cos", V.cosinePrenormed(
+        V.dot(col("a.__v"), col("b.__v")), col("a.__nsq"), col("b.__nsq")))
+      .where(col("cos") > threshold)
+      .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
+  }
 }

@@ -308,6 +308,31 @@ object ExtensionQueries {
       .orderBy("i", "j")
   }
 
+  /** The IVF-residual variant of [[xDedupEmbedding]] — same planted
+    * signal, same verified output contract, but blocking via
+    * [[Dedup.embeddingDupPairsResidual]]: nearest-exemplar cell +
+    * hyperplane signs of the RESIDUAL. On clustered corpora the
+    * raw-vector planes stop splitting (the sf100 probe measured the
+    * bucketed path at 280 s; the clustered sizing rule caps at 30
+    * planes), while residual splits stay ~50%/plane, so the UNIFORM
+    * [[Dedup.planesFor]] rule applies — sized per run from the corpus
+    * count over the per-cell share, recorded in [[embIvfPlanes]] for
+    * the oracle. The two queries are deliberately BOTH kept: bucketed
+    * is simpler and fine through ~sf30; residual is the next decade.
+    */
+  private def xDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val planes = Dedup.planesFor(
+      math.max(1L, src.count() / EmbIvfNlist))
+    embIvfPlanes = planes
+    Dedup.embeddingDupPairsResidual(src, "vec_id", "embedding", 0.95,
+      EmbIvfNlist, planes, 64)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .orderBy("i", "j")
+  }
+
   /** Duplicate clusters: connected components over the minhash pair
     * graph, min-id survivor per component (what a pipeline drops).
     */
@@ -443,6 +468,20 @@ object ExtensionQueries {
     */
   @volatile private var embDedupPlanes: Int = 24
 
+  /** Cell count for the IVF-residual embedding dedup — a literal on
+    * both sides (the oracle's `LIMIT` and the operator's exemplar
+    * count must agree).
+    */
+  private val EmbIvfNlist = 32
+
+  /** Residual-plane count, sized per run by [[xDedupEmbeddingIvf]]
+    * via the UNIFORM `Dedup.planesFor` rule over the per-cell row
+    * share (residuals are near-isotropic, so the uniform rule holds —
+    * the whole point of the residual variant). Same carry mechanism
+    * as [[embDedupPlanes]].
+    */
+  @volatile private var embIvfPlanes: Int = 4
+
   private def bucketSql(v: String, nPlanes: Int = 4): String =
     (0 until nPlanes).map { h =>
       s"""(CASE WHEN list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
@@ -471,6 +510,7 @@ object ExtensionQueries {
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_dedup_clusters" -> (xDedupClusters _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
+    "x_dedup_embedding_ivf" -> (xDedupEmbeddingIvf _),
     "x_sim_topk_brute" -> (xSimTopkBrute _),
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
@@ -647,6 +687,39 @@ object ExtensionQueries {
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
          |bk AS (SELECT vec_id, v, nsq, ${bucketSql("v", embDedupPlanes)} AS bucket FROM nn),
+         |p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    ${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cs
+         |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND a.bucket = b.bucket)
+         |SELECT i, j, round(cs, 6) AS cos FROM p WHERE cs > 0.95 ORDER BY i, j""".stripMargin),
+
+    "x_dedup_embedding_ivf" ->
+      ("""WITH e0 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
+         |nn AS (SELECT vec_id, v, """.stripMargin
+        + dotSql("v", "v") + s""" AS nsq FROM e),
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv, nsq AS cn
+         |  FROM nn ORDER BY vec_id LIMIT $EmbIvfNlist),
+         |asg0 AS (
+         |  SELECT n.vec_id, n.v, n.nsq, c.cell, c.cv,
+         |    ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cn)) AS cs
+         |  FROM nn n CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS crk
+         |  FROM asg0),
+         |rb AS (
+         |  SELECT vec_id, v, nsq, cell,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS rv
+         |  FROM asg WHERE crk = 1),
+         |bk AS (
+         |  SELECT vec_id, v, nsq,
+         |    CAST(cell AS VARCHAR) || ':' || CAST(${bucketSql("rv", embIvfPlanes)} AS VARCHAR) AS bucket
+         |  FROM rb),
          |p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
          |    ${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cs

@@ -45,6 +45,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq.contains((3L, 103L)), s"planted exact dup lost: ${pairs.toSeq}")
   }
 
+  test("residual-IVF embedding dedup: exact dups never lost, output exact-verified") {
+    // 3 tight clusters of 8-dim vectors + one planted exact duplicate;
+    // residual blocking must (a) keep the planted pair under an
+    // aggressive plane count (same cell by deterministic tie-break,
+    // same residual ⇒ same bucket), (b) emit ONLY pairs the brute
+    // verifier confirms (candidates are a subset of all pairs; the
+    // exact-cos filter makes false positives impossible)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.tabulate(3)(c => Seq.tabulate(8)(j => (c * 3 + j).toDouble))
+    val e = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val withDup = e.unionByName(
+      e.where($"vec_id" === 5L).select(($"vec_id" + 100).as("vec_id"), $"embedding"))
+    val got = Dedup.embeddingDupPairsResidual(withDup, "vec_id", "embedding",
+        0.9999, nlist = 6, nPlanes = 12, dim = 8)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(got.contains((5L, 105L)), s"planted exact dup lost: $got")
+    val brute = Dedup.embeddingDupPairsBrute(withDup, "vec_id", "embedding", 0.9999)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), s"unverified pair leaked: ${got -- brute}")
+  }
+
   test("minhash-LSH finds exact and near dups, not unrelated pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
