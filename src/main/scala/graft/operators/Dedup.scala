@@ -591,6 +591,26 @@ object Dedup {
     math.min(30, math.ceil(uniform / splitEfficiency).toInt)
   }
 
+  /** Plane count for RESIDUAL bucketing ([[embeddingDupPairsResidual]]):
+    * `cellRows` is the per-cell share (corpus / nlist). Residuals are
+    * cluster noise plus a constant (center − exemplar) offset, so a
+    * plane whose normal aligns with the offset assigns the whole
+    * sub-cluster one sign and splits nothing — measured 0.63 effective
+    * splits/plane at sf100 (2^6.3 effective buckets from 10 planes,
+    * from the probe's Σ bucket² = 1.7B over 32×64k-row cells). Better
+    * than raw vectors' 0.31 (the offset is exemplar-to-center,
+    * ~noise-sized, not center-to-origin) but short of the uniform
+    * rule's 1.0 — so divide by 0.6, same shape as
+    * [[planesForClustered]]. Oversizing costs sub-1.0 near-dup recall,
+    * never exact-dup recall or correctness.
+    */
+  def planesForResidual(cellRows: Long, targetBucketRows: Long = 64L,
+      splitEfficiency: Double = 0.6): Int = {
+    require(splitEfficiency > 0 && splitEfficiency <= 1)
+    val uniform = planesFor(cellRows, targetBucketRows)
+    math.min(30, math.ceil(uniform / splitEfficiency).toInt)
+  }
+
   /** Embedding near-dup pairs with hyperplane-LSH bucket prefiltering —
     * the scale path: the pair join is an equi-join on the bucket id,
     * so cost is Σ bucket² instead of n². Exact duplicates always share
@@ -613,21 +633,28 @@ object Dedup {
       .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
   }
 
-  /** Embedding near-dup pairs with IVF-RESIDUAL blocking — the scale
-    * path for CLUSTERED corpora, where raw-vector hyperplane LSH
-    * ([[embeddingDupPairsBucketed]]) hits a wall: a random hyperplane
-    * splits a tight cluster only when it cuts the cluster's cone
-    * (measured ~0.31 effective splits/plane on the 10-cluster corpus),
-    * and [[planesForClustered]] caps at 30 planes — at sf100's 2M
-    * clustered vectors the bucket self-join went superlinear again
-    * (measured 280 s; SCALING.md §sf100). Here each vector is first
-    * assigned to its nearest exemplar centroid (the `nlist` lowest-id
-    * vectors — deterministic and oracle-expressible, the same rule as
+  /** Embedding near-dup pairs with IVF-RESIDUAL blocking — the
+    * alternative blocking for CLUSTERED corpora, where raw-vector
+    * hyperplane LSH ([[embeddingDupPairsBucketed]]) loses split
+    * efficiency: a random hyperplane splits a tight cluster only when
+    * it cuts the cluster's cone (measured ~0.31 effective
+    * splits/plane on the 10-cluster corpus), and
+    * [[planesForClustered]] caps at 30 planes — one more decade of
+    * cluster density past that cap and raw-plane bucket mass goes
+    * quadratic with no knob left. Here each vector is first assigned
+    * to its nearest exemplar centroid (the `nlist` lowest-id vectors
+    * — deterministic and oracle-expressible, the same rule as
     * [[Similarity.ivfTopK]]), and the hyperplanes bucket the RESIDUAL
-    * v − centroid. Within a cell the residual is cluster noise plus a
-    * constant offset — near-isotropic — so each plane splits ~half the
-    * cell and the UNIFORM [[planesFor]] rule sizes correctly at every
-    * decade; the bucket key is (cell, residual-signs).
+    * v − centroid. Residual splits are offset-limited rather than
+    * cone-limited: measured 0.63 effective splits/plane at sf100
+    * (vs 0.31 raw) — size with [[planesForResidual]]. The bucket key
+    * is (cell, residual-signs), and nlist is a second independent
+    * knob raw LSH lacks. Measured at sf100 (2M vectors, 10 tight
+    * clusters, both paths on the fused
+    * [[graft.expressions.HyperplaneSignBits]] kernel): raw-bucketed
+    * 9.0 s, residual 17.6 s — on THIS corpus raw planes still split
+    * well enough to win; the residual form is the escape hatch for
+    * corpora where they don't (SCALING.md §sf100).
     *
     * Recall contract: identical vectors share cell (deterministic
     * cos-then-cell-index tie-break) and residual, hence bucket — exact

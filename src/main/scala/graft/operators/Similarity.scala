@@ -38,13 +38,16 @@ object Similarity {
       }
     }
 
-  /** LSH bucket id: bit h = (v · plane_h ≥ 0). Pure column fold —
-    * codegen'd, no UDF, no shuffle.
+  /** LSH bucket id: bit h = (v · plane_h ≥ 0), all planes in one
+    * fused kernel call ([[graft.expressions.HyperplaneSignBits]]).
+    * The former `when(dot(v, typedLit(p)) >= 0, …)` chain inlined
+    * nPlanes × dim literals into the stage and pushed it past the
+    * JIT's bytecode ceiling at 30 × 64 — the whole stage ran
+    * interpreted (sf100 probe: 235 s for a 2M-row scan worth
+    * seconds). Bit-identical per-plane left-fold double math.
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, h) =>
-      when(V.dot(vec, typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.expressions.HyperplaneSignBits(vec, planes)
 
   private def ranked(pairs: DataFrame, k: Int): DataFrame =
     pairs.withColumn("__rk", row_number().over(

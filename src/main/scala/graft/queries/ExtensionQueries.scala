@@ -311,20 +311,22 @@ object ExtensionQueries {
   /** The IVF-residual variant of [[xDedupEmbedding]] — same planted
     * signal, same verified output contract, but blocking via
     * [[Dedup.embeddingDupPairsResidual]]: nearest-exemplar cell +
-    * hyperplane signs of the RESIDUAL. On clustered corpora the
-    * raw-vector planes stop splitting (the sf100 probe measured the
-    * bucketed path at 280 s; the clustered sizing rule caps at 30
-    * planes), while residual splits stay ~50%/plane, so the UNIFORM
-    * [[Dedup.planesFor]] rule applies — sized per run from the corpus
-    * count over the per-cell share, recorded in [[embIvfPlanes]] for
-    * the oracle. The two queries are deliberately BOTH kept: bucketed
-    * is simpler and fine through ~sf30; residual is the next decade.
+    * hyperplane signs of the RESIDUAL, planes sized per run by
+    * [[Dedup.planesForResidual]] over the per-cell share and recorded
+    * in [[embIvfPlanes]] for the oracle. Both queries are deliberately
+    * kept: on this corpus raw-vector planes still split well enough
+    * that the bucketed path wins (sf100: 9.0 s vs 17.6 s, both on the
+    * fused sign-bits kernel), but raw split efficiency decays with
+    * cluster tightness and caps at 30 planes — the residual form adds
+    * the nlist knob and keeps splitting one regime further. The sf100
+    * probe that motivated and then re-measured all this is in
+    * SCALING.md §sf100.
     */
   private def xDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val planes = Dedup.planesFor(
+    val planes = Dedup.planesForResidual(
       math.max(1L, src.count() / EmbIvfNlist))
     embIvfPlanes = planes
     Dedup.embeddingDupPairsResidual(src, "vec_id", "embedding", 0.95,

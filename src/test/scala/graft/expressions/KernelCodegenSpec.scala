@@ -220,6 +220,30 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneSignBits compiles, matches interpreted, and matches the when-chain") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val planes = graft.operators.Similarity.hyperplanes(30, 8)
+    val e = HyperplaneSignBits(
+      BoundReference(0, ArrayType(FloatType, containsNull = false),
+        nullable = true), planes)
+    val vec = ArrayData.toArrayData(Array(0.3f, -0.7f, 0.2f, 0.9f, -0.1f, 0.0f, 1.5f, -2.0f))
+    compiledVsInterpreted(e, InternalRow(vec))
+    // bit-identical to the literal when-chain it replaced
+    import spark.implicits._
+    val df = (0L until 50L)
+      .map(i => (i, Seq.tabulate(8)(j => ((i * 13 + j * 7) % 17 - 8).toFloat / 5)))
+      .toDF("id", "v")
+    val legacy = planes.zipWithIndex.map { case (p, h) =>
+      when(V.dot(col("v"), typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mismatches = df.select(
+        graft.operators.Similarity.hyperplaneBucket(col("v"), planes).as("k"),
+        legacy.as("l"))
+      .where(col("k") =!= col("l")).count()
+    assert(mismatches == 0L)
+  }
+
   test("all kernels reachable through the SQL surface (GraftExtensions)") {
     GraftExtensions.register(spark)
     val row = spark.sql(
