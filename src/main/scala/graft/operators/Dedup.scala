@@ -277,10 +277,22 @@ object Dedup {
       n: Int = 5, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, n)
-    val sigs = minhashSignatures(sets, k)
-    materializeAndRelease(
-      jaccardVerify(lshCandidates(sigs, "__sid", k, rowsPerBand), sets, threshold),
-      sets)
+    // Band keys come from the fused per-row kernel ([[rowBandArray]] →
+    // MinHashBands): one map-only array scan per doc. This replaced
+    // the explode + 8-min-aggregate signature build
+    // ([[minhashSignatures]] + [[lshCandidates]], kept as the
+    // documented alternates) — same keys by the pinned
+    // min-over-explode ≡ per-row-min identity, minus the signature
+    // groupBy exchange, which at corpus scale is a whole stage
+    // barrier spent deriving what a map can compute.
+    val banded = sets.select(col("__sid"),
+      explode(rowBandArray(col("__set"), k, rowsPerBand)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.__sid") < col("b.__sid"))
+      .select(col("a.__sid").as("i"), col("b.__sid").as("j"))
+      .distinct()
+    materializeAndRelease(jaccardVerify(cand, sets, threshold), sets)
   }
 
   /** Blocking-based n-gram Jaccard dedup (no minhash): candidates are

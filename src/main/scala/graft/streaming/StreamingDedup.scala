@@ -46,25 +46,26 @@ object StreamingDedup {
   /** Static near-dup index over the corpus: one row per (corpus_id,
     * band), carrying the doc's full band array and hashed shingle set
     * for the pair-dedup predicate and the exact-Jaccard confirm in
-    * [[nearDupFlags]]. Built with the batch signing path
-    * (codegen'd explode + groupBy-min, corpus-scale friendly), then
-    * banded via [[Dedup.bandColsFromSigs]] — the same key definition
-    * the streaming side computes per row, so keys match by
-    * construction. Materialize this to the lake and refresh on corpus
-    * compaction; a stream reads it as plain static input.
+    * [[nearDupFlags]]. Signed with the SAME fused per-row kernel the
+    * streaming side uses ([[Dedup.rowBandArray]] → `MinHashBands`, a
+    * single map-only array scan — no signature groupBy, no
+    * sigs-to-sets join), so index and stream keys are identical by
+    * construction; the kernel's parity with the min-over-explode
+    * batch derivation is pinned in `MinHashBandsSpec`. A contentless
+    * (null-text) corpus doc now gets signature-less keys (`"b"`)
+    * instead of vanishing from the index — it can collide only with
+    * another contentless doc, and the exact-Jaccard confirm scores
+    * that pair 0.0, so flag output is unchanged. Materialize this to
+    * the lake and refresh on corpus compaction; a stream reads it as
+    * plain static input.
     */
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sets = corpus.select(col(idCol).as("__sid"),
-      Dedup.hashedShingleSet(col(textCol), n).as("__set"))
-    val sigs = Dedup.minhashSignatures(sets, k)
-      .withColumn("__cbands",
-        array(Dedup.bandColsFromSigs(k, rowsPerBand): _*))
-      .select(col("__sid"), col("__cbands"))
-    sigs.join(sets, Seq("__sid"))
-      .select(col("__sid").as("corpus_id"), col("__set").as("__cset"),
-        col("__cbands"), explode(col("__cbands")).as("band"))
-  }
+      n: Int = 5, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+        Dedup.hashedShingleSet(col(textCol), n).as("__cset"))
+      .withColumn("__cbands", Dedup.rowBandArray(col("__cset"), k, rowsPerBand))
+      .select(col("corpus_id"), col("__cset"), col("__cbands"),
+        explode(col("__cbands")).as("band"))
 
   /** Near-dup flags for a streaming batch of documents against a
     * [[corpusIndex]]: emits ONE row per (incoming doc, corpus doc)
