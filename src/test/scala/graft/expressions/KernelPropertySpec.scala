@@ -75,6 +75,44 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinHashBands: every key equals the per-band reference mins") {
+    val P = 1000000007L
+    val elem = Gen.chooseNum(0L, P - 1)
+    val params = for {
+      rpb <- Gen.oneOf(1, 2, 4)
+      bands <- Gen.chooseNum(1, 4)
+    } yield (bands * rpb, rpb)
+    check("minhashbands", Prop.forAll(Gen.listOf(elem), params) {
+      case (xs, (k, rpb)) =>
+        val got = MinHashBands.compute(ArrayData.toArrayData(xs.toArray), k, rpb)
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        val mins = (0 until k).map(i =>
+          xs.map(h => (h * (2L * i + 1) + (7919L * i + 13)) % P)
+            .minOption)
+        val want = (0 until k / rpb).map { b =>
+          (b.toString +: (0 until rpb).flatMap(r =>
+            mins(b * rpb + r).map(_.toString))).mkString(":")
+        }
+        got == want
+    })
+  }
+
+  test("HyperplaneSignBits equals a plain fold over each plane") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f))
+    val planes = graft.operators.Similarity.hyperplanes(13, 8)
+    val pm = planes.map(_.toArray).toArray
+    check("signbits", Prop.forAll(vec) { v =>
+      val got = HyperplaneSignBits.compute(
+        ArrayData.toArrayData(v.toArray), pm, isFloat = true)
+      val want = planes.zipWithIndex.map { case (p, h) =>
+        val dot = v.zip(p).foldLeft(0.0) { case (a, (x, c)) => a + x.toDouble * c }
+        if (dot >= 0) 1L << h else 0L
+      }.sum
+      got == want
+    })
+  }
+
   test("LangGuess: CJK wins outright, empty is und, decision is total") {
     check("langguess", Prop.forAll(Gen.asciiPrintableStr) { s =>
       val out = LangGuess.compute(s)
