@@ -18,9 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOF nodes that re-walks the set k times and boxes every
   * intermediate. Here one pass over the set updates all k seeded
   * minima (`seeded(h,i) = ((2i+1)·h + 7919·i + 13) mod P`, the same
-  * affine family as [[graft.functions.HashFunctions.seeded]];
-  * elements are md5-mod-P values < 2³⁰ so the products stay < 2⁶³,
-  * overflow-free in both engines), then the band keys are rendered
+  * affine family as [[graft.functions.HashFunctions.seeded]]).
+  * Internal callers feed md5-mod-P elements < 2³⁰, for which the
+  * affine products stay < 2⁶³ directly; elements outside [0, P) —
+  * possible only via the SQL surface's caller-supplied bigint
+  * arrays — are first reduced mod P (floorMod, so negatives land in
+  * [0, P) too), which keeps the arithmetic overflow-free for the
+  * full int64 domain. A DuckDB oracle reproducing the raw affine
+  * formula matches byte-for-byte on the internal < 2³⁰ domain;
+  * out-of-domain bigint callers must apply the same `((h % P) + P)
+  * % P` pre-reduction on the oracle side. Band keys are rendered
   * directly as `"b:s:s"` — byte-identical to
   * [[graft.operators.Dedup.bandColsFromSigs]]'s `concat_ws` keys, the
   * ONE band-key definition shared with the batch signing path (pinned
@@ -114,7 +121,13 @@ object MinHashBands {
     while (i < m) {
       if (!set.isNullAt(i)) {
         seen = true
-        val h = at(set, i)
+        val h0 = at(set, i)
+        // Elements are md5-mod-P values < 2³⁰ on every internal path,
+        // so this branch is never taken there; it makes the SQL
+        // surface (graft_minhash_bands over caller-supplied bigint
+        // arrays) total — without it, h near 2⁶³ overflows the affine
+        // products into negative minima and keys like "0:-123".
+        val h = if (h0 >= 0L && h0 < P) h0 else java.lang.Math.floorMod(h0, P)
         var s = 0
         while (s < k) {
           val v = (h * (2L * s + 1) + (7919L * s + 13)) % P

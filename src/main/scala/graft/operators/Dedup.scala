@@ -209,8 +209,13 @@ object Dedup {
     * k×(`transform`+`array_min`) HOF chain, which fell out of
     * whole-stage codegen and re-walked the set k times per row. A
     * null set keys like an empty one (`"b"` with no signature parts,
-    * matching `concat_ws`'s null-skip in the HOF form): such keys
-    * never match a corpus key, so contentless docs pass the gate.
+    * matching `concat_ws`'s null-skip in the HOF form). Since
+    * [[graft.streaming.StreamingDedup.corpusIndex]] signs with this
+    * same kernel, a contentless corpus doc carries the identical
+    * signature-less keys, so contentless docs CAN band-collide — but
+    * only with each other, and the exact-Jaccard verify discards the
+    * pair (null sets null-propagate through the Jaccard score and the
+    * `>= threshold` filter rejects null), so they are never flagged.
     */
   def rowBandArray(set: Column, k: Int, rowsPerBand: Int): Column =
     graft.expressions.MinHashBands(set, k, rowsPerBand)

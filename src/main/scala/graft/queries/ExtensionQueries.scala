@@ -293,8 +293,10 @@ object ExtensionQueries {
     * hitting the fixed-count cliff (24 planes was right at sf10's 204k
     * rows and would go quadratic again one decade later). The computed
     * count is recorded in [[embDedupPlanes]] for [[oracles]] to emit
-    * the identical prefilter. The count job is a columnar parquet
-    * row-count — metadata-cheap at any scale.
+    * the identical prefilter. The count job scans only the `vec_id`
+    * column (the union's filtered leg forces a real scan, not a
+    * footer-metadata count) — cheap relative to the dedup itself, a
+    * single-int-column pass at any scale.
     */
   private def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -477,10 +479,12 @@ object ExtensionQueries {
   private val EmbIvfNlist = 32
 
   /** Residual-plane count, sized per run by [[xDedupEmbeddingIvf]]
-    * via the UNIFORM `Dedup.planesFor` rule over the per-cell row
-    * share (residuals are near-isotropic, so the uniform rule holds —
-    * the whole point of the residual variant). Same carry mechanism
-    * as [[embDedupPlanes]].
+    * via [[graft.operators.Dedup.planesForResidual]] over the
+    * per-cell row share — the uniform rule divided by the measured
+    * 0.63 splits/plane (residuals are MORE isotropic than raw
+    * clustered vectors, but the exemplar-to-center offset still
+    * wastes some planes, so the uniform rule alone undersizes). Same
+    * carry mechanism as [[embDedupPlanes]].
     */
   @volatile private var embIvfPlanes: Int = 4
 

@@ -54,10 +54,19 @@ object StreamingDedup {
     * batch derivation is pinned in `MinHashBandsSpec`. A contentless
     * (null-text) corpus doc now gets signature-less keys (`"b"`)
     * instead of vanishing from the index — it can collide only with
-    * another contentless doc, and the exact-Jaccard confirm scores
-    * that pair 0.0, so flag output is unchanged. Materialize this to
+    * another contentless doc, and the confirm drops that pair: a null
+    * `__cset`/`__dset` null-propagates through `SortedArrayJaccard`,
+    * and the `>= threshold` filter rejects a null score (an
+    * empty-but-non-null set pair scores 0.0 and is rejected the same
+    * way), so flag output is unchanged. Materialize this to
     * the lake and refresh on corpus compaction; a stream reads it as
-    * plain static input.
+    * plain static input. MIGRATION: indexes materialized before the
+    * int32 shingle-set change carry `array<bigint>` `__cset`, and a
+    * new stream's `array<int>` `__dset` fails `SortedArrayJaccard`'s
+    * both-int-or-both-long type check at analysis time (loud, not
+    * wrong) — rebuild such indexes, or
+    * `cast(__cset as array<int>)` on read (lossless: every stored
+    * hash is < 2³⁰).
     */
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 8, rowsPerBand: Int = 2): DataFrame =

@@ -46,10 +46,14 @@ object BandKernelBench {
       }: _*)
     }
     val set = Dedup.hashedShingleSet(col("text"), 5)
-    // count() over a non-trivial reduction of the keys so neither
-    // variant can be pruned away by the optimizer
+    // Drain over EVERY band key: element_at(__b, 1) would let
+    // SimplifyExtractValueOps prune the HOF leg's CreateArray down to
+    // band 0 only (2 of k sigs computed), understating HOF cost ~4×
+    // while the fused kernel always computes all bands. aggregate()
+    // over the whole array forces every element of both variants.
     def drain(df: DataFrame): Long =
-      df.select(sum(length(element_at(col("__b"), 1)))).head().getLong(0)
+      df.select(sum(aggregate(col("__b"), lit(0L),
+        (acc, x) => acc + length(x)))).head().getLong(0)
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "fused" -> (() => docs.select(Dedup.rowBandArray(set, k, rpb).as("__b"))),
       "hof" -> (() => docs.select(hofBands(set).as("__b"))))

@@ -35,7 +35,10 @@ object EmbDedupProbe {
       val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val nRows = src.count()
-      val resPlanes = Dedup.planesFor(math.max(1L, nRows / nlist))
+      // Same sizing rule as the shipped xDedupEmbeddingIvf query —
+      // probing at a different plane count than production would
+      // publish timings the query never runs at.
+      val resPlanes = Dedup.planesForResidual(math.max(1L, nRows / nlist))
       val rawPlanes = Dedup.planesForClustered(nRows)
       (1 to runs).foreach { r =>
         // residual path, staged

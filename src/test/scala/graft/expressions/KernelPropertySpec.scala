@@ -98,6 +98,25 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinHashBands reduces out-of-domain bigint elements mod P first") {
+    // The SQL surface (graft_minhash_bands) accepts caller-supplied
+    // bigint arrays; elements outside [0, P) are floorMod-reduced
+    // before the affine map, so keys are total (never negative) and
+    // equal those of the pre-reduced input.
+    val P = 1000000007L
+    val elem = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    check("minhashbands-oob", Prop.forAll(Gen.listOf(elem)) { xs =>
+      val got = MinHashBands.compute(ArrayData.toArrayData(xs.toArray), 4, 2)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val reduced = xs.map(h => java.lang.Math.floorMod(h, P))
+      val want = MinHashBands.compute(ArrayData.toArrayData(reduced.toArray), 4, 2)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == want && got.forall(!_.contains("-"))
+    })
+  }
+
   test("HyperplaneSignBits equals a plain fold over each plane") {
     val vec = Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f))
     val planes = graft.operators.Similarity.hyperplanes(13, 8)
