@@ -202,6 +202,110 @@ object Multimodal {
     }
   }
 
+  // ---- audio --------------------------------------------------------------
+
+  /** Decoded audio metadata contract. `n_samples` is per-channel frames
+    * COUNTED from the decoded stream (never trusted from the header);
+    * `peak` is max |amplitude| normalized to [0, 1]; `codec` names the
+    * source encoding (`PCM_SIGNED`, `ULAW`, …) or `"stub"` when the
+    * payload fell back to the deterministic fake.
+    */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+      channels: Long, n_samples: Long, duration_ms: Long, peak: Double,
+      codec: String, content_md5: String)
+
+  /** Pluggable audio codec boundary — same shape as [[MediaDecoder]]:
+    * one instance per partition, rows stream through it.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): AudioMeta
+  }
+
+  /** STUB: deterministic fake audio decode, md5-derived like
+    * [[StubDecoder]] so it is oracle-expressible: sample rate from a
+    * fixed 4-rate palette, 1–2 channels, one "sample" per payload
+    * byte. Doubles here divide integers < 2⁵³, exact on both engines.
+    */
+  object StubAudioDecoder extends AudioDecoder {
+    override def decode(id: Long, payload: Array[Byte]): AudioMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val sr = Array(8000L, 16000L, 22050L, 44100L)((h % 4).toInt)
+      val nSamples = payload.length.toLong
+      AudioMeta(id, payload.length.toLong, sr, h % 2 + 1, nSamples,
+        nSamples * 1000L / sr, (h % 1000).toDouble / 1000.0, "stub", hex)
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — WAV/AIFF/AU
+    * containers with PCM (and the JDK-built-in ULAW/ALAW) payloads,
+    * zero external dependencies. Everything is normalized through a
+    * 16-bit signed little-endian conversion stream, so peak and frame
+    * count come from DECODED samples: a header lying about its frame
+    * length changes nothing (frames are counted at read time), and the
+    * byte budget is bounded by the in-memory payload (PCM conversion
+    * is ≤2× the compressed ULAW/ALAW size). Non-audio or unsupported
+    * payloads fall back to [[StubAudioDecoder]] per row — the same
+    * degrade-don't-die contract as [[ImageIoDecoder]]. Formats the JDK
+    * can't read (MP3/OGG/FLAC) take the stub path; the conversion call
+    * below is the plug point for an FFmpeg/JNI binding.
+    */
+  object JavaSoundDecoder extends AudioDecoder {
+    override def decode(id: Long, payload: Array[Byte]): AudioMeta = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val src = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = src.getFormat
+          val target = new AudioFormat(
+            f.getSampleRate, 16, f.getChannels, true, false)
+          val pcm = if (f.matches(target)) src
+            else AudioSystem.getAudioInputStream(target, src)
+          val channels = f.getChannels
+          val buf = new Array[Byte](1 << 16)
+          var peakAbs = 0
+          var totalBytes = 0L
+          var n = pcm.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) { // 16-bit LE pairs
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
+              val a = math.abs(s)
+              if (a > peakAbs) peakAbs = a
+              i += 2
+            }
+            totalBytes += n
+            n = pcm.read(buf)
+          }
+          val frames = totalBytes / (2L * channels)
+          val sr = math.round(f.getSampleRate.toDouble)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          AudioMeta(id, payload.length.toLong, sr, channels.toLong, frames,
+            if (sr == 0) 0L else frames * 1000L / sr,
+            math.min(1.0, peakAbs.toDouble / 32768.0),
+            f.getEncoding.toString, hex)
+        } finally src.close()
+      } catch {
+        // UnsupportedAudioFileException (not audio), IAE (no converter
+        // for the encoding), EOF/corrupt-header IOExceptions
+        case scala.util.control.NonFatal(_) => StubAudioDecoder.decode(id, payload)
+      }
+    }
+  }
+
+  /** Distributed audio decode through the codec boundary — identical
+    * shape to [[decodeBatch]]: mapPartitions, one decoder per
+    * partition, no collect.
+    */
+  def decodeAudioBatch(rows: Dataset[MediaRow], decoder: AudioDecoder)(
+      implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it => it.map(r => decoder.decode(r.doc_id, r.payload)) }
+  }
+
   /** Attach a binary payload column (here: utf8 bytes of a text column
     * standing in for real media bytes).
     */

@@ -404,6 +404,29 @@ object ExtensionQueries {
         md5(col("fr")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Audio metadata through the REAL distributed decode path
+    * ([[Multimodal.decodeAudioBatch]] + [[Multimodal.JavaSoundDecoder]]
+    * — mapPartitions, one decoder per partition): text bytes are not a
+    * WAV/AIFF container, so every row exercises the decoder's
+    * per-row fallback into the md5-derived stub, which is what makes
+    * the output DuckDB-expressible. Real-bytes decode (true sample
+    * rate / frames / peak from generated WAV + AIFF PCM) is pinned in
+    * `SaltingMultimodalSpec`.
+    */
+  private def xMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val rows = Multimodal.withBinaryPayload(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", "payload")
+      .select(col("doc_id"), col("payload")).as[Multimodal.MediaRow]
+    Multimodal.decodeAudioBatch(rows, Multimodal.JavaSoundDecoder).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+        col("channels"), col("n_samples"), col("duration_ms"),
+        round(col("peak"), 6).as("peak"), col("codec"), col("content_md5"))
+      .orderBy("doc_id")
+  }
+
   private def xMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val b = Multimodal.withBinaryPayload(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "payload")
@@ -529,7 +552,8 @@ object ExtensionQueries {
     "x_contamination" -> (xContamination _),
     "x_contamination_bloom" -> (xContaminationBloom _),
     "x_multimodal_meta" -> (xMultimodalMeta _),
-    "x_multimodal_frames" -> (xMultimodalFrames _))
+    "x_multimodal_frames" -> (xMultimodalFrames _),
+    "x_multimodal_audio" -> (xMultimodalAudio _))
 
   /** Shared by `x_contamination` and `x_contamination_bloom` — see the
     * map entries for why one SQL serves both.
@@ -798,6 +822,27 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
         |  upper(hex(encode(substr(text, 1, 4)))) AS magic
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_multimodal_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    md5(text) AS content_md5
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                       WHEN 2 THEN 22050 ELSE 44100 END AS sr
+        |  FROM m)
+        |SELECT doc_id, nb AS n_bytes,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  h % 2 + 1 AS channels,
+        |  nb AS n_samples,
+        |  nb * 1000 // sr AS duration_ms,
+        |  round(CAST(h % 1000 AS DOUBLE) / 1000.0, 6) AS peak,
+        |  'stub' AS codec,
+        |  content_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "x_text_redact" ->
       """WITH d AS (

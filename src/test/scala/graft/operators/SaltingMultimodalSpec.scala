@@ -251,6 +251,86 @@ class SaltingMultimodalSpec extends SparkSpec {
     assert(meta.width == 65535L && meta.height == 65535L)
   }
 
+  // --- real javax.sound audio codec ---------------------------------------
+
+  /** Encode 16-bit PCM samples into a real audio container via
+    * javax.sound.sampled (WAVE = little-endian, AIFF = big-endian —
+    * AudioSystem.write handles the byte order per container).
+    */
+  private def audioBytes(samples: Array[Short], rate: Float, channels: Int,
+      kind: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled._
+    val bigEndian = kind == AudioFileFormat.Type.AIFF
+    val fmt = new AudioFormat(rate, 16, channels, true, bigEndian)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      val lo = (samples(i) & 0xff).toByte
+      val hi = ((samples(i) >> 8) & 0xff).toByte
+      if (bigEndian) { data(2 * i) = hi; data(2 * i + 1) = lo }
+      else { data(2 * i) = lo; data(2 * i + 1) = hi }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, kind, bos)
+    bos.toByteArray
+  }
+
+  test("JavaSoundDecoder reads real WAV/AIFF PCM; non-audio falls back to the stub") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    implicit val s = spark
+    // 1600 mono frames at 16 kHz = 100 ms; peak sample 16384 = 0.5
+    val mono = Array.tabulate[Short](1600)(i =>
+      (math.sin(i * 0.1) * 12000).toShort)
+    mono(800) = 16384
+    val wav = audioBytes(mono, 16000f, 1, Type.WAVE)
+    // 500 stereo frames at 44.1 kHz, big-endian AIFF, peak 8192 = 0.25
+    val stereo = Array.tabulate[Short](1000)(i => (i % 100 * 80).toShort)
+    stereo(41) = 8192
+    val aiff = audioBytes(stereo, 44100f, 2, Type.AIFF)
+    val junk = "definitely-not-audio".getBytes("UTF-8")
+
+    val rows = Seq(Multimodal.MediaRow(1L, wav), Multimodal.MediaRow(2L, aiff),
+      Multimodal.MediaRow(3L, junk)).toDS().repartition(2)
+    val metas = Multimodal.decodeAudioBatch(rows, Multimodal.JavaSoundDecoder)
+      .collect().sortBy(_.doc_id)
+
+    val w = metas(0)
+    assert(w.sample_rate == 16000L && w.channels == 1L && w.n_samples == 1600L,
+      s"WAV header facts not decoded: $w")
+    assert(w.duration_ms == 100L)
+    assert(w.codec == "PCM_SIGNED")
+    assert(math.abs(w.peak - 16384.0 / 32768.0) < 1e-9,
+      s"peak must come from decoded samples, got ${w.peak}")
+
+    val a = metas(1)
+    assert(a.sample_rate == 44100L && a.channels == 2L && a.n_samples == 500L,
+      s"AIFF (big-endian) facts not decoded: $a")
+    assert(math.abs(a.peak - 8192.0 / 32768.0) < 1e-9,
+      "big-endian samples must be byte-swapped before the peak scan")
+
+    assert(metas(2) == Multimodal.StubAudioDecoder.decode(3L, junk),
+      "non-audio payload must degrade to the deterministic stub")
+  }
+
+  test("audio header lying about frame length: decoded-sample count wins") {
+    // a WAV whose data chunk claims 10x the real sample count — the
+    // decoder counts frames at read time, so n_samples reflects the
+    // bytes actually present, not the header's claim
+    import javax.sound.sampled.AudioFileFormat.Type
+    val real = audioBytes(Array.tabulate[Short](100)(_.toShort), 8000f, 1, Type.WAVE)
+    // find the 'data' chunk size field and inflate it
+    val idx = real.indexOfSlice("data".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val lying = real.clone()
+    val fake = 2000 // claims 1000 frames; only 100 exist
+    lying(idx + 4) = (fake & 0xff).toByte
+    lying(idx + 5) = ((fake >> 8) & 0xff).toByte
+    val m = Multimodal.JavaSoundDecoder.decode(5L, lying)
+    assert(m.n_samples == 100L,
+      s"frame count must be counted from decoded bytes, got ${m.n_samples}")
+  }
+
   test("scraper_status watermark mirror: upsert advances date (K6)") {
     import java.sql.{DriverManager, Timestamp}
     import graft.sinks.{DerbyDialect, JdbcMergeWriter, MergeSpecs}
