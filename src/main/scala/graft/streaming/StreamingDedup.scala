@@ -93,6 +93,15 @@ object StreamingDedup {
     * aggregation this operator deliberately has none of); (4) exact
     * Jaccard on the two shingle sets confirms, so band collisions can
     * cost work but never a wrong flag.
+    *
+    * Scale shape of the stream-static join (measured in
+    * `DedupGateSoak` at a 500k-doc / 2M-row index): the planner
+    * broadcasts the BOUNDED side — the exploded micro-batch — and
+    * streams the index through the probe, so index size is a
+    * per-batch scan bill, never a driver/executor memory bill. At
+    * 100 TB the levers are amortizing that scan with larger triggers,
+    * and cutting it by bucketing the materialized index by band key
+    * so the parquet reader prunes to the micro-batch's buckets.
     */
   def nearDupFlags(incoming: DataFrame, index: DataFrame,
       idCol: String, textCol: String, n: Int = 5, k: Int = 8,

@@ -74,7 +74,12 @@ object DedupGateSoak {
     val ck2 = s"$dir/ck-flags"
     new java.io.File(landing).mkdirs()
 
-    val nCorpus = 100L
+    // SOAK_CORPUS scales the static index side (default 100 docs; set
+    // 500000 for the sf10-scale soak where the ~2M-row index stops
+    // being an automatic broadcast and the stream-static band join
+    // hands off to a shuffle strategy — the plan actually chosen is
+    // printed after phase 1, from the last micro-batch's execution).
+    val nCorpus = sys.env.getOrElse("SOAK_CORPUS", "100").toLong
     def writeCorpus(extra: DataFrame): Unit = {
       val base = spark.range(nCorpus)
         .select(col("id").as("doc_id"),
@@ -111,6 +116,18 @@ object DedupGateSoak {
     var (q1, q2) = startQueries()
     val phase1 = (0L until 300L)
     phase1.grouped(100).foreach(g => { feed(g); drain(q1, q2) })
+    // capture the flag query's micro-batch physical plan: which join
+    // strategy did the stream-static band join actually get at this
+    // index size? (broadcast at the 100-doc default; at SOAK_CORPUS=
+    // 500000 the static side exceeds the autoBroadcast threshold and
+    // the planner must hand off — the soak's correctness checks then
+    // prove the gate's semantics survive that handoff)
+    val planOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(planOut)) { q2.explain() }
+    val joinLines = planOut.toString.linesIterator
+      .filter(l => l.contains("Join") && !l.contains("ReusedExchange"))
+      .map(_.trim.take(160)).toSeq.distinct
+    joinLines.foreach(l => println(s"[soak] flag-join plan: $l"))
     q1.stop(); q2.stop()
 
     // ---- refresh: fold phase-1 survivors into the corpus, restart ----
@@ -142,13 +159,20 @@ object DedupGateSoak {
       .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSeq
 
     // exact gate truth: verbatim always drops; phase-1 near-dups and
-    // fresh docs survive (different bytes from the BASE corpus); in
+    // fresh docs survive (different bytes from the BASE corpus). In
     // phase 2 the refreshed corpus contains phase-1's near-dup
-    // survivors — one per corpus index, byte-identical to every
-    // phase-2 near-dup — so phase-2 only FRESH docs survive, and the
-    // replays drop (their text entered the corpus at refresh)
+    // survivor TEXTS (nearText(u % nCorpus) for phase-1 u % 3 == 1),
+    // so a phase-2 near-dup drops iff its corpus residue collides
+    // with one of those — at the 100-doc default that is EVERY
+    // residue (gcd(3,100)=1 over 300 values covers all of them); at
+    // SOAK_CORPUS=500000 none collide and phase-2 near-dups survive.
+    // Fresh docs always survive; replays drop (their text entered
+    // the corpus at refresh).
+    val p1NearResidues = phase1.filter(_ % 3 == 1).map(_ % nCorpus).toSet
     val expectSurvive =
-      (phase1.filter(_ % 3 != 0) ++ phase2New.filter(_ % 3 == 2))
+      (phase1.filter(_ % 3 != 0) ++
+        phase2New.filter(v => v % 3 == 2 ||
+          (v % 3 == 1 && !p1NearResidues.contains(v % nCorpus))))
         .map(10000L + _).toSet
     val survivorViolations =
       (survivors diff expectSurvive).size + (expectSurvive diff survivors).size
