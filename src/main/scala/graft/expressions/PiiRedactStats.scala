@@ -108,14 +108,28 @@ object PiiRedactStats {
   // silently fall back to interpreted evaluation
   def compute(text: UTF8String): GenericInternalRow = {
     val s = text.toString
+    // literal prescans: the email pattern cannot match without '@'
+    // nor the phone pattern without '+', and indexOf costs ~an order
+    // of magnitude less per byte than a regex scan — isolated sf100z
+    // x_text_redact measured 26.3 → 13.1 s (runs=3 lower-median)
+    // even though 2/3 of that corpus's docs carry planted PII; on a
+    // mostly-clean real corpus the regex scans vanish almost
+    // entirely
+    if (s.indexOf('@') < 0 && s.indexOf('+') < 0)
+      return new GenericInternalRow(Array[Any](0, 0, text))
     val slot = new Array[java.lang.StringBuilder](1)
 
-    val nEmails = scanReplace(emailM.get(), s, "[EMAIL]", slot)
+    val nEmails =
+      if (s.indexOf('@') < 0) 0
+      else scanReplace(emailM.get(), s, "[EMAIL]", slot)
     val afterEmail = if (slot(0) == null) s else slot(0).toString
 
+    val hasPlus = s.indexOf('+') >= 0
     var nPhones = 0
     var redacted: String = null
-    if (nEmails == 0) {
+    if (!hasPlus) {
+      redacted = afterEmail
+    } else if (nEmails == 0) {
       // raw text == email-redacted text: one phone scan does both
       nPhones = scanReplace(phoneM.get(), s, "[PHONE]", slot)
       redacted = if (slot(0) == null) s else slot(0).toString
