@@ -117,12 +117,28 @@ object StreamingDedup {
           s"${k / rowsPerBand} (k=$k, rowsPerBand=$rowsPerBand) — " +
           "rebuild the index or match its parameters")
     }
-    val in = incoming
+    joinFlags(bandedIncoming(incoming, idCol, textCol, n, k, rowsPerBand),
+      index, threshold)
+  }
+
+  /** The incoming side of the gate: per-row shingle set + band keys,
+    * one exploded row per (doc, band) — map-only, hence streamable.
+    */
+  private def bandedIncoming(incoming: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, rowsPerBand: Int): DataFrame =
+    incoming
       .select(col(idCol).as("doc_id"),
         Dedup.hashedShingleSet(col(textCol), n).as("__dset"))
       .withColumn("__dbands", Dedup.rowBandArray(col("__dset"), k, rowsPerBand))
       .select(col("doc_id"), col("__dset"), col("__dbands"),
         explode(col("__dbands")).as("band"))
+
+  /** The join core shared by [[nearDupFlags]] and
+    * [[nearDupFlagsPruned]]: band-bucket equi-join, min-shared-band
+    * pair dedup, exact-Jaccard confirm.
+    */
+  private def joinFlags(in: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame =
     in.join(index, Seq("band"))
       .where(col("band") ===
         array_min(array_intersect(col("__dbands"), col("__cbands"))))
@@ -130,5 +146,80 @@ object StreamingDedup {
         graft.expressions.SortedArrayJaccard(col("__dset"), col("__cset")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+
+  /** Name of the sidecar file [[writeBucketedIndex]] drops next to the
+    * parquet dirs, holding the bucket count — the read side MUST hash
+    * with the same modulus or the pruning silently drops true matches.
+    */
+  private val BucketSidecar = "_graft_band_buckets"
+
+  private def bucketOf(band: Column, nBuckets: Int): Column =
+    pmod(xxhash64(band), lit(nBuckets.toLong))
+
+  /** Materialize a [[corpusIndex]] to the lake partitioned by a
+    * band-hash bucket — the scan-cutting lever for the streaming
+    * gate: a micro-batch's band keys hash into a bounded set of
+    * buckets, so [[nearDupFlagsPruned]] reads only those partitions
+    * instead of the whole index. Bucket count trades pruning ratio
+    * (batch buckets / nBuckets) against file count; 64 keeps files
+    * chunky at sf10-scale indexes. The count is recorded in a sidecar
+    * so the read side can never hash with a different modulus.
+    */
+  def writeBucketedIndex(index: DataFrame, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    index.withColumn("__bb", bucketOf(col("band"), nBuckets))
+      .write.mode("overwrite").partitionBy("__bb").parquet(path)
+    val spark = index.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, BucketSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[nearDupFlags]] against a [[writeBucketedIndex]] lake index,
+    * reading ONLY the band-hash partitions the batch can touch — for
+    * use inside `foreachBatch`, where the micro-batch is a plain
+    * DataFrame and a bounded driver action is legal. Shape: (1) the
+    * banded incoming frame is pinned once (eager localCheckpoint —
+    * the batch is trigger-bounded); (2) its distinct band buckets
+    * are collected (≤ nBuckets rows); (3) the index is read
+    * `WHERE __bb IN (...)` — a literal filter on the partition
+    * column, so the parquet reader prunes at file-listing time and
+    * the per-batch bill drops from O(index) to
+    * O(index · buckets_hit / nBuckets); (4) the shared join core
+    * runs unchanged, so output ≡ [[nearDupFlags]] by construction
+    * (pinned in `StreamingDedupSpec`). Wrong-modulus reads are
+    * impossible: the bucket count comes from the sidecar the writer
+    * dropped.
+    */
+  def nearDupFlagsPruned(batch: DataFrame, indexPath: String,
+      idCol: String, textCol: String, n: Int = 5, k: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(indexPath, BucketSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8").trim.toInt
+      } finally in.close()
+    }
+    val index = spark.read.parquet(indexPath)
+    index.select(size(col("__cbands")).as("w")).head(1).foreach { r =>
+      require(r.getInt(0) == k / rowsPerBand,
+        s"index has ${r.getInt(0)} bands/doc but the probe expects " +
+          s"${k / rowsPerBand} (k=$k, rowsPerBand=$rowsPerBand) — " +
+          "rebuild the index or match its parameters")
+    }
+    val in = bandedIncoming(batch, idCol, textCol, n, k, rowsPerBand)
+      .localCheckpoint()
+    val buckets = in.select(bucketOf(col("band"), nBuckets).as("__bb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    joinFlags(in, index.where(col("__bb").isin(buckets: _*)), threshold)
   }
 }
