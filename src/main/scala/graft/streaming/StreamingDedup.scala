@@ -160,15 +160,35 @@ object StreamingDedup {
     * band-hash bucket — the scan-cutting lever for the streaming
     * gate: a micro-batch's band keys hash into a bounded set of
     * buckets, so [[nearDupFlagsPruned]] reads only those partitions
-    * instead of the whole index. Bucket count trades pruning ratio
-    * (batch buckets / nBuckets) against file count; 64 keeps files
-    * chunky at sf10-scale indexes. The count is recorded in a sidecar
+    * instead of the whole index. The count is recorded in a sidecar
     * so the read side can never hash with a different modulus.
+    *
+    * MEASURED ECONOMICS (GateScanBench, zipf sf10 corpus — 500k docs,
+    * 2M-row index; `bench_evidence/r9_gate_ab_sf10z_*`): this layout
+    * rarely pays, for two compounding reasons. (1) Bucket saturation:
+    * at k/rowsPerBand = 4 uniformly-hashed band keys per doc, a
+    * 32-doc batch already touches 56 of 64 buckets (118 of 1024), so
+    * meaningful pruning needs batch ≲ nBuckets/40 docs — trickle
+    * triggers only. (2) Compression: band-hash clustering destroys
+    * the corpus-order adjacency parquet dictionaries exploit — the
+    * same 2M rows are 82 MB corpus-ordered, 159 MB at 64 buckets,
+    * 581 MB at 1024 — so at batch=32/nBuckets=1024 the "pruned"
+    * 67 MB read already exceeds the entire plain index. Use this
+    * only for trickle triggers (≤ tens of docs) against
+    * remote-storage indexes big enough that listing+fetch dominates;
+    * everywhere else [[nearDupFlags]]'s full scan (a sub-second
+    * broadcast-batch join at this index size) wins outright.
     */
   def writeBucketedIndex(index: DataFrame, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    // repartition on the partition column before partitionBy, or every
+    // write task emits a file into every bucket dir — tasks × nBuckets
+    // small files (measured 1024 files for a 2M-row index at 16 tasks,
+    // GateProbe2; 640k files at a 1000-executor write). One shuffle at
+    // index-build time buys one chunky file per bucket.
     index.withColumn("__bb", bucketOf(col("band"), nBuckets))
+      .repartition(nBuckets, col("__bb"))
       .write.mode("overwrite").partitionBy("__bb").parquet(path)
     val spark = index.sparkSession
     val p = new org.apache.hadoop.fs.Path(path, BucketSidecar)
@@ -192,6 +212,17 @@ object StreamingDedup {
     * (pinned in `StreamingDedupSpec`). Wrong-modulus reads are
     * impossible: the bucket count comes from the sidecar the writer
     * dropped.
+    *
+    * KNOW WHEN NOT TO USE IT: the round-9 A/B
+    * (`bench_evidence/r9_gate_ab_sf10z_*`, realistic zipf corpus)
+    * measured this path SLOWER than [[nearDupFlags]] at every local
+    * configuration — bucket saturation caps the prune ratio above
+    * trickle batch sizes, the clustered layout compresses 2–7× worse
+    * (see [[writeBucketedIndex]]), and the fixed per-batch costs
+    * (sidecar read, localCheckpoint, distinct-collect, partition
+    * listing) exceed the sub-second full scan. It exists for the one
+    * regime the full scan can't serve: trickle triggers against a
+    * remote-storage index orders of magnitude larger than a batch.
     */
   def nearDupFlagsPruned(batch: DataFrame, indexPath: String,
       idCol: String, textCol: String, n: Int = 5, k: Int = 8,

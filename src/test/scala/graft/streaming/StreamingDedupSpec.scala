@@ -106,6 +106,59 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch pruned gate e2e: streamed flags equal the full gate") {
+    // the intended deployment shape: a streaming query hands each
+    // micro-batch to nearDupFlagsPruned inside foreachBatch (where a
+    // bounded driver action is legal), against a lake-materialized
+    // bucketed index
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bidx-e2e").toString
+    try {
+      StreamingDedup.writeBucketedIndex(
+        StreamingDedup.corpusIndex(corpus, "doc_id", "text"), dir, nBuckets = 32)
+      val samples = corpus.orderBy("doc_id").limit(2)
+        .as[(Long, String)].collect()
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, _) => {
+          val rows = StreamingDedup
+            .nearDupFlagsPruned(batch, dir, "doc_id", "text")
+            .as[(Long, Long, Double)].collect()
+          got.synchronized { got ++= rows }: Unit
+        }
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.foreachBatch(fn).start()
+      try {
+        input.addData(
+          (901L, samples(0)._2),
+          (902L, "wholly novel text that shares nothing with the corpus whatsoever"))
+        q.processAllAvailable()
+        input.addData(
+          (903L, samples(1)._2),
+          (904L, samples(0)._2 + " extra"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val allDocs = Seq(
+        (901L, samples(0)._2),
+        (902L, "wholly novel text that shares nothing with the corpus whatsoever"),
+        (903L, samples(1)._2),
+        (904L, samples(0)._2 + " extra")).toDF("doc_id", "text")
+      val want = StreamingDedup.nearDupFlags(allDocs,
+          StreamingDedup.corpusIndex(corpus, "doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == want, s"streamed pruned flags diverged: " +
+        s"${got.toSet} vs $want")
+      assert(got.exists(_._1 == 901L) && got.exists(_._1 == 903L),
+        "verbatim docs must flag across separate micro-batches")
+      assert(!got.exists(_._1 == 902L), "fresh doc must not flag")
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(): Unit
+    }
+  }
+
   test("band-parameter footguns fail loudly, never silently zero-match") {
     val corpus = corpusDocs.toDF("doc_id", "text")
     // k not a multiple of rowsPerBand would silently drop trailing sigs
