@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contiguous sequence packing — the "concatenate documents and cut
+  * every `budget` tokens" layout step a pretraining pipeline runs to
+  * turn a document corpus into fixed-size context windows. This
+  * operator computes each document's PLACEMENT in that layout
+  * deterministically, without materializing the packed text:
+  * documents are sharded by a portable hash of their id
+  * ([[Sampling.hashBucket]] — md5-based, so replays, retries, and the
+  * DuckDB oracle all agree), laid head-to-tail within the shard in id
+  * order, and annotated with their token offset and the first/last
+  * context bin they land in (`straddles` marks documents split across
+  * a bin boundary — the consumer decides whether to mask the seam or
+  * drop the tail).
+  *
+  * Scale shape: ONE shuffle (hash partition by shard) + a running-sum
+  * window per shard — O(1) state per row, no global sort, no driver
+  * action. Shards are independent, so `nShards` is the parallelism
+  * knob: size it so a shard's token mass fits a reducer (at 100 TB /
+  * 4k-token bins, ~25k shards keeps shards at ~4 GB). Placement is a
+  * pure function of (id hash, id order, token counts), so adding
+  * executors, changing input partitioning, or replaying a failed
+  * stage cannot move a document to a different bin.
+  */
+object Packing {
+
+  /** Per-document placement under contiguous packing.
+    *
+    * @param tokens token-count column (e.g.
+    *   [[graft.functions.TextFunctions.tokenCount]]); nulls count 0
+    * @param budget tokens per context bin, > 0
+    * @param nShards independent packing streams, > 0
+    * @return input columns replaced by (idCol, shard, n_tokens,
+    *   token_offset, bin_first, bin_last, straddles); token_offset is
+    *   the exclusive running sum within the shard in idCol order
+    */
+  def packPlacement(docs: DataFrame, idCol: String, tokens: Column,
+      budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    require(nShards > 0, s"nShards=$nShards")
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bin_last of an empty doc is its bin_first (an empty doc occupies
+    // no tokens but still "lands" where the cursor is), keeping
+    // bin_last >= bin_first total
+    val last = when(col("__nt") === 0, expr(s"__off div $budget"))
+      .otherwise(expr(s"(__off + __nt - 1) div $budget"))
+    docs
+      .withColumn("__shard", Sampling.hashBucket(col(idCol), nShards))
+      .withColumn("__nt", coalesce(tokens.cast("long"), lit(0L)))
+      .withColumn("__off", coalesce(sum(col("__nt")).over(w), lit(0L)))
+      .select(col(idCol),
+        col("__shard").as("shard"),
+        col("__nt").as("n_tokens"),
+        col("__off").as("token_offset"),
+        expr(s"__off div $budget").as("bin_first"),
+        last.as("bin_last"))
+      .withColumn("straddles", col("bin_first") =!= col("bin_last"))
+  }
+
+  /** Bin inventory for a packed shard set: one row per (shard, bin)
+    * with document and token counts — the "how full are my context
+    * windows" QA view. Derived from [[packPlacement]] by exploding
+    * each doc over the bins it touches; a doc contributes its
+    * in-bin token count to every bin it spans.
+    */
+  def binFill(placement: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    placement
+      .where(col("n_tokens") > 0)
+      .withColumn("bin", explode(expr("sequence(bin_first, bin_last)")))
+      .withColumn("bin_start", col("bin") * budget)
+      .withColumn("tok_in_bin",
+        least(col("token_offset") + col("n_tokens"),
+          col("bin_start") + budget) -
+          greatest(col("token_offset"), col("bin_start")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_bin")).as("n_tokens"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity}
 
 /** Training-data-pipeline operators (driver mandate beyond the
   * reference): dedup family, similarity search, text analysis,
@@ -160,6 +160,32 @@ object ExtensionQueries {
         size(col("c.toks")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_ix")
+
+  /** Contiguous sequence packing placement ([[Packing.packPlacement]])
+    * — 256-token context bins over 16 hash shards: where does every
+    * document land when the corpus is concatenated and cut into
+    * fixed-size training windows? One shuffle (by shard) + a
+    * running-sum window; placement is replay-stable by construction
+    * (hash shard, id order, exclusive prefix sum).
+    */
+  private def xTextPack(s: SparkSession, dir: String): DataFrame =
+    Packing.packPlacement(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", T.tokenCount(col("text")), budget = 256, nShards = 16)
+      .orderBy("doc_id")
+
+  /** Bin inventory over [[xTextPack]]'s layout ([[Packing.binFill]]):
+    * per (shard, bin) doc/token fill — the QA view that catches
+    * budget misconfiguration (mostly-empty or pathologically
+    * straddled bins) before a packing job burns a cluster.
+    */
+  private def xTextPackBins(s: SparkSession, dir: String): DataFrame =
+    Packing.binFill(
+      Packing.packPlacement(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", T.tokenCount(col("text")), budget = 256, nShards = 16),
+      budget = 256)
+      .orderBy("shard", "bin")
 
   /** Deterministic split/sampling assignment — pure per-row hash map,
     * no shuffle, replay-stable (no rand()).
@@ -545,6 +571,8 @@ object ExtensionQueries {
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_chunks" -> (xTextChunks _),
+    "x_text_pack" -> (xTextPack _),
+    "x_text_pack_bins" -> (xTextPackBins _),
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
@@ -554,6 +582,27 @@ object ExtensionQueries {
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _),
     "x_multimodal_audio" -> (xMultimodalAudio _))
+
+  /** Packing placement CTE shared by `x_text_pack` and
+    * `x_text_pack_bins`: o(doc_id, shard, n_tokens, token_offset) —
+    * md5-prefix hash shard mod 16, whitespace token count, exclusive
+    * running sum within shard in doc_id order. Mirrors
+    * [[graft.operators.Packing.packPlacement]] at budget=256,
+    * nShards=16.
+    */
+  private val packPlacementCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+      |    CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+      |  FROM t)
+      |""".stripMargin
 
   /** Shared by `x_contamination` and `x_contamination_bloom` — see the
     * map entries for why one SQL serves both.
@@ -860,6 +909,27 @@ object ExtensionQueries {
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x_text_pack" -> (packPlacementCte +
+      """SELECT doc_id, shard, n_tokens, token_offset,
+        |  token_offset // 256 AS bin_first,
+        |  CASE WHEN n_tokens = 0 THEN token_offset // 256
+        |       ELSE (token_offset + n_tokens - 1) // 256 END AS bin_last,
+        |  (CASE WHEN n_tokens = 0 THEN token_offset // 256
+        |        ELSE (token_offset + n_tokens - 1) // 256 END)
+        |    <> (token_offset // 256) AS straddles
+        |FROM o ORDER BY doc_id""".stripMargin),
+
+    "x_text_pack_bins" -> (packPlacementCte +
+      """, pb AS (
+        |  SELECT doc_id, shard, n_tokens, token_offset,
+        |    unnest(generate_series(token_offset // 256,
+        |      (token_offset + n_tokens - 1) // 256)) AS bin
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(least(token_offset + n_tokens, bin * 256 + 256) -
+        |           greatest(token_offset, bin * 256)) AS BIGINT) AS n_tokens
+        |FROM pb GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
 
     "x_split_assign" ->
       """SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val budget = 32
+  private def place(df: org.apache.spark.sql.DataFrame) =
+    Packing.packPlacement(df, "doc_id", T.tokenCount(col("text")), budget, 4)
+
+  private def realDocs = graft.core.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), col("text"))
+
+  test("placement is an exclusive prefix sum: contiguous within each shard") {
+    val rows = place(realDocs)
+      .select("shard", "doc_id", "n_tokens", "token_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { shardRows =>
+      val sorted = shardRows.sortBy(_._2)
+      assert(sorted.head._4 == 0L, "first doc in a shard starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, nt, off), (_, _, _, off2)) =>
+          assert(off2 == off + nt,
+            s"offsets must be gapless head-to-tail: $off + $nt != $off2")
+        case _ => ()
+      }
+    }
+  }
+
+  test("bin math: straddles iff the doc crosses a budget boundary") {
+    place(realDocs)
+      .select("n_tokens", "token_offset", "bin_first", "bin_last", "straddles")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .foreach { case (nt, off, bf, bl, st) =>
+        assert(bf == off / budget)
+        val expectedLast = if (nt == 0) bf else (off + nt - 1) / budget
+        assert(bl == expectedLast, s"bin_last wrong at off=$off nt=$nt")
+        assert(st == (bf != bl))
+        assert(bl >= bf)
+      }
+  }
+
+  test("placement is invariant to input partitioning (replay-stable)") {
+    val a = place(realDocs).collect().toSet
+    val b = place(realDocs.repartition(7)).collect().toSet
+    assert(a == b, "repartitioning the input moved a document's bin")
+  }
+
+  test("empty and null text occupy zero tokens without moving the cursor") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "   "),
+      (5L, "five six")).toDF("doc_id", "text")
+    val out = place(docs)
+      .select("doc_id", "n_tokens", "bin_first", "bin_last", "straddles")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    out.filter(r => Seq(2L, 3L, 4L).contains(r._1)).foreach { r =>
+      assert(r._2 == 0L, s"doc ${r._1} must count 0 tokens")
+      assert(r._3 == r._4 && !r._5, "empty docs sit at the cursor, no straddle")
+    }
+    // total mass is only the real tokens
+    assert(out.map(_._2).sum == 6L)
+  }
+
+  test("binFill conserves tokens and never overfills a bin") {
+    val placement = place(realDocs)
+    val fill = Packing.binFill(placement, budget)
+      .select("shard", "bin", "n_docs", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val totalPlaced = placement.agg(sum("n_tokens")).as[Long].head()
+    assert(fill.map(_._4).sum == totalPlaced,
+      "every token lands in exactly one bin")
+    fill.foreach { case (sh, bin, nd, nt) =>
+      assert(nt >= 1 && nt <= budget, s"bin ($sh,$bin) holds $nt of $budget")
+      assert(nd >= 1)
+    }
+    // bins are contiguous from 0 within each shard: the layout is a
+    // head-to-tail concat, so no bin below the high-water mark is empty
+    fill.groupBy(_._1).foreach { case (sh, rows) =>
+      val bins = rows.map(_._2).sorted.toSeq
+      assert(bins.headOption.contains(0L) && bins == (0L until bins.length.toLong),
+        s"shard $sh has a hole in its bin sequence")
+    }
+  }
+
+  test("a doc appears in binFill once per bin it touches") {
+    val placement = place(realDocs)
+    val spanSum = placement.where(col("n_tokens") > 0)
+      .agg(sum(col("bin_last") - col("bin_first") + 1)).as[Long].head()
+    val fillDocSum = Packing.binFill(placement, budget)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(spanSum == fillDocSum)
+  }
+}

@@ -66,6 +66,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"hash-based assignment must be a pure map:\n$p")
   }
 
+  test("sequence packing shuffles once on the shard key, no global sort") {
+    val p = plan("x_text_pack")
+    // two Exchanges max: one hash partition by __shard for the
+    // running-sum window, one range partition for the output ORDER BY.
+    // A third would mean the window re-partitioned or a global sort
+    // snuck in — the thing that would not survive 100 TB.
+    val exchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"packing must shuffle once (plus output sort):\n$p"):
+      Unit
+    assert(p.contains("hashpartitioning(__shard"),
+      s"window must partition by the shard hash:\n$p")
+  }
+
   test("token repetition signals are map-only: the explode shuffle is gone") {
     val p = plan("x_text_repetition")
     // exactly one Exchange — the final ORDER BY's range partitioning;
