@@ -555,6 +555,46 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Quality-aware survivor selection over duplicate clusters — the
+    * "which copy do we KEEP" half of dedup that [[canonicalize]]'s
+    * min-id rule only approximates. Clusters come from the pair graph
+    * (transitive closure via [[canonicalize]]); within each cluster
+    * the survivor is the member with the HIGHEST `score` (ties broken
+    * by smallest id — deterministic under replay). Returns one row per
+    * CLUSTERED doc: (idCol, cluster_id, survivor_id, kept); docs in no
+    * cluster are absent (they are all survivors trivially — emitting
+    * them would make the output corpus-sized for no information).
+    *
+    * Scale shape: the cluster table is pair-graph-sized (the OUTPUT of
+    * dedup, orders of magnitude smaller than the corpus), so the cost
+    * is one hash join against `docs` for the score column + one
+    * window over cluster_id (the survivor is picked with a full-frame
+    * `first` over (score DESC, id) — no second self-join). The join
+    * against the corpus is on its id column, so column pruning keeps
+    * the scan to (id, score).
+    */
+  def survivors(pairs: DataFrame, docs: DataFrame, idCol: String,
+      score: Column, maxIters: Int = 20,
+      driverGraphLimit: Long = 100000L): DataFrame = {
+    val canon = canonicalize(pairs, maxIters, driverGraphLimit)
+    // membership including each cluster's canonical doc itself
+    val membership = canon
+      .unionByName(canon.select(col("canonical_id").as("doc_id"),
+        col("canonical_id")))
+      .distinct()
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val scored = membership.join(
+      docs.select(col(idCol).as("doc_id"), score.as("__score")), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("survivor_id", first(col("doc_id")).over(w))
+      .select(col("doc_id").as(idCol), col("cluster_id"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("kept"))
+  }
+
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
     * and small-n path. Norms are computed once per row before the
     * join; only the dot product is per-pair.

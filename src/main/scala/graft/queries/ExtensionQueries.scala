@@ -371,6 +371,18 @@ object ExtensionQueries {
       Dedup.canonicalize(_).orderBy("doc_id")
     }
 
+  /** Quality-aware survivor selection over the MinHash dup clusters
+    * ([[Dedup.survivors]]): keep the longest member of each cluster
+    * (`n_chars` DESC, id tiebreak), emit the keep/drop decision table.
+    */
+  private def xDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    releasing(Dedup.minhashDupPairs(docs, "doc_id", "text")) { pairs =>
+      Dedup.survivors(pairs, docs, "doc_id", col("n_chars"))
+        .orderBy("doc_id")
+    }
+  }
+
   // ---- similarity search --------------------------------------------------
 
   private def xSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -564,6 +576,7 @@ object ExtensionQueries {
     "x_dedup_jaccard" -> (xDedupJaccard _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_dedup_clusters" -> (xDedupClusters _),
+    "x_dedup_survivors" -> (xDedupSurvivors _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_ivf" -> (xDedupEmbeddingIvf _),
     "x_sim_topk_brute" -> (xSimTopkBrute _),
@@ -582,6 +595,36 @@ object ExtensionQueries {
     "x_multimodal_meta" -> (xMultimodalMeta _),
     "x_multimodal_frames" -> (xMultimodalFrames _),
     "x_multimodal_audio" -> (xMultimodalAudio _))
+
+  /** Duplicate-cluster transitive closure shared by `x_dedup_clusters`
+    * and `x_dedup_survivors`: the full MinHash-LSH pipeline (shingles →
+    * signatures → bands → candidates → exact-Jaccard confirm at 0.7)
+    * followed by a recursive closure r(a, b) over the confirmed pair
+    * graph — b reachable from a. Mirrors
+    * [[graft.operators.Dedup.minhashDupPairs]] + [[Dedup.canonicalize]].
+    */
+  private lazy val dupClosureCte: String =
+    // recursive CTE for the transitive closure: WITH must be RECURSIVE
+    shingleCte.replace("WITH tk AS", "WITH RECURSIVE tk AS") +
+      s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |bs AS (SELECT doc_id, g AS b FROM ex),
+         |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         |jc AS (
+         |  SELECT c.i, c.j,
+         |    CAST(CAST(len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) /
+         |    CAST(CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) AS jac
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j),
+         |p AS (SELECT i, j FROM jc WHERE jac >= 0.7),
+         |eg AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
+         |r AS (
+         |  SELECT i AS a, j AS b FROM eg
+         |  UNION
+         |  SELECT r.a, eg.j FROM r JOIN eg ON r.b = eg.i)
+         |""".stripMargin
 
   /** Packing placement CTE shared by `x_text_pack` and
     * `x_text_pack_bins`: o(doc_id, shard, n_tokens, token_offset) —
@@ -712,30 +755,23 @@ object ExtensionQueries {
          |SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin),
 
-    "x_dedup_clusters" -> (
-      // recursive CTE for the transitive closure: WITH must be RECURSIVE
-      shingleCte.replace("WITH tk AS", "WITH RECURSIVE tk AS") +
-      s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |bs AS (SELECT doc_id, g AS b FROM ex),
-         |sig AS (SELECT doc_id, ${sigSelectSql(8)} FROM bs GROUP BY doc_id),
-         |bands AS (SELECT doc_id, unnest(${bandListSql(8, 2)}) AS band FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
-         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
-         |jc AS (
-         |  SELECT c.i, c.j,
-         |    CAST(CAST(len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) /
-         |    CAST(CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS VARCHAR) AS DOUBLE) AS jac
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j),
-         |p AS (SELECT i, j FROM jc WHERE jac >= 0.7),
-         |eg AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
-         |r AS (
-         |  SELECT i AS a, j AS b FROM eg
-         |  UNION
-         |  SELECT r.a, eg.j FROM r JOIN eg ON r.b = eg.i)
-         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-         |FROM r GROUP BY a HAVING least(a, min(b)) <> a
-         |ORDER BY doc_id""".stripMargin),
+    "x_dedup_clusters" -> (dupClosureCte +
+      """SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM r GROUP BY a HAVING least(a, min(b)) <> a
+        |ORDER BY doc_id""".stripMargin),
+
+    "x_dedup_survivors" -> (dupClosureCte +
+      """, m AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM r GROUP BY a),
+        |sv AS (
+        |  SELECT m.doc_id, m.cluster_id,
+        |    row_number() OVER (PARTITION BY m.cluster_id
+        |      ORDER BY d.n_chars DESC, m.doc_id) AS rk
+        |  FROM m JOIN documents d USING (doc_id)),
+        |s2 AS (SELECT cluster_id, doc_id AS survivor_id FROM sv WHERE rk = 1)
+        |SELECT sv.doc_id, sv.cluster_id, s2.survivor_id,
+        |  sv.doc_id = s2.survivor_id AS kept
+        |FROM sv JOIN s2 USING (cluster_id) ORDER BY sv.doc_id""".stripMargin),
 
     "x_text_chunks" -> (tokCte +
       """, st AS (

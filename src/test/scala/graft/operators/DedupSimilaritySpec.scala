@@ -202,6 +202,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distributed == expected)
   }
 
+  test("survivors: highest score wins the cluster, min id breaks ties, " +
+    "unclustered docs absent") {
+    val pairs = Seq((1L, 4L), (4L, 9L), (20L, 30L)).toDF("i", "j")
+    val docs = Seq(
+      (1L, 10L),  // cluster {1,4,9}: 4 has the best score
+      (4L, 99L),
+      (9L, 50L),
+      (20L, 7L),  // cluster {20,30}: tied — min id 20 survives
+      (30L, 7L),
+      (77L, 1000L)) // unclustered: must not appear
+      .toDF("doc_id", "quality")
+    val out = Dedup.survivors(pairs, docs, "doc_id", $"quality")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 9L, 20L, 30L))
+    // cluster ids are the min-id canonicals; survivor is max-quality
+    assert(out.toSeq.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      (1L, 1L, 4L, false), (4L, 1L, 4L, true), (9L, 1L, 4L, false),
+      (20L, 20L, 20L, true), (30L, 20L, 20L, false)))
+    // the distributed-closure path selects identically
+    val dist = Dedup.survivors(pairs, docs, "doc_id", $"quality",
+      driverGraphLimit = 0)
+    assert(dist.as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      == out.toSeq)
+  }
+
   test("cosine identities: self = 1, orthogonal = 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
