@@ -38,6 +38,29 @@ object Sampling {
   def deterministicKeep(key: Column, keep: Int, outOf: Int = 1000): Column =
     hashBucket(key, outOf) < keep
 
+  /** Deterministic source-mixing repeat count — the "upsample wiki
+    * 2.3×, downsample crawl 0.4×" step of corpus curation, without
+    * rand(): a row with stratum weight w (per-mille, so 2300 = 2.3×)
+    * is emitted ⌊w/1000⌋ times, plus one more iff its hash bucket of
+    * 1000 falls below w mod 1000. The stratum therefore lands at
+    * EXACTLY its weight in expectation, every copy decision is a pure
+    * function of (stratum, key) — replays, retries, and engines agree —
+    * and weight 0 drops the stratum. Callers materialize the copies
+    * with `explode(sequence(0, copies - 1))` guarded by `copies > 0`
+    * (see the `x_mix_weights` query); map-only until that explode,
+    * which multiplies rows by the mix factor and nothing else.
+    */
+  def mixCopies(strata: Column, key: Column,
+      perMille: Map[String, Int], defaultPerMille: Int = 1000): Column = {
+    require((perMille.values ++ Seq(defaultPerMille)).forall(_ >= 0),
+      "mix weights must be non-negative")
+    val w = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (v, p)) =>
+      when(strata === v, p).otherwise(acc)
+    }.cast("long")
+    val whole = floor(w.cast("double") / 1000d).cast("long")
+    whole + when(hashBucket(key, 1000) < pmod(w, lit(1000L)), 1L).otherwise(0L)
+  }
+
   /** Stratified deterministic sampling — the "downsample the
     * overrepresented language/source" step of corpus balancing. Each
     * stratum value gets its own keep-fraction (per-mille, so the

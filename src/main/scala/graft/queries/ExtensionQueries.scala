@@ -209,6 +209,21 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Deterministic source-mixing ([[graft.operators.Sampling.mixCopies]]):
+    * upsample src13 2.5×, downsample src8 to 0.3×, drop src7, pass the
+    * rest — every copy decision a pure hash function, materialized by
+    * one explode.
+    */
+  private def xMixWeights(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("copies", graft.operators.Sampling.mixCopies(
+        col("source"), col("doc_id"),
+        Map("src13" -> 2500, "src8" -> 300, "src7" -> 0)))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("copies"),
+        explode(expr("sequence(0L, copies - 1)")).as("copy_ix"))
+      .orderBy("doc_id", "copy_ix")
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -589,6 +604,7 @@ object ExtensionQueries {
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
+    "x_mix_weights" -> (xMixWeights _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
     "x_contamination_bloom" -> (xContaminationBloom _),
@@ -945,6 +961,21 @@ object ExtensionQueries {
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x_mix_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src13' THEN 2500 WHEN 'src8' THEN 300
+        |         WHEN 'src7' THEN 0 ELSE 1000 END AS wt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(wt // 1000 + CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |  FROM w)
+        |SELECT doc_id, source, copies,
+        |  unnest(generate_series(0, copies - 1)) AS copy_ix
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_ix""".stripMargin,
 
     "x_text_pack" -> (packPlacementCte +
       """SELECT doc_id, shard, n_tokens, token_offset,

@@ -393,6 +393,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mixCopies: whole multiples exact, fractional part hash-proportioned, " +
+    "zero drops, deterministic") {
+    val df = (1L to 3000L).map(i => (i, i % 3 match {
+      case 0 => "up"; case 1 => "down"; case _ => "drop"
+    })).toDF("id", "src")
+    val copies = df.select($"id", $"src",
+      Sampling.mixCopies($"src", $"id",
+        Map("up" -> 2500, "down" -> 300, "drop" -> 0)).as("c"))
+      .as[(Long, String, Long)].collect()
+    val bySrc = copies.groupBy(_._2)
+    // up: every row gets >= 2 copies; ~half get 3 (frac 0.5 of 1000 rows)
+    assert(bySrc("up").forall(_._3 >= 2L))
+    val threes = bySrc("up").count(_._3 == 3L)
+    assert(threes > 350 && threes < 650, s"~500 expected, got $threes")
+    // down: 0 or 1 copies, ~30% ones
+    assert(bySrc("down").forall(r => r._3 == 0L || r._3 == 1L))
+    val ones = bySrc("down").count(_._3 == 1L)
+    assert(ones > 200 && ones < 400, s"~300 expected, got $ones")
+    // drop: always zero
+    assert(bySrc("drop").forall(_._3 == 0L))
+    // unlisted stratum passes through exactly once
+    val other = df.select(Sampling.mixCopies($"src", $"id", Map.empty).as("c"))
+      .as[Long].collect()
+    assert(other.forall(_ == 1L))
+    // replay-identical regardless of input order
+    val a = copies.sortBy(_._1).toSeq
+    val b = df.orderBy(desc("id")).select($"id", $"src",
+      Sampling.mixCopies($"src", $"id",
+        Map("up" -> 2500, "down" -> 300, "drop" -> 0)).as("c"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.mixCopies($"src", $"id", Map("up" -> -1))
+    }
+  }
+
   test("contaminationFractions: leaked docs flagged, unrelated clean, empty safe") {
     val benchmark = Seq(
       (900L, "the quick brown fox jumps over the lazy dog near the river bank")
