@@ -209,6 +209,17 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Corpus-relative rarity scoring
+    * ([[graft.operators.CorpusStats.meanTokenDf]]): mean document
+    * frequency of each doc's distinct tokens — the integer-exact
+    * corpus-model quality signal (low = noise/codes, high = common
+    * prose).
+    */
+  private def xTextRarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.meanTokenDf(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Deterministic source-mixing ([[graft.operators.Sampling.mixCopies]]):
     * upsample src13 2.5×, downsample src8 to 0.3×, drop src7, pass the
     * rest — every copy decision a pure hash function, materialized by
@@ -605,6 +616,7 @@ object ExtensionQueries {
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
     "x_mix_weights" -> (xMixWeights _),
+    "x_text_rarity" -> (xTextRarity _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
     "x_contamination_bloom" -> (xContaminationBloom _),
@@ -961,6 +973,21 @@ object ExtensionQueries {
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x_text_rarity" -> (tokCte +
+      """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+        |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        |pd AS (
+        |  SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_toks,
+        |    CAST(sum(dfs.df) AS BIGINT) AS df_sum
+        |  FROM dt JOIN dfs USING (tok) GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_distinct_toks, 0) AS BIGINT) AS n_distinct_toks,
+        |  pd.df_sum,
+        |  round(CAST(CAST(pd.df_sum AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "x_mix_weights" ->
       """WITH w AS (

@@ -429,6 +429,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("meanTokenDf: common words score high, rare low, spam-repeats " +
+    "don't inflate, empty docs survive") {
+    val docs = Seq(
+      (1L, "alpha beta"),          // both tokens in 3 docs → mean df 3
+      (2L, "alpha beta gamma"),    // alpha/beta df 3, gamma df 1 → 7/3
+      (3L, "alpha beta"),
+      (4L, "unique unique unique unique"), // spam: distinct {unique}, df 1
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.meanTokenDf(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out(0) == ((1L, 2L, Some(6L), Some(3.0))))
+    assert(out(1)._2 == 3L && math.abs(out(1)._4.get - 7.0 / 3) < 1e-6)
+    assert(out(3) == ((4L, 1L, Some(1L), Some(1.0))),
+      "in-doc repetition must not inflate df or the score")
+    assert(out(4) == ((5L, 0L, None, None)), "empty doc: zero tokens, null score")
+  }
+
   test("contaminationFractions: leaked docs flagged, unrelated clean, empty safe") {
     val benchmark = Seq(
       (900L, "the quick brown fox jumps over the lazy dog near the river bank")

@@ -66,6 +66,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"hash-based assignment must be a pure map:\n$p")
   }
 
+  test("source mixing is map-only: hash repeat counts, explode, no shuffle") {
+    val p = plan("x_mix_weights")
+    // exactly one Exchange — the final ORDER BY's range partitioning;
+    // the weight lookup + copy explode must not shuffle
+    val exchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"mixing must be a pure map + explode:\n$p")
+  }
+
   test("sequence packing shuffles once on the shard key, no global sort") {
     val p = plan("x_text_pack")
     // two Exchanges max: one hash partition by __shard for the
