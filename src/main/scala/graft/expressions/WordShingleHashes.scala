@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   *   th(t)  = md5_prefix60(t) mod P          (per token, one digest)
   *   H(i)   = fold(th(i..i+n-1), (a,b) → a·131 + b) mod P
   *
-  * Intermediates stay < P·131ⁿ⁻¹ < 2⁶³ for n ≤ 5, so the arithmetic is
-  * overflow-free and reproducible in DuckDB as
-  * `list_reduce(list_prepend(0, th[i:i+n-1]), (a,b) -> a*131 + b) % P`.
+  * Intermediates stay < P·131ⁿ⁻¹ < 2⁶³ for n ≤ 5 (the div-free fast
+  * path); wider windows reduce mod P at each fold step — congruent by
+  * the mod ring homomorphism, so the one DuckDB formulation
+  * `list_reduce(list_prepend(0, th[i:i+n-1]), (a,b) -> (a*131 + b) % P)`
+  * reproduces every n (and the per-step form is REQUIRED there past
+  * n = 5, where DuckDB's end-only fold raises on BIGINT overflow).
   * Shorter-than-n docs produce one shingle over whatever is there
   * (empty → hash 0), mirroring the index range max(len−n+1, 1).
   *
@@ -36,10 +39,12 @@ import org.apache.spark.sql.types._
   */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
-  // the overflow-free bound P·131^(n-1) < 2^63 only holds for n ≤ 5;
-  // larger n would silently wrap in Spark while the documented DuckDB
-  // oracle formulation errors on BIGINT overflow
-  require(n >= 1 && n <= 5, s"word_shingle_hashes supports n in [1,5], got $n")
+  // window width is unbounded in principle; 256 is a sanity rail (a
+  // "shingle" wider than any real passage is a caller bug). n ≤ 5
+  // folds without per-step reduction (P·131^(n-1) < 2^63); wider
+  // windows reduce mod P each step — congruent results, one extra
+  // division per step on that path only.
+  require(n >= 1 && n <= 256, s"word_shingle_hashes supports n in [1,256], got $n")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -80,7 +85,14 @@ object WordShingleHashes {
       var acc = 0L
       var j = i
       val end = math.min(i + n, k)
-      while (j < end) { acc = acc * 131L + th(j); j += 1 }
+      if (n <= 5) {
+        // div-free fast path: intermediates stay < P·131⁴ < 2⁶³
+        while (j < end) { acc = acc * 131L + th(j); j += 1 }
+      } else {
+        // wide windows would overflow the raw fold (P·131⁷ > 2⁶³);
+        // reducing each step is congruent — mod is a ring homomorphism
+        while (j < end) { acc = (acc * 131L + th(j)) % P; j += 1 }
+      }
       out(i) = (acc % P).toInt // exact: the residue is in [0, P) < 2^30
       i += 1
     }

@@ -595,6 +595,43 @@ object Dedup {
         (col("doc_id") === col("survivor_id")).as("kept"))
   }
 
+  /** Exact long-span duplication — the "these two documents share a
+    * verbatim 20-token passage" detector from the substring-dedup
+    * literature (Lee et al. 2022 use suffix arrays for the fully
+    * general form; hashed fixed-length spans are the distributed
+    * equi-join equivalent, trading span-boundary granularity for a
+    * shuffle-friendly plan). Emits one row per doc pair sharing ≥
+    * `minShared` distinct hashed n-token windows, with the shared
+    * count.
+    *
+    * The scale hazard of any span self-join is boilerplate: a span
+    * shared by m docs generates m·(m-1)/2 pairs, so one viral footer
+    * goes quadratic. `maxDf` caps it — spans appearing in more than
+    * `maxDf` docs are excluded from PAIRING (standard practice: a
+    * span that common is boilerplate, not plagiarism, and the
+    * near-dup operators already catch boilerplate-heavy docs). The
+    * cap bounds join fan-out at maxDf²/2 per span, making worst-case
+    * output linear in distinct spans; the df pre-aggregation itself
+    * is one map-combined shuffle.
+    */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, maxDf: Int = 64, minShared: Int = 1): DataFrame = {
+    require(n >= 2 && maxDf >= 2 && minShared >= 1,
+      s"n=$n maxDf=$maxDf minShared=$minShared")
+    val spans = docs.select(col(idCol).as("__id"),
+        explode(hashedShingleSet(col(textCol), n)).as("__h"))
+    val rare = spans.groupBy("__h")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("__h")
+    val thinned = spans.join(rare, "__h")
+    thinned.as("a").join(thinned.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("i"), col("b.__id").as("j"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .where(col("n_shared_spans") >= minShared)
+  }
+
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
     * and small-n path. Norms are computed once per row before the
     * join; only the dot product is per-pair.

@@ -39,18 +39,24 @@ object ExtensionQueries {
     * [[graft.expressions.WordShingleHashes]] exactly (same overflow-
     * free arithmetic, same short-doc single-window rule).
     */
-  private val shingleCte = tokCte +
+  private def shingleCteN(n: Int): String = tokCte +
     s""", th AS (
        |  SELECT doc_id,
        |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS h
        |  FROM tk),
        |sh AS (
        |  SELECT doc_id, list_sort(list_distinct(list_transform(
-       |    range(1, greatest(len(h) - 4, 1) + 1),
-       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + 4 AS INT)]),
-       |         (a, b) -> a * 131 + b) % $P))) AS s
+       |    range(1, greatest(len(h) - ${n - 1}, 1) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + ${n - 1} AS INT)]),
+       |         (a, b) -> (a * 131 + b) % $P)))) AS s
        |  FROM th)
        |""".stripMargin
+  // NB the per-STEP `% P` in the fold: congruent to WordShingleHashes'
+  // arithmetic (mod is a ring homomorphism) and required for windows
+  // past ~5 tokens, where h·131^(n-1) would overflow INT64 if the
+  // reduction were applied only at the end.
+
+  private val shingleCte = shingleCteN(5)
 
   private val jaccardTailSql =
     """, jc AS (
@@ -208,6 +214,14 @@ object ExtensionQueries {
         col("lang"), col("doc_id"), Map("en" -> 300)))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+
+  /** Exact long-span duplication ([[Dedup.sharedSpanPairs]]): doc
+    * pairs sharing verbatim 8-token windows, df-capped against
+    * boilerplate fan-out.
+    */
+  private def xDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanPairs(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .orderBy("i", "j")
 
   /** Corpus-relative rarity scoring
     * ([[graft.operators.CorpusStats.meanTokenDf]]): mean document
@@ -617,6 +631,7 @@ object ExtensionQueries {
     "x_split_stratified" -> (xSplitStratified _),
     "x_mix_weights" -> (xMixWeights _),
     "x_text_rarity" -> (xTextRarity _),
+    "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
     "x_contamination_bloom" -> (xContaminationBloom _),
@@ -973,6 +988,14 @@ object ExtensionQueries {
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_spans" -> (shingleCteN(8) +
+      """, e AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 64),
+        |t AS (SELECT doc_id, h FROM e JOIN rare USING (h))
+        |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared_spans
+        |FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
 
     "x_text_rarity" -> (tokCte +
       """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),

@@ -56,11 +56,38 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(e, InternalRow(toks))
   }
 
-  test("WordShingleHashes rejects n outside the overflow-free bound [1,5]") {
+  test("WordShingleHashes rejects n outside [1,256]; wide-n path compiles") {
     val child = BoundReference(0, ArrayType(StringType, containsNull = false),
       nullable = true)
     intercept[IllegalArgumentException] { WordShingleHashes(child, 0) }
-    intercept[IllegalArgumentException] { WordShingleHashes(child, 6) }
+    intercept[IllegalArgumentException] { WordShingleHashes(child, 257) }
+    val toks = ArrayData.toArrayData(
+      ("the quick brown fox jumps over the lazy dog near the river bank"
+        .split(" ")).map(UTF8String.fromString))
+    compiledVsInterpreted(WordShingleHashes(child, 8), InternalRow(toks))
+  }
+
+  test("WordShingleHashes wide-n fold is congruent with the raw fold") {
+    // for n where the raw fold cannot overflow BigInt arithmetic is the
+    // reference: per-step mod must equal end-only mod (ring homomorphism)
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      .split(" ")
+    val P = BigInt(1000000007L)
+    def md5p(t: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      BigInt(java.lang.Long.parseLong(hex, 16)) mod P
+    }
+    for (n <- Seq(6, 8, 10)) {
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString))
+      val got = graft.expressions.WordShingleHashes.compute(arr, n)
+        .toIntArray().toSeq
+      val want = (0 until math.max(toks.length - n + 1, 1)).map { i =>
+        toks.slice(i, i + n).map(md5p)
+          .foldLeft(BigInt(0))((a, b) => a * 131 + b).mod(P).toInt
+      }.distinct.sorted
+      assert(got == want, s"wide-n fold diverged at n=$n")
+    }
   }
 
   test("RollingHash compiles and matches interpreted") {

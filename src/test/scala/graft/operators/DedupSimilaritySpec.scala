@@ -429,6 +429,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sharedSpanPairs: verbatim passages pair, boilerplate df-cap " +
+    "suppresses, counts are distinct spans") {
+    val passage = "one two three four five six seven eight nine ten"
+    val footer =
+      "standard footer appended to every single document here always forever okay"
+    val docs = Seq(
+      (1L, s"$passage unique1 tail"),
+      (2L, s"head unique2 $passage"),                 // shares the passage with 1
+      (3L, "entirely different words about databases and query engines today"),
+      (4L, s"irrelevant prefix $footer"),
+      (5L, s"other leading text $footer"),
+      (6L, s"more unrelated content $footer"))
+      .toDF("doc_id", "text")
+    // footer spans appear in 3 docs; maxDf=2 excludes them from pairing
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        n = 10, maxDf = 2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)),
+      s"only the passage pair expected: ${out.toSeq}")
+    assert(out.head._3 == 1L, "one distinct 10-token shared span")
+    // raising the cap admits the boilerplate pairs
+    val loose = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        n = 10, maxDf = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(loose == Set((1L, 2L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
   test("meanTokenDf: common words score high, rare low, spam-repeats " +
     "don't inflate, empty docs survive") {
     val docs = Seq(
