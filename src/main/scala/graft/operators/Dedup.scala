@@ -376,37 +376,8 @@ object Dedup {
             posexplode(col("__set")).as(Seq("__p", "__h")))
           .select(col("__sid"), col("__h"), col("__sz"),
             (col("__p") + 1).as("__pos"))
-      else {
-        // a bucket of df ≤ √n contributes ≤ n candidate pairs — only
-        // shingles above that can make Σ bucket² superlinear
-        val hotCut = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
-        // Hot detection runs on a ~50k-doc SAMPLE, not the full
-        // corpus: the sf30 stage probe measured the full-corpus df
-        // aggregate (explode of every shingle of every doc) at
-        // 24-162 s — the query's single most expensive job — while
-        // the hot list it produces only picks the prefix ORDER. Any
-        // fixed total order keeps the Bayardo completeness guarantee,
-        // so sampling affects candidate count (performance), never
-        // the verified output. The sampled cut is half the
-        // proportionally scaled threshold: a truly-hot shingle
-        // (df > √n, e.g. 1225 at 1.5M docs) sits >3σ above it at a
-        // 1/30 sample, and both error directions are benign
-        // (over-detection reorders a few prefixes, under-detection
-        // admits some extra candidates for the exact confirm to
-        // discard).
-        val sampleFrac = math.min(1.0, 50000.0 / nDocs)
-        val sampled =
-          if (sampleFrac >= 1.0) docs
-          else docs.sample(withReplacement = false, sampleFrac, seed = 42L)
-        val sampledCut = math.max(1L,
-          math.floor(hotCut * sampleFrac / 2.0).toLong)
-        val hotRows = sampled
-          .select(explode(hashedShingleSet(col(textCol), n)).as("__h"))
-          .groupBy("__h").agg(count(lit(1)).as("__df"))
-          .where(col("__df") > sampledCut)
-          .select(col("__h")).limit(hotBroadcastCap + 1).collect()
-        if (hotRows.length <= hotBroadcastCap) {
-          val hot = hotRows.map(_.getInt(0)).sorted
+      else sampledHotShingles(docs, textCol, n, nDocs, hotBroadcastCap) match {
+        case Some(hot) =>
           val ordered =
             if (hot.isEmpty) col("__set")
             else concat(array_except(col("__set"), typedLit(hot)),
@@ -417,7 +388,7 @@ object Dedup {
                 .as(Seq("__p", "__h")))
             .select(col("__sid"), col("__h"), col("__sz"),
               (col("__p") + 1).as("__pos"))
-        } else {
+        case None =>
           // exact fallback: rank every shingle by global (df, hash)
           // over the FULL corpus (the sampled counts above only gate
           // which path runs; this path pays for exactness)
@@ -430,7 +401,6 @@ object Dedup {
             .where(col("__rn") <= prefixLen(col("__sz")))
             .select(col("__sid"), col("__h"), col("__sz"),
               col("__rn").as("__pos"))
-        }
       }
     // Bayardo/PPJoin pruning ON the index join — all three filters are
     // sound (no true pair lost) and cut candidates before the
@@ -474,6 +444,143 @@ object Dedup {
         greatest(col("a.__sid"), col("b.__sid")).as("j"))
       .distinct()
     (cand, sets)
+  }
+
+  /** Sampled hot-shingle detection shared by [[ngramJaccardCandidates]]
+    * and [[containmentPairs]]. A bucket of df ≤ √n contributes ≤ n
+    * candidate pairs — only shingles above that can make Σ bucket²
+    * superlinear, so those are the "hot" list that prefix ordering
+    * pushes to the END of every document's order.
+    *
+    * Detection runs on a ~50k-doc SAMPLE, not the full corpus: the
+    * sf30 stage probe measured the full-corpus df aggregate (explode
+    * of every shingle of every doc) at 24-162 s — the single most
+    * expensive job in the jaccard query — while the hot list it
+    * produces only picks the prefix ORDER. Any fixed total order keeps
+    * the Bayardo completeness guarantee, so sampling affects candidate
+    * count (performance), never the verified output. The sampled cut
+    * is half the proportionally scaled threshold: a truly-hot shingle
+    * (df > √n, e.g. 1225 at 1.5M docs) sits >3σ above it at a 1/30
+    * sample, and both error directions are benign (over-detection
+    * reorders a few prefixes, under-detection admits some extra
+    * candidates for the exact confirm to discard).
+    *
+    * Returns the sorted hot hashes, or None when the list overflows
+    * `hotBroadcastCap` (pathological tiny-vocabulary corpus) — callers
+    * then take their exact full-corpus df-rank fallback.
+    */
+  private[graft] def sampledHotShingles(docs: DataFrame, textCol: String,
+      n: Int, nDocs: Long, hotBroadcastCap: Int): Option[Array[Int]] = {
+    val hotCut = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
+    val sampleFrac = math.min(1.0, 50000.0 / nDocs)
+    val sampled =
+      if (sampleFrac >= 1.0) docs
+      else docs.sample(withReplacement = false, sampleFrac, seed = 42L)
+    val sampledCut = math.max(1L,
+      math.floor(hotCut * sampleFrac / 2.0).toLong)
+    val hotRows = sampled
+      .select(explode(hashedShingleSet(col(textCol), n)).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > sampledCut)
+      .select(col("__h")).limit(hotBroadcastCap + 1).collect()
+    if (hotRows.length <= hotBroadcastCap) Some(hotRows.map(_.getInt(0)).sorted)
+    else None
+  }
+
+  /** Containment near-dup — overlap-coefficient dedup, the asymmetric
+    * companion to [[ngramJaccardPairs]]: pairs whose shingle overlap
+    * covers ≥ `threshold` of the SMALLER set,
+    * `C = |A∩B| / min(|A|,|B|)` (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997). Catches what
+    * symmetric Jaccard structurally cannot: an excerpt, quote, or
+    * truncation re-crawled inside (or as a fragment of) a larger
+    * document scores C ≈ 1 while its Jaccard is only
+    * |small| / |large| — far below any useful symmetric threshold.
+    *
+    * Scale shape: Bayardo prefix filtering adapted to the asymmetric
+    * measure. Because min-normalization kills the symmetric length
+    * filter (ANY size ratio can qualify), the index side must carry
+    * every shingle of every doc; the PROBE side is each doc's
+    * `|S| − ⌈t·|S|⌉ + 1`-shingle prefix under the same fixed global
+    * order as jaccard (hot shingles last, via [[sampledHotShingles]];
+    * exact (df, hash) rank fallback on hot-list overflow; natural
+    * hash order below `prefixFilterFloor`). Completeness: orient each
+    * pair so the probe is the smaller set `a`; a qualifying pair has
+    * overlap α ≥ ⌈t·|a|⌉, so a's prefix — which excludes only
+    * ⌈t·|a|⌉ − 1 positions — must contain a common shingle, and the
+    * globally-first common shingle has α−1 common successors in BOTH
+    * orders, which is exactly the positional bound enforced in the
+    * join. Candidate mass is Σ over probe prefixes of posting-list df
+    * — the df-ascending order makes probe shingles the RAREST in
+    * their documents, so the lists they touch are short.
+    *
+    * Verification is exact on candidates only: intersection size over
+    * min set size via `array_intersect` on the sorted hashed sets —
+    * integer-exact, so the DuckDB oracle's `list_intersect` computes
+    * bit-identical doubles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.9,
+      prefixFilterFloor: Long = 20000L, hotBroadcastCap: Int = 512): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val sets = hashedSets(docs, idCol, textCol, n)
+    val eps = 1e-6
+    def probeLen(sz: Column): Column =
+      (sz - ceil(lit(threshold) * sz - lit(eps)) + lit(1)).cast("int")
+    val nDocs = docs.count()
+    // full positional index (__sid, __h, __sz, __pos) under a fixed
+    // global order — the probe side is its first probeLen positions
+    val index =
+      if (nDocs < prefixFilterFloor)
+        sets.select(col("__sid"), size(col("__set")).as("__sz"),
+            posexplode(col("__set")).as(Seq("__p", "__h")))
+          .select(col("__sid"), col("__h"), col("__sz"),
+            (col("__p") + 1).as("__pos"))
+      else sampledHotShingles(docs, textCol, n, nDocs, hotBroadcastCap) match {
+        case Some(hot) =>
+          val ordered =
+            if (hot.isEmpty) col("__set")
+            else concat(array_except(col("__set"), typedLit(hot)),
+              array_intersect(col("__set"), typedLit(hot)))
+          sets.select(col("__sid"), size(col("__set")).as("__sz"),
+              posexplode(ordered).as(Seq("__p", "__h")))
+            .select(col("__sid"), col("__h"), col("__sz"),
+              (col("__p") + 1).as("__pos"))
+        case None =>
+          val sh = sets.select(col("__sid"), explode(col("__set")).as("__h"))
+          val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+          val w = Window.partitionBy("__sid").orderBy(col("__df"), col("__h"))
+          sh.join(dfreq, Seq("__h"))
+            .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__sid")))
+            .withColumn("__pos", row_number().over(w))
+            .select(col("__sid"), col("__h"), col("__sz"), col("__pos"))
+      }
+    val probe = index.where(col("__pos") <= probeLen(col("__sz")))
+    // probe side a is the SMALLER set (ties by id) — the completeness
+    // argument above needs the prefix cut on the min side only
+    val orient = (col("a.__sz") < col("b.__sz")) ||
+      (col("a.__sz") === col("b.__sz") && col("a.__sid") < col("b.__sid"))
+    // overlap needed = ⌈t·|a|⌉; a match at ranks (i, j) leaves at most
+    // 1 + min(|a|−i, |b|−j) possible common shingles — the first
+    // common shingle of a true pair always passes (see scaladoc)
+    val needed = ceil(lit(threshold) * col("a.__sz") - lit(eps))
+    val posOk = (lit(1) +
+      least(col("a.__sz") - col("a.__pos"), col("b.__sz") - col("b.__pos"))
+      ) >= needed
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.__h") === col("b.__h") && orient && posOk)
+      .select(least(col("a.__sid"), col("b.__sid")).as("i"),
+        greatest(col("a.__sid"), col("b.__sid")).as("j"))
+      .distinct()
+    val out = cand
+      .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
+      .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          least(size(col("__sa")), size(col("__sb"))).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+    materializeAndRelease(out, sets)
   }
 
   /** 16-bit SimHash fingerprint of the token stream — computed with

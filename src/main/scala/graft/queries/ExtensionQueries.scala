@@ -342,6 +342,29 @@ object ExtensionQueries {
         .orderBy("i", "j")
     }
 
+  /** Containment (overlap-coefficient) dedup over a corpus with
+    * PLANTED excerpts: every 7th document re-appears under a shifted
+    * id as its first max(⌊tokens/2⌋, 6) tokens. An excerpt's shingle
+    * set is a subset of its source's, so containment is 1.0 while
+    * Jaccard is only ~0.5 — below any symmetric threshold: exactly
+    * the pair class [[Dedup.containmentPairs]] exists to catch
+    * (truncated re-crawls, quoted fragments, boilerplate inclusion).
+    */
+  private def xDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = T.tokens(col("text"))
+    val k = greatest((size(toks) / lit(2)).cast("int"), lit(6))
+    val excerpts = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(toks, lit(1), k), " ").as("text"))
+    releasing(Dedup.containmentPairs(d.unionByName(excerpts),
+        "doc_id", "text")) {
+      _.select(col("i"), col("j"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("i", "j")
+    }
+  }
+
   private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
@@ -614,6 +637,7 @@ object ExtensionQueries {
     "x_dedup_exact" -> (xDedupExact _),
     "x_dedup_minhash_lsh" -> (xDedupMinhash _),
     "x_dedup_jaccard" -> (xDedupJaccard _),
+    "x_dedup_containment" -> (xDedupContainment _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_dedup_clusters" -> (xDedupClusters _),
     "x_dedup_survivors" -> (xDedupSurvivors _),
@@ -790,6 +814,46 @@ object ExtensionQueries {
         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
         |  FROM ex a JOIN ex b2 ON a.g = b2.g AND a.doc_id < b2.doc_id)""".stripMargin
       + jaccardTailSql),
+
+    // mirrors xDedupContainment's planted-excerpt union at the TOKEN
+    // level (list_slice of the same split — no text reconstruction to
+    // drift), then the shingle pipeline of shingleCteN and an exact
+    // all-pairs shared-shingle candidate set with the min-normalized
+    // containment tail
+    "x_dedup_containment" -> (
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, toks FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    list_slice(toks, 1, greatest(len(toks) // 2, 6)) AS toks
+        |  FROM t0 WHERE doc_id % 7 = 0),
+        |""".stripMargin +
+      s"""th AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS h
+         |  FROM tk),
+         |sh AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(h) - 4, 1) + 1),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + 4 AS INT)]),
+         |         (a, b) -> (a * 131 + b) % $P)))) AS s
+         |  FROM th),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+         |  FROM ex a JOIN ex b2 ON a.g = b2.g AND a.doc_id < b2.doc_id),
+         |ct AS (
+         |  SELECT c.i, c.j,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    CAST(least(len(sa.s), len(sb.s)) AS DOUBLE) AS cont
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
+         |SELECT i, j, round(cont, 6) AS containment
+         |FROM ct WHERE cont >= 0.9 ORDER BY i, j""".stripMargin),
 
     "x_dedup_simhash" -> (tokCte +
       s""", ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),

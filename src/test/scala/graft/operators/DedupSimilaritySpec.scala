@@ -148,6 +148,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("containment: excerpt-in-document pairs found at every index path, " +
+      "equal to brute force, invisible to symmetric jaccard") {
+    // Size-skewed pairs are the whole point: a 6-token excerpt of a
+    // 40-token doc has containment 1.0 but Jaccard ~0.15. Brute-force
+    // all-pairs overlap coefficient is the reference; all three index
+    // paths (hot-slice prefix, df-rank fallback, natural-order small
+    // corpus) must equal it EXACTLY — the asymmetric prefix bound is
+    // unsound the moment a true pair is dropped here.
+    val r = new scala.util.Random(11)
+    val base = (1L to 60L).map { id =>
+      val len = 8 + r.nextInt(35)
+      val words = Seq.fill(len)(s"w${r.nextInt(25)}").mkString(" ")
+      (id, words)
+    }
+    val excerpts = base.collect { case (id, text) if id % 5 == 0 =>
+      (id + 1000L, text.split(" ").take(7).mkString(" "))
+    }
+    val corpus = (base ++ excerpts).toDF("doc_id", "text")
+    def run(floor: Long, hotCap: Int = 512) =
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.9, prefixFilterFloor = floor, hotBroadcastCap = hotCap)
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val sets = corpus.select($"doc_id",
+        Dedup.hashedShingleSet($"text", 3).as("s"))
+      .as[(Long, Array[Int])].collect()
+    val brute = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = a.toSet.intersect(b.toSet).size.toDouble
+      m = math.min(a.length, b.length).toDouble
+      if m > 0 && inter / m >= 0.9
+    } yield (i, j)).toSet
+    assert(run(0L) == brute)                 // hot-slice prefix path
+    assert(run(0L, hotCap = 0) == brute)     // df-rank window path
+    assert(run(Long.MaxValue) == brute)      // natural-order full index
+    // every planted excerpt pairs with its source…
+    excerpts.foreach { case (eid, _) => assert(brute.contains((eid - 1000L, eid))) }
+    // …and symmetric jaccard at the same confidence sees none of them
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.9, prefixFilterFloor = Long.MaxValue)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    excerpts.foreach { case (eid, _) => assert(!jac.contains((eid - 1000L, eid))) }
+  }
+
   test("simhash: near dups at small hamming distance, unrelated far") {
     val fp = docs.select($"doc_id", Dedup.simhash16($"text").as("f"))
       .as[(Long, Long)].collect().toMap
