@@ -522,6 +522,26 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.9,
       prefixFilterFloor: Long = 20000L, hotBroadcastCap: Int = 512): DataFrame = {
+    val (cand, sets) = containmentCandidates(docs, idCol, textCol, n,
+      threshold, prefixFilterFloor, hotBroadcastCap)
+    val out = cand
+      .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
+      .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          least(size(col("__sa")), size(col("__sb"))).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+    materializeAndRelease(out, sets)
+  }
+
+  /** Candidate stage of [[containmentPairs]], exposed for stage-level
+    * cost attribution (tools/ContainmentProbe): returns (candidate
+    * pairs, persisted shingle sets). The CALLER owns the `sets` cache.
+    */
+  private[graft] def containmentCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      prefixFilterFloor: Long, hotBroadcastCap: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
     val sets = hashedSets(docs, idCol, textCol, n)
     val eps = 1e-6
@@ -572,15 +592,7 @@ object Dedup {
       .select(least(col("a.__sid"), col("b.__sid")).as("i"),
         greatest(col("a.__sid"), col("b.__sid")).as("j"))
       .distinct()
-    val out = cand
-      .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
-      .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
-      .withColumn("containment",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          least(size(col("__sa")), size(col("__sb"))).cast("double"))
-      .where(col("containment") >= threshold)
-      .select(col("i"), col("j"), col("containment"))
-    materializeAndRelease(out, sets)
+    (cand, sets)
   }
 
   /** 16-bit SimHash fingerprint of the token stream — computed with
