@@ -79,4 +79,28 @@ object Sampling {
     }
     b < threshold
   }
+
+  /** Per-stratum cap: rank rows within each stratum by
+    * (`quality` DESC, `tiebreak` ASC) and keep the top `n` — the
+    * "at most N docs per domain/source" curation step that stops a
+    * single mega-crawl domain from dominating the mix. Adds the rank
+    * as `cap_rank`. Deterministic given a total tiebreak (pass the
+    * doc id).
+    *
+    * Scale shape: the rank-≤-n filter plans as a window GROUP LIMIT
+    * (Spark's `WindowGroupLimit` — a per-partition top-n pre-filter
+    * BEFORE the stratum exchange and again under the final window
+    * sort), so a skewed stratum (one domain = 30% of the crawl) ships
+    * at most n rows per upstream task instead of its whole corpus
+    * slice, and no full-stratum sort materializes. Pinned in
+    * PlanAuditSpec.
+    */
+  def capPerStratum(df: org.apache.spark.sql.DataFrame, strata: Column,
+      quality: Column, tiebreak: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n=$n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(quality.desc, tiebreak.asc)
+    df.withColumn("cap_rank", row_number().over(w))
+      .where(col("cap_rank") <= n)
+  }
 }

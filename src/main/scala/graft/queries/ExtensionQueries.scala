@@ -204,6 +204,22 @@ object ExtensionQueries {
       graft.operators.Sampling.deterministicKeep(col("doc_id"), 250).as("keep_25pct"))
       .orderBy("doc_id")
 
+  /** Per-source cap: at most 50 docs per source, best-first by
+    * (n_chars DESC, doc_id) — the anti-domination guard of every
+    * crawl mix. Plans as a window group limit (per-partition top-n
+    * both before the stratum exchange and under the final sort —
+    * pinned in PlanAuditSpec), so a skewed source never ships or
+    * sorts its full slice.
+    */
+  private def xCapPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerStratum(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        col("source"), col("n_chars"), col("doc_id"), 50)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cap_rank").cast("long").as("cap_rank"))
+      .orderBy("source", "cap_rank")
+
   /** Stratified corpus balancing: downsample English (the dominant
     * stratum) to 30% while keeping the rest — deterministic hash
     * sampling, map-only (see [[graft.operators.Sampling.stratifiedKeep]]).
@@ -653,6 +669,7 @@ object ExtensionQueries {
     "x_text_redact" -> (xTextRedact _),
     "x_split_assign" -> (xSplitAssign _),
     "x_split_stratified" -> (xSplitStratified _),
+    "x_cap_per_source" -> (xCapPerSource _),
     "x_mix_weights" -> (xMixWeights _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
@@ -1132,6 +1149,15 @@ object ExtensionQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
         |      < CASE WHEN lang = 'en' THEN 300 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "x_cap_per_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS cap_rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 50 ORDER BY source, cap_rank""".stripMargin,
 
     "x_multimodal_frames" ->
       """WITH f AS (

@@ -436,6 +436,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("capPerStratum: best-first top-n per stratum, small strata whole, " +
+      "deterministic tiebreak") {
+    val df = Seq(
+      // "big" stratum: 5 rows, quality = id*10, cap 3 keeps 50/40/30
+      (1L, "big", 10L), (2L, "big", 20L), (3L, "big", 30L),
+      (4L, "big", 40L), (5L, "big", 50L),
+      // tie stratum: equal quality — min id wins each rank
+      (6L, "tie", 7L), (7L, "tie", 7L), (8L, "tie", 7L), (9L, "tie", 7L),
+      // small stratum: under the cap, kept whole
+      (10L, "small", 1L), (11L, "small", 2L)
+    ).toDF("id", "src", "q")
+    val out = Sampling.capPerStratum(df, $"src", $"q", $"id", 3)
+      .select($"id", $"src", $"cap_rank").as[(Long, String, Int)]
+      .collect().sortBy(r => (r._2, r._3))
+    assert(out.filter(_._2 == "big").map(_._1).toSeq == Seq(5L, 4L, 3L))
+    assert(out.filter(_._2 == "tie").map(_._1).toSeq == Seq(6L, 7L, 8L))
+    assert(out.filter(_._2 == "small").map(_._1).toSeq == Seq(11L, 10L))
+    assert(out.forall(_._3 <= 3))
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(df, $"src", $"q", $"id", 0)
+    }
+  }
+
   test("mixCopies: whole multiples exact, fractional part hash-proportioned, " +
     "zero drops, deterministic") {
     val df = (1L to 3000L).map(i => (i, i % 3 match {

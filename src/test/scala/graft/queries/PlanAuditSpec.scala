@@ -87,6 +87,20 @@ class PlanAuditSpec extends SparkSpec {
       s"window must partition by the shard hash:\n$p")
   }
 
+  test("per-source cap plans as a window group limit (partial top-n, " +
+      "no full-stratum sort)") {
+    val p = plan("x_cap_per_source")
+    // Spark 4 rewrites rank-predicate windows into WindowGroupLimit:
+    // a per-partition top-n runs BEFORE the stratum exchange (Partial)
+    // and again under the final window (Final), so a skewed source
+    // ships at most n rows per upstream task — the property that
+    // makes the cap survive a single domain owning 30% of a crawl
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must plan as a window group limit:\n$p")
+    assert(p.contains("Partial"),
+      s"group-limit must prefilter map-side before the exchange:\n$p")
+  }
+
   test("token repetition signals are map-only: the explode shuffle is gone") {
     val p = plan("x_text_repetition")
     // exactly one Exchange — the final ORDER BY's range partitioning;
