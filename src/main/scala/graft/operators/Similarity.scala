@@ -204,4 +204,59 @@ object Similarity {
         V.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     ranked(joined, k)
   }
+
+  /** Exemplar PQ codebooks: subspace `sub`'s code `c` is slice `sub`
+    * of the c-th lowest-id candidate vector — the same deterministic,
+    * DuckDB-reproducible quantizer family as [[exemplarCentroids]]
+    * (production would k-means each subspace; the encode/scan
+    * dataflow, the part that must scale, is identical).
+    * Returns books(sub)(code): a dsub = dim/m element centroid.
+    */
+  def pqCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val ex = exemplarCentroids(candidates, idCol, vecCol, ksub)
+    require(ex.nonEmpty, "PQ needs at least one exemplar row")
+    val dim = ex.head.size
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map(sub => ex.map(_.slice(sub * dsub, (sub + 1) * dsub)))
+  }
+
+  /** PQ-encode the candidate side: (neighbor_id, codes, recon_nsq).
+    * `codes` is the m-code quantization (the form a 100 TB deployment
+    * STORES — m bytes/vector at ksub ≤ 256 instead of 4·dim, a 32×
+    * smaller scan at dim 64 / m 8); `recon_nsq` is the reconstruction
+    * norm², precomputed once so scoring needs no lookups beyond ADC.
+    * Map-only: both kernels carry the codebooks as reference objects.
+    */
+  def pqEncode(candidates: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    candidates.select(col(idCol).as("neighbor_id"),
+        graft.expressions.PqEncode(col(vecCol), books).as("codes"))
+      .withColumn("recon_nsq",
+        graft.expressions.PqReconNormSq(col("codes"), books))
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): candidates
+    * are scanned as m-byte codes, scored by asymmetric distance
+    * computation — the exact query against each candidate's
+    * RECONSTRUCTION: score = (q · recon) / (‖q‖·‖recon‖). Approximate
+    * by construction (quantization error moves scores, so ranks can
+    * differ from brute force); the compression is the point — this is
+    * the memory-bounded leg of the brute/LSH/IVF family, and composes
+    * with IVF cells for the classic IVFPQ layout.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int = 8, ksub: Int = 8,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val books = codebooks.getOrElse(
+      pqCodebooks(candidates, idCol, vecCol, m, ksub))
+    val enc = pqEncode(candidates, idCol, vecCol, books)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", V.normSq(col("__qv")))
+    val pairs = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", V.cosinePrenormed(
+        graft.expressions.PqAdcDot(col("__qv"), col("codes"), books),
+        col("__qn"), col("recon_nsq")))
+    ranked(pairs, k)
+  }
 }

@@ -487,6 +487,22 @@ object ExtensionQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** PQ ANN: the same 10 query vectors as the other top-k legs, but
+    * the candidate side is scanned as 8 sub-centroid CODES per vector
+    * (the 100 TB memory story), scored by ADC against the exemplar
+    * codebooks. The oracle reconstructs each candidate from its codes
+    * and reuses the plain dot/norm SQL — mathematically and
+    * bit-identically the ADC fold, since concatenated-subspace folds
+    * accumulate in the same element order.
+    */
+  private def xSimTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e.where(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, m = 8, ksub = 8)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private def xTextTokens(s: SparkSession, dir: String): DataFrame = {
     val bpe = T.bpeishCount(col("text"))
     Tables.documents(s, dir).select(
@@ -662,6 +678,7 @@ object ExtensionQueries {
     "x_sim_topk_brute" -> (xSimTopkBrute _),
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
+    "x_sim_topk_pq" -> (xSimTopkPq _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_chunks" -> (xTextChunks _),
     "x_text_pack" -> (xTextPack _),
@@ -1001,6 +1018,44 @@ object ExtensionQueries {
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
          |  FROM qry q JOIN cand c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // PQ ANN: encode = per-subspace L2 argmin against the exemplar
+    // codebook (8 codes of the 8 lowest-id vectors' slices), score =
+    // dot/norm against the code RECONSTRUCTION — element order equals
+    // the Spark kernels' concatenated-subspace folds, so doubles match
+    // bit for bit
+    "x_sim_topk_pq" -> (embCte +
+      s""", cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |  FROM nn ORDER BY vec_id LIMIT 8),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |d AS (
+         |  SELECT n.vec_id, s.m, c.code,
+         |    list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]) *
+         |             (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]))),
+         |      (x, y) -> x + y) AS d2
+         |  FROM nn n CROSS JOIN sub s CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS crk
+         |  FROM d),
+         |rv AS (
+         |  SELECT e2.vec_id,
+         |    flatten(list(c.v[CAST(e2.m * 8 + 1 AS INT):CAST(e2.m * 8 + 8 AS INT)]
+         |      ORDER BY e2.m)) AS rvv
+         |  FROM enc e2 JOIN cb c ON c.code = e2.code
+         |  WHERE e2.crk = 1 GROUP BY e2.vec_id),
+         |rn AS (SELECT vec_id, rvv, ${dotSql("rvv", "rvv")} AS rnsq FROM rv),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "r2.rvv")} / (sqrt(q.nsq) * sqrt(r2.rnsq)) AS score
+         |  FROM nn q JOIN rn r2 ON r2.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
          |SELECT query_id, neighbor_id, round(score, 6) AS score
          |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),

@@ -293,6 +293,29 @@ class KernelCodegenSpec extends SparkSpec {
       row.getSeq[String](7).forall(_.matches("\\d+:\\d+:\\d+")))
   }
 
+  test("PQ kernels compile and match interpreted (float and double vectors)") {
+    val books = Seq(
+      Seq(Seq(0.0, 1.0), Seq(2.0, -1.0), Seq(0.5, 0.5)),
+      Seq(Seq(1.5, 0.5), Seq(-2.0, 3.0), Seq(0.0, 0.0)))
+    val vecF = ArrayData.toArrayData(Array(1.9f, -0.9f, 1.4f, 0.6f))
+    val vecD = ArrayData.toArrayData(Array(1.9, -0.9, 1.4, 0.6))
+    val encF = PqEncode(BoundReference(0,
+      ArrayType(FloatType, containsNull = false), nullable = true), books)
+    compiledVsInterpreted(encF, InternalRow(vecF))
+    val encD = PqEncode(BoundReference(0,
+      ArrayType(DoubleType, containsNull = false), nullable = true), books)
+    compiledVsInterpreted(encD, InternalRow(vecD))
+    val codes = ArrayData.toArrayData(Array(1, 0))
+    val rn = PqReconNormSq(BoundReference(0,
+      ArrayType(IntegerType, containsNull = false), nullable = true), books)
+    compiledVsInterpreted(rn, InternalRow(codes))
+    val adc = PqAdcDot(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true),
+      BoundReference(1, ArrayType(IntegerType, containsNull = false), nullable = true),
+      books)
+    compiledVsInterpreted(adc, InternalRow(vecF, codes))
+  }
+
   private def withCodegenStrict[A](body: => A): A = {
     val key = "spark.sql.codegen.fallback"
     val prev = spark.conf.getOption(key)

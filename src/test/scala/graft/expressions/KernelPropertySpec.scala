@@ -134,6 +134,40 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PQ kernels equal a functional reference: argmin encode, " +
+      "reconstruction norm and ADC dot as plain folds") {
+    val geom = for {
+      m <- Gen.chooseNum(1, 3)
+      dsub <- Gen.chooseNum(1, 4)
+      ksub <- Gen.chooseNum(1, 4)
+      books <- Gen.listOfN(m,
+        Gen.listOfN(ksub, Gen.listOfN(dsub, Gen.chooseNum(-3.0, 3.0))))
+      vec <- Gen.listOfN(m * dsub, Gen.chooseNum(-3.0, 3.0))
+    } yield (books.map(_.map(_.toSeq).toSeq).toSeq, vec)
+    check("pq", Prop.forAll(geom) { case (books, vec) =>
+      val bm = books.map(_.map(_.toArray).toArray).toArray
+      val dsub = books.head.head.size
+      val codes = PqCompute.encode(
+        ArrayData.toArrayData(vec.toArray), bm, isFloat = false)
+      val wantCodes = books.zipWithIndex.map { case (cb, sub) =>
+        val slice = vec.slice(sub * dsub, (sub + 1) * dsub)
+        cb.zipWithIndex.minBy { case (c, code) =>
+          // (d2, code) min ≡ strict-< first-wins argmin
+          (slice.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+            a + (x - y) * (x - y) }, code)
+        }._2
+      }
+      val codesSeq = codes.toIntArray().toSeq
+      val recon = codesSeq.zipWithIndex.flatMap { case (c, sub) => books(sub)(c) }
+      val rn = PqCompute.reconNormSq(codes, bm)
+      val wantRn = recon.foldLeft(0.0)((a, x) => a + x * x)
+      val adc = PqCompute.adcDot(
+        ArrayData.toArrayData(vec.toArray), codes, bm, isFloat = false)
+      val wantAdc = vec.zip(recon).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      codesSeq == wantCodes && rn == wantRn && adc == wantAdc
+    })
+  }
+
   test("LangGuess: CJK wins outright, empty is und, decision is total") {
     check("langguess", Prop.forAll(Gen.asciiPrintableStr) { s =>
       val out = LangGuess.compute(s)

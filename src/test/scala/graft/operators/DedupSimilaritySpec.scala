@@ -314,6 +314,50 @@ class DedupSimilaritySpec extends SparkSpec {
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
   }
 
+  test("pqTopK: exemplars self-code, exemplar candidates score bit-equal to " +
+      "brute, members rank their own cluster's exemplar first") {
+    // 4 exemplars (lowest ids) with pairwise-distinct subspace slices,
+    // then 12 members = exemplar + tiny jitter (stays nearest to its
+    // own sub-centroid in every subspace)
+    val ex = Seq(
+      Seq(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f),
+      Seq(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f),
+      Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f),
+      Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))
+    val rows = ex.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 12).map { i =>
+        val base = ex(i % 4)
+        (10L + i, base.updated(i % 8, base(i % 8) + 0.05f))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 4)
+    // every exemplar's slice is its own sub-centroid: codes = (k,k,k,k)
+    val selfCodes = Similarity.pqEncode(df.where($"vec_id" < 4), "vec_id",
+        "embedding", books)
+      .select($"neighbor_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    (0 until 4).foreach { k =>
+      assert(selfCodes(k.toLong) == Seq.fill(4)(k), s"exemplar $k self-code")
+    }
+    // candidates that ARE exemplars reconstruct exactly, so PQ scores
+    // are bit-identical to brute cosine — fold orders match
+    val members = df.where($"vec_id" >= 10)
+    val exDf = df.where($"vec_id" < 4)
+    def scoreMap(out: org.apache.spark.sql.DataFrame) =
+      out.select($"query_id", $"neighbor_id", $"score")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, n, s) => (q, n) -> s }.toMap
+    val pq = scoreMap(Similarity.pqTopK(members, exDf, "vec_id", "embedding",
+      k = 4, m = 4, ksub = 4))
+    val brute = scoreMap(Similarity.bruteTopK(members, exDf, "vec_id",
+      "embedding", k = 4))
+    assert(pq == brute, "exemplar candidates must score exactly as brute")
+    // cluster recall: each member's top neighbor is its own exemplar
+    val top1 = Similarity.pqTopK(members, exDf, "vec_id", "embedding",
+        k = 1, m = 4, ksub = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    top1.foreach { case (q, n) => assert(n == (q - 10) % 4, s"member $q → $n") }
+  }
+
   test("ivfTopK: nprobe = nlist probes every cell and equals brute exactly") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where($"vec_id" < 3)
