@@ -98,7 +98,7 @@ object Similarity {
       nlist: Int): Seq[Seq[Double]] =
     candidates.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
 
   /** Train IVF centroids with Lloyd's k-means (cosine assignment,
     * element-wise mean update). Structurally deterministic: init =
@@ -222,6 +222,52 @@ object Similarity {
     (0 until m).map(sub => ex.map(_.slice(sub * dsub, (sub + 1) * dsub)))
   }
 
+  /** Train PQ sub-codebooks with per-subspace Lloyd's k-means (L2
+    * assignment via [[graft.expressions.PqEncode]], element-wise mean
+    * update) — same determinism contract as [[trainCentroids]]: init =
+    * exemplar slices, fixed iteration count, no randomness; the avg()
+    * partial-merge order makes replays agree to round-off, not
+    * bit-for-bit, which is fine for a quantizer. Exemplar books are
+    * near-random cuts of the space; on clustered corpora training
+    * moves them onto the data manifold and is what makes the ADC
+    * shortlist usable (measured in tools/PqProbe). Train on a
+    * [[Sampling.deterministicKeep]] sample at scale — quality needs a
+    * sample, not the corpus.
+    *
+    * Scale shape per iteration: one map-only encode pass + a
+    * posexplode shuffle of rows × dim (sub, code, pos) partial sums.
+    * Empty codes keep their previous centroid.
+    */
+  def pqTrainCodebooks(data: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    var books = pqCodebooks(data, idCol, vecCol, m, ksub)
+    val dsub = books.head.head.size
+    val base = data.select(col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
+      val coded = base.withColumn("__codes",
+        graft.expressions.PqEncode(col("__v"), books))
+      val means = coded
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select((col("__pos") / dsub).cast("int").as("__sub"),
+          pmod(col("__pos"), lit(dsub)).as("__i"),
+          element_at(col("__codes"),
+            (col("__pos") / dsub).cast("int") + 1).as("__code"),
+          col("__x").cast("double").as("__x"))
+        .groupBy("__sub", "__code", "__i").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val bySubCode = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (cb, sub) =>
+        cb.zipWithIndex.map { case (cent, code) =>
+          bySubCode.get((sub, code))
+            .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+            .getOrElse(cent)
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    books
+  }
+
   /** PQ-encode the candidate side: (neighbor_id, codes, recon_nsq).
     * `codes` is the m-code quantization (the form a 100 TB deployment
     * STORES — m bytes/vector at ksub ≤ 256 instead of 4·dim, a 32×
@@ -235,6 +281,79 @@ object Similarity {
         graft.expressions.PqEncode(col(vecCol), books).as("codes"))
       .withColumn("recon_nsq",
         graft.expressions.PqReconNormSq(col("codes"), books))
+
+  /** IVFPQ / IVFADC ANN (Jégou et al., TPAMI 2011 §IV): the coarse
+    * quantizer routes each candidate to its nearest of `nlist` cells;
+    * PQ then encodes the RESIDUAL v − centroid(cell) — where the
+    * within-cell structure lives. This matters on clustered corpora:
+    * PQ on raw vectors spends its code entropy re-encoding the cluster
+    * identity and quantizes within-cluster variance to nothing (the
+    * 2M-vector probe measured trained raw-vector books DEGRADING
+    * shortlist recall 0.32 → 0.02 exactly this way), while residual
+    * books see the centered data. Queries search their `nprobe`
+    * nearest cells only, scored by ADC against the reconstruction
+    * centroid + pq_recon(residual):
+    *
+    *   num   = q·c_cell + q·pqrecon          (two folds, summed)
+    *   ‖r‖²  = ‖c_cell‖² + 2·c_cell·pqrecon + ‖pqrecon‖²
+    *
+    * — every term an existing PQ kernel call, so the candidate side
+    * still stores only (cell, m codes, one double).
+    *
+    * `trainIters` = 0 keeps the deterministic exemplar residual books
+    * (DuckDB-reproducible — the oracle path); > 0 runs per-subspace
+    * k-means over the residuals ([[pqTrainCodebooks]] contract).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 8, ksub: Int = 8, trainIters: Int = 0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1,$nlist], got $nprobe")
+    val cents = exemplarCentroids(candidates, idCol, vecCol, nlist)
+    val ss = candidates.sparkSession
+    import ss.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cell", "__cv")
+    def assignResidual(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
+        .withColumn("__nsq", V.normSq(col("__v")))
+        .withColumn("__cell", element_at(
+          graft.expressions.RankedCentroidCells.ranked(
+            col("__v"), col("__nsq"), cents), 1)("cell"))
+        .join(broadcast(centsDf), Seq("__cell"))
+        .withColumn("__rv",
+          zip_with(V.asDouble(col("__v")), col("__cv"), (x, c) => x - c))
+    val cand = assignResidual(candidates, "neighbor_id")
+    val books = {
+      val resid = cand.select(col("neighbor_id"), col("__rv"))
+      if (trainIters <= 0) pqCodebooks(resid, "neighbor_id", "__rv", m, ksub)
+      else pqTrainCodebooks(resid, "neighbor_id", "__rv", m, ksub, trainIters)
+    }
+    import graft.expressions.{PqAdcDot, PqEncode, PqReconNormSq}
+    // what a deployment stores: id, cell, m codes, recon norm²
+    val enc = cand
+      .withColumn("__codes", PqEncode(col("__rv"), books))
+      .select(col("neighbor_id"), col("__cell"), col("__codes"),
+        (V.normSq(col("__cv")) +
+          lit(2.0) * PqAdcDot(col("__cv"), col("__codes"), books) +
+          PqReconNormSq(col("__codes"), books)).as("__rnsq"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", V.normSq(col("__qv")))
+      .withColumn("__probe", explode(slice(
+        graft.expressions.RankedCentroidCells.ranked(
+          col("__qv"), col("__qn"), cents), 1, nprobe)))
+      .withColumn("__cell", col("__probe")("cell"))
+      .drop("__probe")
+    val pairs = enc.join(broadcast(q), Seq("__cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(centsDf), Seq("__cell"))
+      .withColumn("score", V.cosinePrenormed(
+        V.dot(V.asDouble(col("__qv")), col("__cv")) +
+          PqAdcDot(col("__qv"), col("__codes"), books),
+        col("__qn"), col("__rnsq")))
+    ranked(pairs, k)
+  }
 
   /** Product-quantization ANN (Jégou et al., TPAMI 2011): candidates
     * are scanned as m-byte codes, scored by asymmetric distance

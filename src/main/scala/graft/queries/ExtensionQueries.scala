@@ -503,6 +503,22 @@ object ExtensionQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVFPQ ANN: coarse exemplar cells route the corpus, PQ codes
+    * encode the RESIDUALS (v − centroid), queries probe their 2
+    * nearest cells — the full IVFADC layout. The deterministic
+    * exemplar path (trainIters = 0) keeps every stage — cell argmax,
+    * residual subtraction, sub-code argmin, reconstruction scoring —
+    * DuckDB-reproducible; the probe-measured story for why residual
+    * encoding matters on clustered corpora is in SCALING.md.
+    */
+  private def xSimTopkIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(e.where(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, m = 8, ksub = 8)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private def xTextTokens(s: SparkSession, dir: String): DataFrame = {
     val bpe = T.bpeishCount(col("text"))
     Tables.documents(s, dir).select(
@@ -679,6 +695,7 @@ object ExtensionQueries {
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_sim_topk_pq" -> (xSimTopkPq _),
+    "x_sim_topk_ivfpq" -> (xSimTopkIvfpq _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_chunks" -> (xTextChunks _),
     "x_text_pack" -> (xTextPack _),
