@@ -1077,6 +1077,66 @@ object ExtensionQueries {
          |SELECT query_id, neighbor_id, round(score, 6) AS score
          |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
 
+    // IVFPQ / IVFADC: the IVF cell CTE routes every vector to its
+    // nearest of 8 exemplar centroids; PQ then encodes the RESIDUAL
+    // v − centroid(cell) against exemplar residual codebooks (the 8
+    // lowest-id candidates' residuals, sliced per subspace). Scoring
+    // reconstructs candidate ≈ centroid + pq_recon(residual):
+    //   num  = q·cv + q·pv            rnsq = cn + 2·(cv·pv) + pv·pv
+    // — every dot the same left fold as the Spark kernels, so doubles
+    // match bit for bit (same identity the x_sim_topk_pq oracle pins).
+    "x_sim_topk_ivfpq" -> (embCte +
+      s""", cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv, nsq AS cn
+         |  FROM nn ORDER BY vec_id LIMIT 8),
+         |asg0 AS (
+         |  SELECT n.vec_id, n.v, n.nsq, c.cell, c.cv, c.cn,
+         |    ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cn)) AS cs
+         |  FROM nn n CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS crk
+         |  FROM asg0),
+         |cand AS (
+         |  SELECT vec_id, nsq, cell, cv, cn,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS rv
+         |  FROM asg WHERE crk = 1),
+         |qry AS (SELECT vec_id, v, nsq, cell FROM asg WHERE crk <= 2 AND vec_id < 10),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS bv
+         |  FROM cand ORDER BY vec_id LIMIT 8),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |d AS (
+         |  SELECT n.vec_id, s.m, c.code,
+         |    list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> (n.rv[CAST(s.m * 8 + i AS INT)] - c.bv[CAST(s.m * 8 + i AS INT)]) *
+         |             (n.rv[CAST(s.m * 8 + i AS INT)] - c.bv[CAST(s.m * 8 + i AS INT)]))),
+         |      (x, y) -> x + y) AS d2
+         |  FROM cand n CROSS JOIN sub s CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS erk
+         |  FROM d),
+         |pr AS (
+         |  SELECT e2.vec_id,
+         |    flatten(list(c.bv[CAST(e2.m * 8 + 1 AS INT):CAST(e2.m * 8 + 8 AS INT)]
+         |      ORDER BY e2.m)) AS pv
+         |  FROM enc e2 JOIN cb c ON c.code = e2.code
+         |  WHERE e2.erk = 1 GROUP BY e2.vec_id),
+         |rn AS (
+         |  SELECT cd.vec_id, cd.cell, cd.cv, pr.pv,
+         |    cd.cn + 2.0 * ${dotSql("cd.cv", "pr.pv")} + ${dotSql("pr.pv", "pr.pv")} AS rnsq
+         |  FROM cand cd JOIN pr ON pr.vec_id = cd.vec_id),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+         |    (${dotSql("q.v", "r2.cv")} + ${dotSql("q.v", "r2.pv")}) /
+         |      (sqrt(q.nsq) * sqrt(r2.rnsq)) AS score
+         |  FROM qry q JOIN rn r2 ON q.cell = r2.cell AND r2.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
     "x_text_tokens" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -723,4 +723,80 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("id", "text").select(T.fingerprintMd5($"text")).as[String].collect()
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
+
+  test("ivfPqTopK: codeword candidates score as brute (exact residual " +
+      "reconstruction), replay-deterministic") {
+    // Single cell ⇒ centroid = vec 0, residual books = residuals of the
+    // 8 lowest-id candidates. Those candidates' residuals ARE codewords,
+    // so they reconstruct exactly and score = brute cosine up to the
+    // fp-reassociation of the ADC identity (centroid+residual folds vs
+    // one fold) — equal to ~1e-15 relative, asserted at 1e-9.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cand = e.where($"vec_id" < 40)
+    val q = e.where($"vec_id" < 3)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"score")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ivfpq = toMap(Similarity.ivfPqTopK(q, cand, "vec_id", "embedding",
+      k = 40, nlist = 1, nprobe = 1, m = 8, ksub = 8))
+    val brute = toMap(Similarity.bruteTopK(q, cand, "vec_id", "embedding", 40))
+    val codewordPairs = brute.keys.filter(_._2 < 8L)
+    assert(codewordPairs.nonEmpty)
+    codewordPairs.foreach { p =>
+      assert(math.abs(ivfpq(p) - brute(p)) < 1e-9,
+        s"codeword pair $p: ivfpq=${ivfpq(p)} brute=${brute(p)}")
+    }
+    // quantized (non-codeword) candidates score within quantizer error
+    // of brute but are present for every query
+    assert(ivfpq.keySet == brute.keySet)
+    // trainIters = 0 path is fully deterministic: identical replays
+    val again = toMap(Similarity.ivfPqTopK(q, cand, "vec_id", "embedding",
+      k = 40, nlist = 1, nprobe = 1, m = 8, ksub = 8))
+    assert(again == ivfpq)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(q, cand, "vec_id", "embedding", 5, nlist = 4,
+        nprobe = 5)
+    }
+  }
+
+  test("ivfPqTopK: residual-trained books hold the shortlist-recall floor " +
+      "on a clustered corpus and do not lose to raw-vector PQ") {
+    // Deterministic 4-blob corpus (the regime tools/PqProbe measured:
+    // raw-vector books burn code entropy re-encoding cluster identity;
+    // residual books see centered data). Pins the recall floor so
+    // codebook-training changes can't silently degrade the ANN family.
+    val dim = 16
+    def center(c: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j / 4 == c) 5.0f else 0.0f)
+    def jitter(i: Int, j: Int): Float = (((i * 31 + j * 17) % 19) - 9) / 30.0f
+    val rows = (0 until 400).map { i =>
+      val c = i % 4
+      (i.toLong, center(c).zipWithIndex.map { case (x, j) => x + jitter(i, j) })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" >= 100 && $"vec_id" < 105)
+    val k = 10
+    val shortK = 50
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select($"query_id", $"neighbor_id", $"score")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1)
+        .map { case (qq, rs) => qq -> rs.sortBy(r => (-r._3, r._2)).map(_._2).toSeq }
+    val brute = tops(Similarity.bruteTopK(q, corpus, "vec_id", "embedding", k))
+    def recall(short: Map[Long, Seq[Long]]): Double = {
+      val per = brute.keys.toSeq.map { qq =>
+        short.getOrElse(qq, Nil).toSet.intersect(brute(qq).toSet).size.toDouble / k
+      }
+      per.sum / per.size
+    }
+    val raw = recall(tops(Similarity.pqTopK(q, corpus, "vec_id", "embedding",
+      shortK, m = 8, ksub = 8)))
+    // nprobe = nlist isolates code quality from cell routing
+    val resid = recall(tops(Similarity.ivfPqTopK(q, corpus, "vec_id",
+      "embedding", shortK, nlist = 8, nprobe = 8, m = 8, ksub = 8,
+      trainIters = 3)))
+    assert(resid >= raw - 1e-9, s"residual books lost to raw: $resid < $raw")
+    assert(resid >= 0.6, s"residual shortlist recall floor broken: $resid")
+  }
 }
