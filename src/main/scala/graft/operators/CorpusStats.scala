@@ -30,7 +30,14 @@ object CorpusStats {
     * (second shuffle). Token-less docs (empty/null text) survive the
     * final left join with n_distinct_toks = 0 and a NULL mean.
     *
-    * @return input id column + (n_distinct_toks, df_sum, mean_token_df)
+    * The input is scanned twice — once for the token explode, once for
+    * the id-only left join that re-admits token-less docs. Column
+    * pruning keeps the second scan to the id column; cache a projected
+    * `docs` upstream if the source re-read is expensive.
+    *
+    * @return ONLY (idCol, n_distinct_toks, df_sum, mean_token_df) —
+    *         other input columns are dropped; join the result back on
+    *         idCol to re-attach them.
     */
   def meanTokenDf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {

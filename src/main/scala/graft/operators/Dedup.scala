@@ -702,8 +702,21 @@ object Dedup {
         col("canonical_id")))
       .distinct()
       .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    // left join + loud failure: pairs are normally derived FROM docs,
+    // so a clustered id missing there is corrupt input — an inner join
+    // would silently drop the member and could shift which doc wins
+    // the survivor window. raise_error rides the score column (used by
+    // the window, so never pruned): the job fails on the first orphan
+    // instead of guessing. A legitimately-NULL score is still allowed
+    // (ranked last by NULLS LAST semantics of desc ordering).
     val scored = membership.join(
-      docs.select(col(idCol).as("doc_id"), score.as("__score")), Seq("doc_id"))
+      docs.select(col(idCol).as("doc_id"), score.as("__score"),
+        lit(true).as("__present")), Seq("doc_id"), "left")
+      .withColumn("__score", when(col("__present").isNull,
+        raise_error(concat(
+          lit("Dedup.survivors: clustered doc absent from docs: "),
+          col("doc_id").cast("string"))))
+        .otherwise(col("__score")))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("__score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

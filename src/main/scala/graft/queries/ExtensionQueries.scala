@@ -360,7 +360,11 @@ object ExtensionQueries {
 
   /** Containment (overlap-coefficient) dedup over a corpus with
     * PLANTED excerpts: every 7th document re-appears under a shifted
-    * id as its first max(⌊tokens/2⌋, 6) tokens. An excerpt's shingle
+    * id as its first max(⌊tokens/2⌋, 6) tokens. The shift is
+    * 10 000 000 (ContainmentProbe's convention) — past the doc_id
+    * range of any gated corpus, so an excerpt row can never silently
+    * merge with a real document (200 000 collided at the 500k-doc
+    * decade). An excerpt's shingle
     * set is a subset of its source's, so containment is 1.0 while
     * Jaccard is only ~0.5 — below any symmetric threshold: exactly
     * the pair class [[Dedup.containmentPairs]] exists to catch
@@ -371,7 +375,7 @@ object ExtensionQueries {
     val toks = T.tokens(col("text"))
     val k = greatest((size(toks) / lit(2)).cast("int"), lit(6))
     val excerpts = d.where(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000).as("doc_id"),
+      .select((col("doc_id") + 10000000L).as("doc_id"),
         array_join(slice(toks, lit(1), k), " ").as("text"))
     releasing(Dedup.containmentPairs(d.unionByName(excerpts),
         "doc_id", "text")) {
@@ -880,7 +884,7 @@ object ExtensionQueries {
         |tk AS (
         |  SELECT doc_id, toks FROM t0
         |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id,
+        |  SELECT doc_id + 10000000 AS doc_id,
         |    list_slice(toks, 1, greatest(len(toks) // 2, 6)) AS toks
         |  FROM t0 WHERE doc_id % 7 = 0),
         |""".stripMargin +

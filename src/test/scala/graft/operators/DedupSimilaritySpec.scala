@@ -268,6 +268,14 @@ class DedupSimilaritySpec extends SparkSpec {
       driverGraphLimit = 0)
     assert(dist.as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
       == out.toSeq)
+    // a clustered doc missing from docs fails loudly (an inner join
+    // would silently drop it and could shift the survivor choice)
+    val orphaned = pairs.unionByName(Seq((500L, 501L)).toDF("i", "j"))
+    val ex = intercept[Exception] {
+      Dedup.survivors(orphaned, docs, "doc_id", $"quality").collect()
+    }
+    assert(ex.getMessage.contains("absent from docs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("absent from docs")))
   }
 
   test("cosine identities: self = 1, orthogonal = 0") {
