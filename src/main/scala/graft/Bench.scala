@@ -29,6 +29,10 @@ import org.apache.spark.sql.SparkSession
   * Self-defense against machine noise: each query runs
   * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the lower
   * median, so one contention-skewed sample cannot poison the ledger.
+  * Runs are SWEEP-MAJOR (whole surface × runs, not runs × query), so
+  * a contention window at session start poisons at most one sweep of
+  * each query — consecutive same-query runs would hand a multi-minute
+  * window two of three samples and ride through the median.
   * The JSON carries the per-run raw times in run order (failed runs
   * appear as NEGATIVE durations) and the OS load average at start/end,
   * so a poisoned or partially-failing sweep is self-identifying.
@@ -95,39 +99,56 @@ object Bench {
     def lowerMedian(ts: Seq[Double]): Double = ts.sorted.apply((ts.length - 1) / 2)
     var failedCount = 0
     var failedTime = 0.0
-    val results = selected.flatMap { case (name, fn) =>
-      val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val bad = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val chron = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // attempt every run: a transient failure (contention OOM, lost
-      // task) must not discard the query — surviving runs still count
-      (1 to runs).foreach { _ =>
+    // SWEEP-MAJOR run order: the full surface runs once, then again,
+    // then again — NOT 3 consecutive runs per query. A transient
+    // contention window at session start (the round-9 driver artifact:
+    // k2/k3/k4/salted inflated 0.4 → 1.4-2.3 s while the same HEAD on
+    // a quiet box read round-8 numbers, raw triples like
+    // [2.02, 2.68, 0.60] — two of three consecutive runs poisoned, so
+    // the lower-median kept the noise) now lands on sweep 1 of every
+    // query and the median across well-separated sweeps discards it.
+    // Same statistics, same totals — only the sampling decorrelates.
+    val ok = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val bad = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val chron = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    // attempt every run: a transient failure (contention OOM, lost
+    // task) must not discard the query — surviving runs still count
+    (1 to runs).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val t = (System.nanoTime() - t0) / 1e9
-          ok += t
-          chron += t
+          ok(name) += t
+          chron(name) += t
         } catch {
           case e: Throwable =>
             val t = (System.nanoTime() - t0) / 1e9
-            bad += t
-            chron += -t // negative = failed run, duration preserved
+            bad(name) += t
+            chron(name) += -t // negative = failed run, duration preserved
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(300)
         }
       }
-      // raw_times keeps EVERY run in order; failed runs are encoded as
-      // negative durations so a partially-failing sweep is visible
-      // without cross-referencing the errors map
-      raw(name) = chron.toSeq
-      if (ok.nonEmpty) Some(name -> lowerMedian(ok.toSeq))
+    }
+    val results = selected.flatMap { case (name, _) =>
+      // raw_times keeps EVERY run in sweep order; failed runs are
+      // encoded as negative durations so a partially-failing sweep is
+      // visible without cross-referencing the errors map
+      raw(name) = chron(name).toSeq
+      if (ok(name).nonEmpty) Some(name -> lowerMedian(ok(name).toSeq))
       else {
         // never fabricate a per-query number from crash times, but the
         // observed wall cost still lands in the total so an all-failed
         // query cannot "speed up" the benchmark unnoticed
         failedCount += 1
-        failedTime += lowerMedian(bad.toSeq)
+        failedTime += lowerMedian(bad(name).toSeq)
         None
       }
     }
