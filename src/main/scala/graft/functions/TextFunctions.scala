@@ -105,6 +105,15 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
 
+  /** Fused line/symbol quality signals (the Gopher-rule inputs):
+    * `struct<n_lines, n_dup_lines, dup_line_chars, line_chars,
+    * n_bullet, n_ellipsis, n_alpha_toks, n_sym_hits>` in one map-only
+    * pass — see [[graft.expressions.LineStats]] for the exact
+    * definitions and their DuckDB-portable forms.
+    */
+  def lineStats(text: Column): Column =
+    graft.expressions.LineStats.stats(text)
+
   /** Polynomial rolling hash of the normalized text:
     * `h := (h·131 + code(char)) mod P` left-to-right. Portable: DuckDB
     * reproduces it with list_reduce; every intermediate stays < 2^38.

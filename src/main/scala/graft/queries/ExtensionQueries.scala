@@ -90,6 +90,72 @@ object ExtensionQueries {
           col("__st.n_tokens").cast("double"), 6).as("avg_token_len"))
       .orderBy("doc_id")
 
+  /** Gopher document-quality rules (Rae et al. 2021, Table A1): the
+    * LINE-level repetition/format signals the token-level stats can't
+    * see — duplicate-line fraction, duplicate-line character fraction,
+    * bullet- and ellipsis-line fractions — plus mean word length,
+    * alphabetic-word fraction and symbol-to-word ratio, and the fused
+    * `gopher_pass` verdict over the published thresholds (50 ≤ words ≤
+    * 100k, 3 ≤ mean word len ≤ 10, sym ratio < 0.1, bullet < 0.9,
+    * ellipsis < 0.3, alpha > 0.8, ≥ 2 stopwords, dup lines < 0.3, dup
+    * chars < 0.2). The synthetic corpus has no newlines, so a lined
+    * rendition is derived deterministically on BOTH engines: 8-token
+    * lines, plus planted signal by doc_id — %3 duplicates the first
+    * line, %5 appends a bullet line, %7 an ellipsis line. One
+    * [[graft.expressions.LineStats]] + one
+    * [[graft.expressions.TokenStats]] pass per document — map-only.
+    */
+  private def xTextGopher(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{LineStats, TokenStats}
+    val lines = transform(T.tokenChunks(col("text"), 8, 8),
+      c => array_join(c.getField("toks"), " "))
+    val withDup = when(col("doc_id") % 3 === 0 && size(lines) > 0,
+      concat(lines, slice(lines, 1, 1))).otherwise(lines)
+    val withBullet = when(col("doc_id") % 5 === 0,
+      concat(withDup, array(lit("- bullet item")))).otherwise(withDup)
+    val withEll = when(col("doc_id") % 7 === 0,
+      concat(withBullet, array(lit("to be continued...")))).otherwise(withBullet)
+    def frac(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0, lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double"))
+    Tables.documents(s, dir)
+      .withColumn("__t2", array_join(withEll, "\n"))
+      .withColumn("__l", LineStats.stats(col("__t2")))
+      .withColumn("__t", TokenStats.stats(col("__t2"), T.EnWords))
+      .withColumn("__dup_line_frac",
+        frac(col("__l.n_dup_lines"), col("__l.n_lines")))
+      .withColumn("__dup_char_frac",
+        frac(col("__l.dup_line_chars"), col("__l.line_chars")))
+      .withColumn("__bullet_frac", frac(col("__l.n_bullet"), col("__l.n_lines")))
+      .withColumn("__ellipsis_frac",
+        frac(col("__l.n_ellipsis"), col("__l.n_lines")))
+      .withColumn("__mean_word_len",
+        frac(col("__t.tok_len_sum"), col("__t.n_tokens")))
+      .withColumn("__alpha_frac",
+        frac(col("__l.n_alpha_toks"), col("__t.n_tokens")))
+      .withColumn("__sym_ratio", frac(col("__l.n_sym_hits"), col("__t.n_tokens")))
+      .select(col("doc_id"),
+        col("__l.n_lines").cast("long").as("n_lines"),
+        round(col("__dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("__dup_char_frac"), 6).as("dup_char_frac"),
+        round(col("__bullet_frac"), 6).as("bullet_frac"),
+        round(col("__ellipsis_frac"), 6).as("ellipsis_frac"),
+        round(col("__mean_word_len"), 6).as("mean_word_len"),
+        round(col("__alpha_frac"), 6).as("alpha_frac"),
+        round(col("__sym_ratio"), 6).as("sym_ratio"),
+        (col("__t.n_tokens").between(50, 100000) &&
+          col("__mean_word_len").between(3.0, 10.0) &&
+          col("__sym_ratio") < 0.1 &&
+          col("__bullet_frac") < 0.9 &&
+          col("__ellipsis_frac") < 0.3 &&
+          col("__alpha_frac") > 0.8 &&
+          col("__t.n_dict") >= 2 &&
+          col("__dup_line_frac") < 0.3 &&
+          col("__dup_char_frac") < 0.2).as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -684,6 +750,7 @@ object ExtensionQueries {
   val queries: Map[String, Q] = Map(
     "x_text_stats" -> (xTextStats _),
     "x_text_repetition" -> (xTextRepetition _),
+    "x_text_gopher" -> (xTextGopher _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -800,6 +867,95 @@ object ExtensionQueries {
         |  round(CASE WHEN t.n_tokens = 0 THEN 0
         |        ELSE CAST(CAST(coalesce(m.top_n, 0) AS VARCHAR) AS DOUBLE) / t.n_tokens END, 6) AS top_share
         |FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Gopher line/format rules: derive the same lined rendition
+    // (8-token lines + %3 first-line dup, %5 bullet, %7 ellipsis),
+    // then reproduce every LineStats/TokenStats counter set-wise —
+    // line multiplicities via unnest + GROUP BY, symbol hits via
+    // replace-count (left-to-right non-overlap ≡ the kernel's scan)
+    "x_text_gopher" -> (tokCte +
+      s""", ln0 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(toks), 8),
+         |      g -> array_to_string(list_slice(toks, g + 1, g + 8), ' ')) AS lines
+         |  FROM tk),
+         |ln1 AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_concat(list_concat(list_concat(lines,
+         |      CASE WHEN doc_id % 3 = 0 AND len(lines) > 0
+         |           THEN list_slice(lines, 1, 1) ELSE CAST([] AS VARCHAR[]) END),
+         |      CASE WHEN doc_id % 5 = 0 THEN ['- bullet item']
+         |           ELSE CAST([] AS VARCHAR[]) END),
+         |      CASE WHEN doc_id % 7 = 0 THEN ['to be continued...']
+         |           ELSE CAST([] AS VARCHAR[]) END),
+         |    chr(10)) AS t2
+         |  FROM ln0),
+         |t2k AS (
+         |  SELECT doc_id, t2,
+         |    CASE WHEN length(trim(t2)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(t2), '\\s+') END AS toks2
+         |  FROM ln1),
+         |lx AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line FROM ln1),
+         |lg AS (
+         |  SELECT doc_id, line, count(*) AS m, length(line) AS len,
+         |    substr(trim(line), 1, 1) AS c0, trim(line) AS tl
+         |  FROM lx GROUP BY doc_id, line),
+         |ld AS (
+         |  SELECT doc_id,
+         |    sum(m) AS n_lines,
+         |    sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS n_dup,
+         |    sum(CASE WHEN m > 1 THEN m * len ELSE 0 END) AS dup_chars,
+         |    sum(m * len) AS line_chars,
+         |    sum(CASE WHEN c0 IN ('-', '*', '•') THEN m ELSE 0 END) AS n_bullet,
+         |    sum(CASE WHEN tl LIKE '%...' OR tl LIKE '%…' THEN m ELSE 0 END) AS n_ellipsis
+         |  FROM lg GROUP BY doc_id),
+         |tt AS (
+         |  SELECT doc_id,
+         |    len(toks2) AS n_tokens,
+         |    list_reduce(list_prepend(0, list_transform(toks2, t -> length(t))),
+         |      (a, b) -> a + b) AS tok_len_sum,
+         |    len(list_filter(toks2, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
+         |    len(list_filter(toks2, t -> list_contains($enListSql, t))) AS n_dict,
+         |    (length(t2) - length(replace(t2, '#', '')))
+         |      + (length(t2) - length(replace(t2, '…', '')))
+         |      + ((length(t2) - length(replace(t2, '...', ''))) // 3) AS n_sym
+         |  FROM t2k),
+         |f AS (
+         |  SELECT ld.doc_id, ld.n_lines, tt.n_tokens, tt.n_dict,
+         |    CAST(CAST(ld.n_dup AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(ld.n_lines AS VARCHAR) AS DOUBLE) AS dup_line_frac,
+         |    CASE WHEN ld.line_chars = 0 THEN 0.0
+         |         ELSE CAST(CAST(ld.dup_chars AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(ld.line_chars AS VARCHAR) AS DOUBLE) END AS dup_char_frac,
+         |    CAST(CAST(ld.n_bullet AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(ld.n_lines AS VARCHAR) AS DOUBLE) AS bullet_frac,
+         |    CAST(CAST(ld.n_ellipsis AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(ld.n_lines AS VARCHAR) AS DOUBLE) AS ellipsis_frac,
+         |    CASE WHEN tt.n_tokens = 0 THEN 0.0
+         |         ELSE CAST(CAST(tt.tok_len_sum AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(tt.n_tokens AS VARCHAR) AS DOUBLE) END AS mean_word_len,
+         |    CASE WHEN tt.n_tokens = 0 THEN 0.0
+         |         ELSE CAST(CAST(tt.n_alpha AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(tt.n_tokens AS VARCHAR) AS DOUBLE) END AS alpha_frac,
+         |    CASE WHEN tt.n_tokens = 0 THEN 0.0
+         |         ELSE CAST(CAST(tt.n_sym AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(tt.n_tokens AS VARCHAR) AS DOUBLE) END AS sym_ratio
+         |  FROM ld JOIN tt USING (doc_id))
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  round(dup_line_frac, 6) AS dup_line_frac,
+         |  round(dup_char_frac, 6) AS dup_char_frac,
+         |  round(bullet_frac, 6) AS bullet_frac,
+         |  round(ellipsis_frac, 6) AS ellipsis_frac,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(alpha_frac, 6) AS alpha_frac,
+         |  round(sym_ratio, 6) AS sym_ratio,
+         |  (n_tokens BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND sym_ratio < 0.1 AND bullet_frac < 0.9
+         |    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+         |    AND n_dict >= 2 AND dup_line_frac < 0.3
+         |    AND dup_char_frac < 0.2) AS gopher_pass
+         |FROM f ORDER BY doc_id""".stripMargin),
 
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,

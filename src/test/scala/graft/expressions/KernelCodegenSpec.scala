@@ -316,6 +316,49 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(adc, InternalRow(vecF, codes))
   }
 
+  test("LineStats compiles, matches interpreted, and matches a set-wise reference") {
+    val e = LineStats(BoundReference(0, StringType, nullable = true))
+    val samples = Seq(
+      "a\nb\na",                          // duplicate lines
+      "",                                  // one empty line
+      "x\n\nx\n",                          // empty-line dups + trailing empty
+      "- item\n * x\nfoo...\n…\n###",      // bullets, ellipses, symbols
+      "  spaced  \n  spaced  ",            // exact-content dup with spaces
+      ".....",                             // one non-overlapping '...'
+      "......",                            // two
+      "to be continued...",
+      "single line no tricks at all")
+    samples.foreach { s =>
+      val row = InternalRow(UTF8String.fromString(s))
+      val compiled = GenerateUnsafeProjection.generate(Seq(e))(row).getStruct(0, 8)
+      val want = e.eval(row).asInstanceOf[InternalRow]
+      (0 until 8).foreach(i => assert(compiled.getInt(i) == want.getInt(i),
+        s"field $i for '$s'"))
+      // independent Scala reference (set-wise, like the DuckDB oracle)
+      val lines = s.split("\n", -1).toSeq
+      val mult = lines.groupBy(identity).map { case (k, v) => k -> v.size }
+      def trimSp(x: String) = x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      assert(want.getInt(0) == lines.size, s"n_lines '$s'")
+      assert(want.getInt(1) == lines.count(mult(_) > 1), s"n_dup_lines '$s'")
+      assert(want.getInt(2) == lines.filter(mult(_) > 1).map(_.length).sum,
+        s"dup_line_chars '$s'")
+      assert(want.getInt(3) == lines.map(_.length).sum, s"line_chars '$s'")
+      assert(want.getInt(4) == lines.map(trimSp).count(l =>
+        l.nonEmpty && "-*•".contains(l.head)), s"n_bullet '$s'")
+      assert(want.getInt(5) == lines.map(trimSp).count(l =>
+        l.endsWith("…") || l.endsWith("...")), s"n_ellipsis '$s'")
+      val trimmed = trimSp(s)
+      val toks = if (trimmed.isEmpty) Array.empty[String]
+        else trimmed.split("\\s+", -1)
+      assert(want.getInt(6) == toks.count(_.exists(Character.isLetter)),
+        s"n_alpha_toks '$s'")
+      val symRef = "#".r.findAllIn(s).size + "…".r.findAllIn(s).size +
+        java.util.regex.Pattern.compile("\\.\\.\\.").matcher(s)
+          .results().count().toInt
+      assert(want.getInt(7) == symRef, s"n_sym_hits '$s'")
+    }
+  }
+
   private def withCodegenStrict[A](body: => A): A = {
     val key = "spark.sql.codegen.fallback"
     val prev = spark.conf.getOption(key)
