@@ -38,6 +38,12 @@ object GraftExtensions {
     ("graft_lang_guess",
       info("graft_lang_guess", "function-word language-ID heuristic"),
       (args: Seq[Expression]) => LangGuess(args.head)),
+    ("graft_line_stats",
+      info("graft_line_stats",
+        "fused line/symbol quality signals (Gopher-rule inputs): " +
+          "struct<n_lines, n_dup_lines, dup_line_chars, line_chars, " +
+          "n_bullet, n_ellipsis, n_alpha_toks, n_sym_hits>"),
+      (args: Seq[Expression]) => LineStats(args.head)),
     ("graft_md5_prefix60",
       info("graft_md5_prefix60", "first 60 bits of md5 as int64 (portable hash)"),
       (args: Seq[Expression]) => Md5Prefix60(args.head)),

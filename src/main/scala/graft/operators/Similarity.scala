@@ -303,13 +303,18 @@ object Similarity {
     * `trainIters` = 0 keeps the deterministic exemplar residual books
     * (DuckDB-reproducible — the oracle path); > 0 runs per-subspace
     * k-means over the residuals ([[pqTrainCodebooks]] contract).
+    * `centroids` overrides the coarse quantizer (pass
+    * [[trainCentroids]] output for the fully-trained IVFADC layout;
+    * its size wins over `nlist`).
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
-      m: Int = 8, ksub: Int = 8, trainIters: Int = 0): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1,$nlist], got $nprobe")
-    val cents = exemplarCentroids(candidates, idCol, vecCol, nlist)
+      m: Int = 8, ksub: Int = 8, trainIters: Int = 0,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      exemplarCentroids(candidates, idCol, vecCol, nlist))
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1,${cents.size}], got $nprobe")
     val ss = candidates.sparkSession
     import ss.implicits._
     val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }

@@ -282,7 +282,8 @@ class KernelCodegenSpec extends SparkSpec {
         |  graft_sorted_jaccard(array(1L, 2L), array(2L, 3L)) AS j,
         |  graft_simhash(array(1L, 2L, 3L)) AS s,
         |  graft_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
-        |  graft_minhash_bands(array(123456789L, 42L), 4, 2) AS mb
+        |  graft_minhash_bands(array(123456789L, 42L), 4, 2) AS mb,
+        |  graft_line_stats('a\na\n- b ...') AS ls
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) == Md5Prefix60.compute("abc".getBytes("UTF-8")))
     assert(row.getString(2) == "en")
@@ -291,6 +292,10 @@ class KernelCodegenSpec extends SparkSpec {
     assert(row.getDouble(6) == 11.0)
     assert(row.getSeq[String](7).length == 2 &&
       row.getSeq[String](7).forall(_.matches("\\d+:\\d+:\\d+")))
+    val ls = row.getStruct(8)
+    // 'a','a','- b ...': 2 dup lines, 1 bullet (also the ellipsis line)
+    assert(ls.getInt(0) == 3 && ls.getInt(1) == 2 && ls.getInt(4) == 1 &&
+      ls.getInt(5) == 1 && ls.getInt(7) == 1, s"line_stats: $ls")
   }
 
   test("PQ kernels compile and match interpreted (float and double vectors)") {

@@ -806,5 +806,13 @@ class DedupSimilaritySpec extends SparkSpec {
       trainIters = 3)))
     assert(resid >= raw - 1e-9, s"residual books lost to raw: $resid < $raw")
     assert(resid >= 0.6, s"residual shortlist recall floor broken: $resid")
+    // fully-trained IVFADC: k-means coarse centroids (one per blob)
+    // route cleanly, residual books hold the same floor
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nlist = 4, iters = 2)
+    val trained = recall(tops(Similarity.ivfPqTopK(q, corpus, "vec_id",
+      "embedding", shortK, nprobe = 4, m = 8, ksub = 8, trainIters = 3,
+      centroids = Some(cents))))
+    assert(trained >= 0.6, s"trained-coarse recall floor broken: $trained")
   }
 }

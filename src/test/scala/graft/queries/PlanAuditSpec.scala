@@ -172,6 +172,24 @@ class PlanAuditSpec extends SparkSpec {
       s"probing must not degenerate to a cross product:\n$p")
   }
 
+  test("IVFPQ search joins on the cell id; gopher rules are map-only") {
+    // IVFPQ: the probe side joins encoded candidates on the cell id —
+    // an equi-join, never a cross product (the ADC scan's whole point
+    // is touching only nprobe cells' codes)
+    val p = plan("x_sim_topk_ivfpq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probing must not degenerate to a cross product:\n$p")
+    // Gopher line rules: two fused kernels per row, zero joins — the
+    // ORDER BY's range exchange must be the only shuffle
+    val g = plan("x_text_gopher")
+    assert(!g.contains("hashpartitioning"),
+      s"gopher scoring must not hash-shuffle:\n$g")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(g).getOrElse("")
+    assert(!read.contains("emb"), s"unrelated columns must be pruned: $read")
+  }
+
   test("partitioned-lake backfill prunes to the day range's partitions (S2 at scale)") {
     val q = graft.SparkEntry.queries("s2_backfill_partitioned")(spark, dir)
     val p = q.queryExecution.executedPlan.toString
