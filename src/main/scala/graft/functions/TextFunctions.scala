@@ -105,6 +105,40 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
 
+  /** C4 line-keep rule (Raffel et al. 2020 §2.2): a line survives iff
+    * its (space-)trimmed form ends in a terminal punctuation mark
+    * (`.` `!` `?` `"`), has at least 5 whitespace words, and does not
+    * mention "javascript" (case-insensitive). Pure per-line Column
+    * predicate — composes with `filter()` over a split-lines array,
+    * so cleaning is map-only at any corpus size.
+    */
+  def c4LineKeep(line: Column): Column = {
+    val t = trim(line)
+    (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+      t.endsWith("\"")) &&
+      size(split(t, "\\s+")) >= 5 &&
+      !lower(t).contains("javascript")
+  }
+
+  /** C4 document cleaning: apply [[c4LineKeep]] to every line and the
+    * document-level rules — a doc is dropped when it contains
+    * "lorem ipsum" (case-insensitive) or a curly brace `{`, or fewer
+    * than 3 lines survive (the paper's "fewer than 3 sentences" rule,
+    * with kept lines as the sentence proxy — documented divergence:
+    * no sentence splitter is bundled). Returns
+    * `struct<clean_text, n_lines, n_kept, dropped>`; map-only.
+    */
+  def c4Clean(text: Column): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => c4LineKeep(l))
+    val badDoc = lower(text).contains("lorem ipsum") || text.contains("{")
+    struct(
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      (badDoc || size(kept) < 3).as("dropped"))
+  }
+
   /** Fused line/symbol quality signals (the Gopher-rule inputs):
     * `struct<n_lines, n_dup_lines, dup_line_chars, line_chars,
     * n_bullet, n_ellipsis, n_alpha_toks, n_sym_hits>` in one map-only

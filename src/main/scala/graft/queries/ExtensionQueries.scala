@@ -156,6 +156,40 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 cleaning (Raffel et al. 2020 §2.2) over the same deterministic
+    * lined rendition as [[xTextGopher]], with planted rule triggers:
+    * terminal '.' on lines where (doc_id + ix) is even, a
+    * " javascript." suffix on ix % 7 == 3 lines (punctuated but killed
+    * by the word rule), a `{ config }` line on doc_id % 13 docs and a
+    * "lorem ipsum" line on doc_id % 17 docs (both doc-killers; the
+    * latter line individually passes every line rule — the doc rule
+    * must catch it). Emits per-doc keep counts, the kept fraction, the
+    * survivor verdict and the cleaned text's md5.
+    */
+  private def xTextC4(s: SparkSession, dir: String): DataFrame = {
+    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+      c => array_join(c.getField("toks"), " "))
+    val planted = transform(lines0, (l, i) =>
+      when((col("doc_id") + i) % 2 === 0, concat(l, lit(".")))
+        .when(i % 7 === 3, concat(l, lit(" javascript.")))
+        .otherwise(l))
+    val t2 = concat(array_join(planted, "\n"),
+      when(col("doc_id") % 13 === 0, lit("\n{ config }")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .withColumn("__c", T.c4Clean(t2))
+      .select(col("doc_id"),
+        col("__c.n_lines").cast("long").as("n_lines"),
+        col("__c.n_kept").cast("long").as("n_kept"),
+        round(when(col("__c.n_lines") === 0, lit(0.0))
+          .otherwise(col("__c.n_kept").cast("double") /
+            col("__c.n_lines").cast("double")), 6).as("kept_frac"),
+        (!col("__c.dropped")).as("doc_kept"),
+        md5(col("__c.clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -751,6 +785,7 @@ object ExtensionQueries {
     "x_text_stats" -> (xTextStats _),
     "x_text_repetition" -> (xTextRepetition _),
     "x_text_gopher" -> (xTextGopher _),
+    "x_text_c4" -> (xTextC4 _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -956,6 +991,46 @@ object ExtensionQueries {
          |    AND n_dict >= 2 AND dup_line_frac < 0.3
          |    AND dup_char_frac < 0.2) AS gopher_pass
          |FROM f ORDER BY doc_id""".stripMargin),
+
+    // C4 cleaning: same lined rendition, planted rule triggers, then
+    // the line rules (terminal punct, >= 5 words, no 'javascript') as
+    // a list_filter and the doc rules on the assembled text
+    "x_text_c4" -> (tokCte +
+      """, ln0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(toks), 8),
+        |      g -> array_to_string(list_slice(toks, g + 1, g + 8), ' ')) AS lines
+        |  FROM tk),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(lines) + 1),
+        |      i -> CASE WHEN (doc_id + (i - 1)) % 2 = 0
+        |                THEN lines[CAST(i AS INT)] || '.'
+        |                WHEN (i - 1) % 7 = 3
+        |                THEN lines[CAST(i AS INT)] || ' javascript.'
+        |                ELSE lines[CAST(i AS INT)] END), chr(10))
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ config }' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END AS t2
+        |  FROM ln0),
+        |c AS (
+        |  SELECT doc_id, t2,
+        |    string_split(t2, chr(10)) AS ls,
+        |    list_filter(string_split(t2, chr(10)), l ->
+        |      right(trim(l), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM p1)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  round(CASE WHEN len(ls) = 0 THEN 0.0
+        |        ELSE CAST(CAST(len(kept) AS VARCHAR) AS DOUBLE)
+        |          / CAST(CAST(len(ls) AS VARCHAR) AS DOUBLE) END, 6) AS kept_frac,
+        |  NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{')
+        |       OR len(kept) < 3) AS doc_kept,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin),
 
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,

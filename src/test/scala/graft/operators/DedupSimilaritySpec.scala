@@ -732,6 +732,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
 
+  test("c4Clean: line rules (terminal punct, >=5 words, javascript) and " +
+      "doc rules (lorem ipsum, brace, <3 kept lines)") {
+    val docs = Seq(
+      // 3 good lines -> kept doc; bad lines dropped individually
+      (1L, "one two three four five.\nsix seven eight nine ten!\n" +
+        "ok line with five words?\nshort line.\nno terminal punct here at all\n" +
+        "uses javascript so it dies."),
+      // only 2 good lines -> doc dropped by the <3 rule
+      (2L, "one two three four five.\nsix seven eight nine ten."),
+      // brace kills the doc even though lines pass
+      (3L, "one two three four five.\nsix seven eight nine ten!\n" +
+        "good line of five words.\n{"),
+      // lorem ipsum kills the doc (case-insensitive)
+      (4L, "one two three four five.\nsix seven eight nine ten!\n" +
+        "Lorem Ipsum dolor sit amet."))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id", T.c4Clean($"text").as("c"))
+      .select($"doc_id", $"c.n_lines", $"c.n_kept", $"c.dropped",
+        $"c.clean_text")
+      .as[(Long, Int, Int, Boolean, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6, 3, false,
+      "one two three four five.\nsix seven eight nine ten!\n" +
+        "ok line with five words?")))
+    assert(out(1)._3 == 2 && out(1)._4 == true)   // <3 kept -> dropped
+    assert(out(2)._3 == 3 && out(2)._4 == true)   // brace doc rule
+    assert(out(3)._3 == 3 && out(3)._4 == true)   // lorem ipsum doc rule
+    // the quoted-line form survives the punct rule
+    val q = Seq((9L, "he said \"five words in here\""))
+      .toDF("doc_id", "text")
+      .select(T.c4LineKeep($"text")).as[Boolean].head()
+    assert(q)
+  }
+
   test("ivfPqTopK: codeword candidates score as brute (exact residual " +
       "reconstruction), replay-deterministic") {
     // Single cell ⇒ centroid = vec 0, residual books = residuals of the
