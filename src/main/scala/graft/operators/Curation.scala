@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** End-to-end training-corpus curation: the canonical pipeline a
+  * 100 TB data run strings together, composed from this library's
+  * operators with the provenance every stage needs downstream:
+  *
+  *   C4 clean → exact dedup → MinHash-LSH near-dedup with
+  *   quality-aware survivors → deterministic source mixing →
+  *   sequence packing
+  *
+  * Each stage is the already-oracle-checked operator — this object
+  * adds only the composition, so the scale shape is the SUM of the
+  * parts: one map-only clean pass, one hash-groupBy (exact), the
+  * band equi-join (near-dup; pair-graph-sized output), a map-only
+  * mix explode, and packing's single shard shuffle. Nothing here
+  * introduces a new join against the corpus except the final
+  * provenance re-attach (one equi-join on the instance id).
+  *
+  * Determinism: every stage is a pure function of (content, ids,
+  * weights) — no rand(), so retries and replays agree row-for-row.
+  */
+object Curation {
+
+  /** @param mixPerMille per-source mix weight (1000 = keep, 2300 =
+    *   2.3×, 400 = keep 40%); unlisted sources keep 1000
+    * @param budget tokens per packed context window
+    * @param nShards independent packing streams
+    * @return one row per packed document INSTANCE:
+    *   (instance_id, idCol, copy, sourceCol, clean_text, shard,
+    *   n_tokens, token_offset, bin_first, bin_last, straddles)
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, mixPerMille: Map[String, Int],
+      budget: Int, nShards: Int,
+      shingleN: Int = 5, jaccardThreshold: Double = 0.7): DataFrame = {
+    require(mixPerMille.values.forall(_ < 100000),
+      "mix weights above 100x break the instance-id encoding")
+
+    // 1. C4 clean: drop rule-violating lines, then rule-violating docs
+    val cleaned = docs
+      .withColumn("__c", T.c4Clean(col(textCol)))
+      .where(!col("__c.dropped"))
+      .select(col(idCol), col(sourceCol),
+        col("__c.clean_text").as("clean_text"))
+
+    // 2. exact dedup on the CLEANED text (cleaning canonicalizes
+    // whitespace-level variants into byte-equal survivors)
+    val exact = cleaned.join(
+      Dedup.exactGroups(cleaned, idCol, "clean_text")
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+    // 3. near-dedup: LSH pairs, then quality-aware survivor selection
+    // (longest doc wins its cluster); unclustered docs all survive
+    val pairs = Dedup.minhashDupPairs(exact, idCol, "clean_text",
+      n = shingleN, threshold = jaccardThreshold)
+    val losers = Dedup.survivors(pairs.select(col("i"), col("j")), exact,
+        idCol, T.tokenCount(col("clean_text")))
+      .where(!col("kept")).select(col(idCol))
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 4. deterministic source mixing: repeat counts, then materialize
+    // copies under a collision-free instance id (id · 100 + copy)
+    val mixed = deduped
+      .withColumn("__copies",
+        Sampling.mixCopies(col(sourceCol), col(idCol), mixPerMille))
+      .where(col("__copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .withColumn("instance_id", col(idCol) * 100 + col("copy"))
+      .drop("__copies")
+
+    // 5. sequence packing over instances; re-attach provenance with
+    // the pipeline's one corpus-sized equi-join
+    val placed = Packing.packPlacement(mixed, "instance_id",
+      T.tokenCount(col("clean_text")), budget, nShards)
+    placed.join(
+      mixed.select(col("instance_id"), col(idCol), col("copy"),
+        col(sourceCol), col("clean_text")),
+      Seq("instance_id"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end curation pipeline: every stage's effect observable on a
+  * controlled corpus — c4 drops, exact-dup loser gone, near-dup loser
+  * gone, mix weights multiply instances, packing offsets contiguous,
+  * and the whole run replay-deterministic.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 c4-clean lines (6 words each, terminal '.')
+  private def mk(seed: String) = Seq(
+    s"alpha bravo charlie delta $seed one.",
+    s"echo foxtrot golf hotel $seed two.",
+    s"india juliet kilo lima $seed three.").mkString("\n")
+
+  // 5 lines x 8 words = 40 tokens; `last` parameterizes the final
+  // word so two variants share 31 of 41 distinct 5-gram shingles
+  // (jaccard ~0.756, above the 0.7 near-dup threshold)
+  private def mkLong(seed: String, last: String) = (1 to 5).map { i =>
+    s"w${i}a w${i}b w${i}c w${i}d w${i}e $seed line " +
+      (if (i == 5) last else s"w${i}f.")
+  }.mkString("\n")
+
+  private def corpus = Seq(
+    (1L, "A", mk("red")),
+    (2L, "A", mk("red")),                  // exact dup of 1 -> loses
+    (3L, "A", mkLong("blue", "end.")),
+    (4L, "A", mkLong("blue", "alt.")),     // near dup of 3 -> loses (tie, min id)
+    (5L, "B", mk("green")),
+    (6L, "B", "too short.\nonly two lines here okay."), // <3 kept lines
+    (7L, "C", mk("brace") + "\n{ dies }")  // doc rule
+  ).toDF("doc_id", "source", "text")
+
+  test("curate: clean -> dedup -> survivors -> mix -> pack, deterministic") {
+    val out = Curation.curate(corpus, "doc_id", "text", "source",
+      mixPerMille = Map("A" -> 1000, "B" -> 3000, "C" -> 500),
+      budget = 16, nShards = 2)
+    val rows = out.select($"instance_id", $"doc_id", $"copy", $"source",
+        $"shard", $"n_tokens", $"token_offset", $"bin_first")
+      .as[(Long, Long, Long, String, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+
+    // survivors: 1 (exact-dup winner), 3 (near-dup winner), 5 (B)
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(1L, 3L, 5L))
+    // mix: A x1 each, B x3 -> 1 + 1 + 3 = 5 instances
+    assert(rows.length == 5)
+    assert(rows.count(_._2 == 5L) == 3)
+    assert(rows.filter(_._2 == 5L).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    // token counts survive the pipeline (mk = 18 tokens, mkLong = 40)
+    assert(rows.filter(_._2 == 1L).forall(_._6 == 18L))
+    assert(rows.filter(_._2 == 3L).forall(_._6 == 40L))
+    // packing: offsets are the exclusive running sum within a shard
+    rows.groupBy(_._5).foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_._1)
+      val expected = sorted.map(_._6).scanLeft(0L)(_ + _).init
+      assert(sorted.map(_._7).toSeq == expected.toSeq,
+        s"offsets not contiguous in shard: ${sorted.toSeq}")
+    }
+    // replay determinism
+    val again = Curation.curate(corpus, "doc_id", "text", "source",
+      mixPerMille = Map("A" -> 1000, "B" -> 3000, "C" -> 500),
+      budget = 16, nShards = 2)
+      .select($"instance_id", $"doc_id", $"copy", $"source",
+        $"shard", $"n_tokens", $"token_offset", $"bin_first")
+      .as[(Long, Long, Long, String, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("curate: weight 0 drops a source entirely; near-dup pair really pairs") {
+    // the near-dup premise the survivor assertion rests on
+    val pairs = Dedup.minhashDupPairs(
+      Seq((3L, mkLong("blue", "end.")), (4L, mkLong("blue", "alt.")))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select($"i", $"j").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((3L, 4L)), s"expected the planted pair: ${pairs.toSeq}")
+    val out = Curation.curate(corpus, "doc_id", "text", "source",
+      mixPerMille = Map("B" -> 0), budget = 16, nShards = 1)
+    val ids = out.select($"doc_id").as[Long].collect().distinct.sorted
+    assert(ids.toSeq == Seq(1L, 3L))
+  }
+}
