@@ -33,6 +33,37 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Cross-source duplicate-overlap matrix — the "which feeds
+    * re-crawl each other" QA view of exact dedup: for every source
+    * pair (a ≤ b), the number of byte-identical document PAIRS with
+    * one side in each source; within-source cells count C(n, 2).
+    * Integer-exact throughout (order-independent, engine-portable).
+    *
+    * Scale shape: one hash-groupBy collapses the corpus to
+    * (content, source) counts; the self-join is an equi-join on the
+    * content hash whose per-key fan-out is bounded by the SOURCE
+    * count, not the duplicate count (a content duplicated a million
+    * times within one source is still one row per side); the final
+    * aggregate is source²-sized — driver-trivial.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val g = docs.groupBy(md5(col(textCol)).as("__h"),
+        col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__c"))
+    val a = g.select(col("__h"), col("__src").as("source_a"),
+      col("__c").as("__ca"))
+    val b = g.select(col("__h"), col("__src").as("source_b"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__h"))
+      .where(col("source_a") <= col("source_b"))
+      .where(col("source_a") =!= col("source_b") || col("__ca") >= 2)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("source_a") === col("source_b"),
+          expr("__ca * (__ca - 1) div 2"))
+        .otherwise(col("__ca") * col("__cb"))).as("dup_pairs"))
+  }
+
   /** (id, shingle) exploded rows over the distinct word-n-gram set. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

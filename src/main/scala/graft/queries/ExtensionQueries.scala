@@ -420,12 +420,14 @@ object ExtensionQueries {
 
   /** Injected-duplicate source: every 5th doc appears again under a
     * shifted id — gives exact dedup deterministic signal (the table
-    * itself has no byte-identical rows).
+    * itself has no byte-identical rows). Offset 10 000 000 on both
+    * engines (the collision-proof convention — a 100 000 offset merges
+    * planted rows with real ids from the 100k-row decade up).
     */
   private def dupDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
   private def xDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -433,6 +435,24 @@ object ExtensionQueries {
       .where(col("n") > 1)
       .select(col("content_md5"), col("keep_id"), col("n"))
       .orderBy("keep_id")
+
+  /** Cross-source duplicate overlap: every 7th doc re-appears under a
+    * shifted id with its source ROTATED (7 is coprime to the 20-source
+    * id-correlated assignment, so every source gets planted overlap) (srcN → src(N+1) mod 20 — a
+    * deterministic "re-crawl feed"), so the matrix has exactly one
+    * off-diagonal cell per source pair that shares planted content.
+    */
+  private def xDedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val copies = d.where(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 10000000L).as("doc_id"), col("text"),
+      concat(lit("src"),
+        pmod(substring(col("source"), 4, 10).cast("int") + 1, lit(20))
+          .cast("string")).as("source"))
+    Dedup.sourceOverlap(d.unionByName(copies), "text", "source")
+      .orderBy("source_a", "source_b")
+  }
 
   /** Evaluate `f` over a persisted pair-set, materialize the (small,
     * dedup-output-sized) result via eager localCheckpoint, and release
@@ -510,7 +530,7 @@ object ExtensionQueries {
   private def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     val planes = Dedup.planesForClustered(src.count())
     embDedupPlanes = planes
     Dedup.embeddingDupPairsBucketed(src, "vec_id", "embedding", 0.95,
@@ -536,7 +556,7 @@ object ExtensionQueries {
   private def xDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val src = e.unionByName(e.where(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     val planes = Dedup.planesForResidual(
       math.max(1L, src.count() / EmbIvfNlist))
     embIvfPlanes = planes
@@ -789,6 +809,7 @@ object ExtensionQueries {
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
+    "x_dedup_source_overlap" -> (xDedupSourceOverlap _),
     "x_dedup_minhash_lsh" -> (xDedupMinhash _),
     "x_dedup_jaccard" -> (xDedupJaccard _),
     "x_dedup_containment" -> (xDedupContainment _),
@@ -1079,10 +1100,27 @@ object ExtensionQueries {
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
         |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n
         |FROM src GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+
+    "x_dedup_source_overlap" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text,
+        |    'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |g AS (SELECT md5(text) AS h, source, count(*) AS c FROM src GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |         ELSE a.c * b.c END AS np
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
+        |  WHERE a.source <> b.source OR a.c >= 2)
+        |SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS dup_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x_dedup_minhash_lsh" -> (shingleCte +
       s""", ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -1190,7 +1228,7 @@ object ExtensionQueries {
       ("""WITH e0 AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),
@@ -1205,7 +1243,7 @@ object ExtensionQueries {
       ("""WITH e0 AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
          |nn AS (SELECT vec_id, v, """.stripMargin
         + dotSql("v", "v") + s""" AS nsq FROM e),

@@ -732,6 +732,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
 
+  test("sourceOverlap: within-source C(n,2), cross-source products, " +
+      "clean sources absent") {
+    val docs = Seq(
+      (1L, "A", "same"), (2L, "A", "same"), (3L, "A", "same"), // C(3,2)=3
+      (4L, "B", "same"), (5L, "B", "same"),                    // C(2,2)=1; AxB=6
+      (6L, "C", "other"), (7L, "A", "other"),                  // AxC=1
+      (8L, "D", "unique")                                      // no dups at all
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("A", "A", 3L), ("A", "B", 6L), ("A", "C", 1L), ("B", "B", 1L)))
+  }
+
   test("c4Clean: line rules (terminal punct, >=5 words, javascript) and " +
       "doc rules (lorem ipsum, brace, <3 kept lines)") {
     val docs = Seq(
