@@ -360,6 +360,41 @@ object Similarity {
     ranked(pairs, k)
   }
 
+  /** Shortlist-rerank ANN — the deployment shape the PQ probes
+    * motivate (tools/PqProbe: raw ADC ranks cannot separate top-10 of
+    * a tight cluster, but an R = 100·k ADC shortlist recalls it):
+    * the compressed ADC scan produces `shortK` candidates per query,
+    * and the EXACT cosine re-scores only those — so full-precision
+    * math touches shortK·queries rows instead of the corpus, while
+    * the corpus-sized pass stays the m-byte code scan.
+    *
+    * Scale shape: [[pqTopK]]'s map-only code scan + per-query top-R,
+    * then the (queries × shortK)-row shortlist joined back to the
+    * candidate table by an equi-join on the id (shortlist broadcast —
+    * it is output-sized); exact rescoring is a map over that join.
+    * Exactness: the re-score is bit-identical to [[bruteTopK]]'s
+    * fold, so ranks among the shortlist equal brute's.
+    */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortK: Int,
+      m: Int = 8, ksub: Int = 8,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    require(shortK >= k, s"shortK=$shortK must be >= k=$k")
+    val short = pqTopK(queries, candidates, idCol, vecCol, shortK, m, ksub,
+        codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", V.normSq(col("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .withColumn("__cn", V.normSq(col("__cv")))
+    val pairs = c.join(broadcast(short.join(q, Seq("query_id"))),
+        Seq("neighbor_id"))
+      .withColumn("score", V.cosinePrenormed(
+        V.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    ranked(pairs, k)
+  }
+
   /** Product-quantization ANN (Jégou et al., TPAMI 2011): candidates
     * are scanned as m-byte codes, scored by asymmetric distance
     * computation — the exact query against each candidate's

@@ -627,6 +627,18 @@ object ExtensionQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** PQ shortlist → exact re-rank: the compressed scan proposes the
+    * top-50 per query, full-precision cosine re-scores only those —
+    * the two-stage deployment shape ([[Similarity.pqRerankTopK]]).
+    */
+  private def xSimTopkPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqRerankTopK(e.where(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, shortK = 50, m = 8, ksub = 8)
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** IVFPQ ANN: coarse exemplar cells route the corpus, PQ codes
     * encode the RESIDUALS (v − centroid), queries probe their 2
     * nearest cells — the full IVFADC layout. The deterministic
@@ -822,6 +834,7 @@ object ExtensionQueries {
     "x_sim_topk_lsh" -> (xSimTopkLsh _),
     "x_sim_topk_ivf" -> (xSimTopkIvf _),
     "x_sim_topk_pq" -> (xSimTopkPq _),
+    "x_sim_topk_pq_rerank" -> (xSimTopkPqRerank _),
     "x_sim_topk_ivfpq" -> (xSimTopkIvfpq _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_chunks" -> (xTextChunks _),
@@ -909,6 +922,43 @@ object ExtensionQueries {
     * rebuilding the map at dump time keeps the oracle's prefilter
     * identical to the one the Spark plan actually used.
     */
+  /** Shared PQ-ADC oracle CTEs: exemplar codebook, per-subspace
+    * encode, reconstruction + norm, and the scored pair CTE `p`
+    * (every candidate vs the vec_id<10 queries). Consumers append
+    * their own ranking tail — the plain PQ query takes ADC top-5,
+    * the rerank query takes ADC top-50 then exact-rescoring top-5.
+    */
+  private def pqAdcPSql: String =
+    s""", cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |  FROM nn ORDER BY vec_id LIMIT 8),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |d AS (
+         |  SELECT n.vec_id, s.m, c.code,
+         |    list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]) *
+         |             (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]))),
+         |      (x, y) -> x + y) AS d2
+         |  FROM nn n CROSS JOIN sub s CROSS JOIN cb c),
+         |enc AS (
+         |  SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS crk
+         |  FROM d),
+         |rv AS (
+         |  SELECT e2.vec_id,
+         |    flatten(list(c.v[CAST(e2.m * 8 + 1 AS INT):CAST(e2.m * 8 + 8 AS INT)]
+         |      ORDER BY e2.m)) AS rvv
+         |  FROM enc e2 JOIN cb c ON c.code = e2.code
+         |  WHERE e2.crk = 1 GROUP BY e2.vec_id),
+         |rn AS (SELECT vec_id, rvv, ${dotSql("rvv", "rvv")} AS rnsq FROM rv),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "r2.rvv")} / (sqrt(q.nsq) * sqrt(r2.rnsq)) AS score
+         |  FROM nn q JOIN rn r2 ON r2.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x_text_repetition" -> (tokCte +
       """, t AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -1317,36 +1367,23 @@ object ExtensionQueries {
     // dot/norm against the code RECONSTRUCTION — element order equals
     // the Spark kernels' concatenated-subspace folds, so doubles match
     // bit for bit
-    "x_sim_topk_pq" -> (embCte +
-      s""", cb AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-         |  FROM nn ORDER BY vec_id LIMIT 8),
-         |sub AS (SELECT unnest(range(0, 8)) AS m),
-         |d AS (
-         |  SELECT n.vec_id, s.m, c.code,
-         |    list_reduce(list_prepend(CAST(CAST(0.0 AS VARCHAR) AS DOUBLE),
-         |      list_transform(range(1, 9),
-         |        i -> (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]) *
-         |             (n.v[CAST(s.m * 8 + i AS INT)] - c.v[CAST(s.m * 8 + i AS INT)]))),
-         |      (x, y) -> x + y) AS d2
-         |  FROM nn n CROSS JOIN sub s CROSS JOIN cb c),
-         |enc AS (
-         |  SELECT vec_id, m, code,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS crk
-         |  FROM d),
-         |rv AS (
-         |  SELECT e2.vec_id,
-         |    flatten(list(c.v[CAST(e2.m * 8 + 1 AS INT):CAST(e2.m * 8 + 8 AS INT)]
-         |      ORDER BY e2.m)) AS rvv
-         |  FROM enc e2 JOIN cb c ON c.code = e2.code
-         |  WHERE e2.crk = 1 GROUP BY e2.vec_id),
-         |rn AS (SELECT vec_id, rvv, ${dotSql("rvv", "rvv")} AS rnsq FROM rv),
-         |p AS (
-         |  SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
-         |    ${dotSql("q.v", "r2.rvv")} / (sqrt(q.nsq) * sqrt(r2.rnsq)) AS score
-         |  FROM nn q JOIN rn r2 ON r2.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+    "x_sim_topk_pq" -> (embCte + pqAdcPSql +
+      """r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, neighbor_id, round(score, 6) AS score
+        |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // PQ shortlist (ADC top-50) -> exact cosine re-rank top-5: the
+    // re-score fold is the brute oracle's own expression, so values
+    // are bit-identical to brute on the shortlisted pairs
+    "x_sim_topk_pq_rerank" -> (embCte + pqAdcPSql +
+      s"""r0 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM p),
+         |sl AS (SELECT query_id, neighbor_id FROM r0 WHERE rk <= 50),
+         |ex AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS score
+         |  FROM sl JOIN nn q ON q.vec_id = sl.query_id
+         |          JOIN nn c ON c.vec_id = sl.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM ex)
          |SELECT query_id, neighbor_id, round(score, 6) AS score
          |FROM r WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin),
 

@@ -779,6 +779,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q)
   }
 
+  test("pqRerankTopK: corpus-wide shortlist equals brute exactly; " +
+      "scores always bit-equal to brute") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+    // shortK >= corpus: the shortlist is complete, rerank IS brute
+    val full = Similarity.pqRerankTopK(q, e, "vec_id", "embedding",
+      k = 5, shortK = 100000)
+    assert(m(full) == m(brute))
+    // tight shortlist: pairs may differ (ADC recall), but every score
+    // is the exact fold — bit-equal to brute's for the same pair
+    val bruteAll = Similarity.bruteTopK(q, e, "vec_id", "embedding", 100000)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val tight = Similarity.pqRerankTopK(q, e, "vec_id", "embedding",
+      k = 5, shortK = 10).as[(Long, Long, Double)].collect()
+    assert(tight.nonEmpty)
+    tight.foreach { case (qq, nn, s) => assert(bruteAll((qq, nn)) == s) }
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(q, e, "vec_id", "embedding", k = 5, shortK = 4)
+    }
+  }
+
   test("ivfPqTopK: codeword candidates score as brute (exact residual " +
       "reconstruction), replay-deterministic") {
     // Single cell ⇒ centroid = vec 0, residual books = residuals of the
