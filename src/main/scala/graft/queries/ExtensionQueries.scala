@@ -365,6 +365,30 @@ object ExtensionQueries {
         explode(expr("sequence(0L, copies - 1)")).as("copy_ix"))
       .orderBy("doc_id", "copy_ix")
 
+  /** Corpus-composition report — the "what is my mix" view every
+    * curation run starts and ends with: per-source doc count, token
+    * and character mass, and each source's share of corpus token mass.
+    * One map-side-combined groupBy to a source-cardinality table; the
+    * share is a window over that tiny aggregate (never the corpus).
+    * Integer sums throughout, so shares divide exact BIGINTs — order-
+    * independent and engine-portable.
+    */
+  private def xMixReport(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        T.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("n_chars")).as("char_mass"))
+    agg.withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"), 6))
+      .orderBy("source")
+  }
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -845,6 +869,7 @@ object ExtensionQueries {
     "x_split_stratified" -> (xSplitStratified _),
     "x_cap_per_source" -> (xCapPerSource _),
     "x_mix_weights" -> (xMixWeights _),
+    "x_mix_report" -> (xMixReport _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1534,6 +1559,20 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_mix_report" ->
+      """WITH a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens,
+        |    sum(n_chars) AS char_mass
+        |  FROM documents GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(char_mass AS BIGINT) AS char_mass,
+        |  round(CAST(CAST(n_tokens AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST((SELECT sum(n_tokens) FROM a) AS VARCHAR) AS DOUBLE), 6) AS token_share
+        |FROM a ORDER BY source""".stripMargin,
 
     "x_mix_weights" ->
       """WITH w AS (

@@ -168,6 +168,38 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("LineStats matches a collections-based reference on random line soup") {
+    val piece = Gen.oneOf(
+      Gen.oneOf("a", "bb", "line one", "- item", "* x", "end...", "…",
+        "###", "  spaced  ", "", "with words here."),
+      Gen.asciiPrintableStr.map(_.take(12)))
+    val gen = Gen.listOf(piece).map(_.mkString("\n"))
+    check("linestats", Prop.forAll(gen) { s =>
+      val got = LineStats.compute(UTF8String.fromString(s))
+      val lines = s.split("\n", -1).toSeq
+      val mult = lines.groupBy(identity).map { case (k, v) => k -> v.size }
+      def trimSp(x: String) =
+        x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val trimmed = trimSp(s)
+      val toks = if (trimmed.isEmpty) Array.empty[String]
+        else trimmed.split("\\s+", -1)
+      val symRef = s.count(_ == '#') + s.count(_ == '…') +
+        java.util.regex.Pattern.compile("\\.\\.\\.").matcher(s)
+          .results().count().toInt
+      got.getInt(0) == lines.size &&
+        got.getInt(1) == lines.count(mult(_) > 1) &&
+        got.getInt(2) == lines.filter(mult(_) > 1)
+          .map(l => l.codePointCount(0, l.length)).sum &&
+        got.getInt(3) == lines.map(l => l.codePointCount(0, l.length)).sum &&
+        got.getInt(4) == lines.map(trimSp).count(l =>
+          l.nonEmpty && "-*•".contains(l.head)) &&
+        got.getInt(5) == lines.map(trimSp).count(l =>
+          l.endsWith("…") || l.endsWith("...")) &&
+        got.getInt(6) == toks.count(_.exists(Character.isLetter)) &&
+        got.getInt(7) == symRef
+    })
+  }
+
   test("LangGuess: CJK wins outright, empty is und, decision is total") {
     check("langguess", Prop.forAll(Gen.asciiPrintableStr) { s =>
       val out = LangGuess.compute(s)
