@@ -61,6 +61,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality gates stream: c4Clean + LineStats/TokenStats are map-only " +
+      "stateless transforms over a readStream") {
+    // the ingest-time quality filter every streaming curation front
+    // door needs: both the kernels and the HOF rules are per-row, so
+    // they compose into a streaming query with no state store at all
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    import graft.functions.{TextFunctions => T}
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("__c", T.c4Clean($"text"))
+      .withColumn("__l", T.lineStats($"text"))
+      .select($"doc_id", $"__c.n_kept".as("n_kept"),
+        $"__c.dropped".as("dropped"), $"__l.n_dup_lines".as("dups"))
+    val q = scored.writeStream.format("memory").queryName("q_gate").start()
+    try {
+      val goodDoc = (1 to 3).map(i =>
+        s"line number $i with plenty words here.").mkString("\n")
+      input.addData(
+        (1L, goodDoc),                       // 3 kept lines -> survives
+        (2L, "too short.\nonly two lines."), // <3 kept -> dropped
+        (3L, "dup line\ndup line\ndup line")) // dups counted, dropped (no punct)
+      q.processAllAvailable()
+      val out = spark.table("q_gate")
+        .as[(Long, Int, Boolean, Int)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, 3, false, 0), (2L, 0, true, 0),
+        (3L, 0, true, 3)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("bucketed index: pruned gate ≡ full gate, and the scan actually prunes") {
     // a corpus big enough that its bands spread over many buckets
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
