@@ -380,9 +380,23 @@ object Similarity {
       m: Int = 8, ksub: Int = 8,
       codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(shortK >= k, s"shortK=$shortK must be >= k=$k")
-    val short = pqTopK(queries, candidates, idCol, vecCol, shortK, m, ksub,
-        codebooks)
-      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(
+      pqTopK(queries, candidates, idCol, vecCol, shortK, m, ksub, codebooks),
+      queries, candidates, idCol, vecCol, k)
+  }
+
+  /** Exact re-rank of ANY shortlist: takes a `(query_id, neighbor_id,
+    * …)` frame from an approximate stage ([[pqTopK]], [[ivfPqTopK]],
+    * [[bucketedTopK]] — anything with those two columns), joins the
+    * true vectors back and ranks by exact cosine. The shortlist is
+    * output-sized (queries × R rows), so it broadcasts and the
+    * candidate-table join is a map-side hash probe — the corpus is
+    * touched once, by the id equi-join, never rescanned per query.
+    */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame,
+      candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val short = shortlist.select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", V.normSq(col("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"),

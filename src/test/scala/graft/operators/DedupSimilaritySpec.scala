@@ -802,6 +802,15 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.pqRerankTopK(q, e, "vec_id", "embedding", k = 5, shortK = 4)
     }
+    // rerankExact composes with ANY shortlist stage: an IVFPQ
+    // shortlist re-ranked exactly scores bit-equal to brute too
+    val viaIvfpq = Similarity.rerankExact(
+      Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k = 10,
+        nlist = 4, nprobe = 4),
+      q, e, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(viaIvfpq.nonEmpty)
+    viaIvfpq.foreach { case (qq, nn, s) => assert(bruteAll((qq, nn)) == s) }
   }
 
   test("ivfPqTopK: codeword candidates score as brute (exact residual " +
