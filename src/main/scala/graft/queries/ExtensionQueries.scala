@@ -389,6 +389,20 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** BPE learn-loop argmax view: adjacent character-pair counts over
+    * the corpus WORD TABLE (iteration 0 of [[graft.operators.Bpe]] —
+    * the merge the trainer would learn first is this query's top row).
+    * The word table is the only corpus-sized stage; the pair explode
+    * runs over the vocab. Top 50, totally ordered (count desc, then
+    * pair), so the limit is deterministic on both engines.
+    */
+  private def xBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.operators.Bpe.wordTable(Tables.documents(s, dir), "text")
+    graft.operators.Bpe.pairCounts(graft.operators.Bpe.charSyms(words))
+      .orderBy(desc("count"), col("a"), col("b")).limit(50)
+      .select(col("a"), col("b"), col("count").as("pair_count"))
+  }
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -870,6 +884,7 @@ object ExtensionQueries {
     "x_cap_per_source" -> (xCapPerSource _),
     "x_mix_weights" -> (xMixWeights _),
     "x_mix_report" -> (xMixReport _),
+    "x_bpe_pairs" -> (xBpePairs _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1559,6 +1574,18 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_bpe_pairs" -> (tokCte +
+      """, w AS (SELECT unnest(toks) AS word FROM tk),
+        |wc AS (SELECT word, count(*) AS n FROM w WHERE length(word) > 0 GROUP BY 1),
+        |px AS (SELECT word, n, unnest(range(1, length(word))) AS i FROM wc),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INT), 1) AS a,
+        |         substr(word, CAST(i AS INT) + 1, 1) AS b, n
+        |  FROM px)
+        |SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, a, b LIMIT 50""".stripMargin),
 
     "x_mix_report" ->
       """WITH a AS (
