@@ -91,12 +91,40 @@ object Bpe {
   /** Encode words with a learned merge list: apply every merge in
     * rank order (the standard encode — greedy in learned priority).
     * Map-only: the merge list rides along as nMerges chained
-    * [[graft.expressions.MergeAdjacent]] kernels.
+    * [[graft.expressions.MergeAdjacent]] kernels. Adds/overwrites a
+    * `syms` column; every input column survives.
     */
   def applySyms(words: DataFrame,
       merges: Seq[(Int, String, String)]): DataFrame =
-    merges.sortBy(_._1).foldLeft(charSyms(words)) { case (df, (_, a, b)) =>
-      df.select(graft.expressions.MergeAdjacent.merge(col("syms"), a, b)
-        .as("syms"), col("n"))
+    merges.sortBy(_._1).foldLeft(words.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (df, (_, a, b)) =>
+        df.withColumn("syms",
+          graft.expressions.MergeAdjacent.merge(col("syms"), a, b))
     }
+
+  /** Per-document subword token counts under a learned merge list —
+    * the "how many BPE tokens is my corpus" accounting every training
+    * run needs, with the REAL learned merges instead of a heuristic.
+    * Encode runs on the DISTINCT-word table (vocab-sized); documents
+    * join back on the word — so the corpus pays one explode + one
+    * equi-join, never a per-doc encode. Docs with no words survive
+    * with zero counts.
+    */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val docWords = docs.select(col(idCol),
+        explode(T.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+    val vocab = applySyms(docWords.select("word").distinct(), merges)
+      .select(col("word"), size(col("syms")).as("__nsub"))
+    val agg = docWords.join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsub").cast("long")).as("bpe_tokens"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
 }

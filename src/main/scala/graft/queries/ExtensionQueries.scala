@@ -403,6 +403,31 @@ object ExtensionQueries {
       .select(col("a"), col("b"), col("count").as("pair_count"))
   }
 
+  /** Learned merge list carried from [[xBpeTokens]]'s query build to
+    * [[oracles]] (same mechanism as [[embDedupPlanes]]: Verify builds
+    * every selected query before dumping oracle_sql.json, so the
+    * interpolated list is always current).
+    */
+  @volatile private var bpeTokenMerges: Seq[(Int, String, String)] = Seq()
+
+  /** Per-document BPE token accounting with REAL learned merges: train
+    * 10 merges on the corpus ([[graft.operators.Bpe.trainMerges]] —
+    * deterministic, so both engines see the same list), encode the
+    * distinct-word vocabulary, join back per doc. The oracle replays
+    * the encode as a chain of boundary-anchored string replaces
+    * (symbols joined by chr(1) with a LEADING separator per symbol:
+    * replacing chr(1)+a+chr(1)+b with chr(1)+ab is exactly the
+    * kernel's left-to-right non-overlapping merge, and the leading
+    * separator makes a partial-symbol false match impossible).
+    */
+  private def xBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", 10)
+    bpeTokenMerges = merges
+    graft.operators.Bpe.subwordCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -885,6 +910,7 @@ object ExtensionQueries {
     "x_mix_weights" -> (xMixWeights _),
     "x_mix_report" -> (xMixReport _),
     "x_bpe_pairs" -> (xBpePairs _),
+    "x_bpe_tokens" -> (xBpeTokens _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1574,6 +1600,34 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_bpe_tokens" -> {
+      // chr(1)-anchored encode replay of the learned merge chain
+      val sep = "chr(1)"
+      val charJoin =
+        s"$sep || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), chr(1))"
+      val encoded = bpeTokenMerges.sortBy(_._1).foldLeft(charJoin) {
+        case (acc, (_, a, b)) =>
+          def q(x: String) = "'" + x.replace("'", "''") + "'"
+          s"replace($acc, chr(1) || ${q(a)} || chr(1) || ${q(b)}, chr(1) || ${q(a + b)})"
+      }
+      tokCte +
+        s""", wx AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+           |wf AS (SELECT word FROM wx WHERE length(word) > 0 GROUP BY 1),
+           |enc AS (SELECT word, $encoded AS e FROM wf),
+           |ns AS (
+           |  SELECT word,
+           |    length(e) - length(replace(e, chr(1), '')) AS nsub
+           |  FROM enc),
+           |d AS (
+           |  SELECT wx.doc_id, count(*) AS n_words,
+           |    sum(ns.nsub) AS bpe_tokens
+           |  FROM wx JOIN ns USING (word) GROUP BY 1)
+           |SELECT t.doc_id,
+           |  CAST(coalesce(d.n_words, 0) AS BIGINT) AS n_words,
+           |  CAST(coalesce(d.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+           |FROM tk t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "x_bpe_pairs" -> (tokCte +
       """, w AS (SELECT unnest(toks) AS word FROM tk),

@@ -32,6 +32,12 @@ class BpeSpec extends SparkSpec {
       .select(col("syms")).as[Seq[String]].collect().toSet
     assert(enc.contains(Seq("low")))
     assert(enc.contains(Seq("low", "e", "s", "t")))
+    // per-doc accounting: 2 merges -> low = 1 subword, lowest = 4
+    val counts = Bpe.subwordCounts(
+      Seq((1L, "low low lowest"), (2L, ""), (3L, "low")).toDF("doc_id", "text"),
+      "doc_id", "text", merges.take(2))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(counts.toSeq == Seq((1L, 3L, 6L), (2L, 0L, 0L), (3L, 1L, 1L)))
   }
 
   test("MergeAdjacent: left-to-right non-overlapping, 'aaa' -> ['aa','a']") {
