@@ -1602,14 +1602,22 @@ object ExtensionQueries {
         |ORDER BY d.doc_id""".stripMargin),
 
     "x_bpe_tokens" -> {
-      // chr(1)-anchored encode replay of the learned merge chain
-      val sep = "chr(1)"
+      // encode replay with LENGTH-PREFIXED symbols: each symbol is
+      // rendered chr(1) || '<len>:' || sym. The leading chr(1) anchors
+      // the symbol start and the length field anchors its END — a
+      // merge pattern for (a, b) cannot match a longer symbol that b
+      // is a prefix of (the 500k-doc gate caught exactly that with
+      // plain separators: merge ('w','0') falsely fired on 'w'+'00').
+      // No trailing anchor is needed, so adjacent-chain replaces keep
+      // the kernel's left-to-right non-overlapping semantics.
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      def encSym(x: String) = s"chr(1) || ${q(s"${x.length}:$x")}"
       val charJoin =
-        s"$sep || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), chr(1))"
+        "array_to_string(list_transform(range(1, length(word) + 1), " +
+          "i -> chr(1) || '1:' || substr(word, CAST(i AS INT), 1)), '')"
       val encoded = bpeTokenMerges.sortBy(_._1).foldLeft(charJoin) {
         case (acc, (_, a, b)) =>
-          def q(x: String) = "'" + x.replace("'", "''") + "'"
-          s"replace($acc, chr(1) || ${q(a)} || chr(1) || ${q(b)}, chr(1) || ${q(a + b)})"
+          s"replace($acc, ${encSym(a)} || ${encSym(b)}, ${encSym(a + b)})"
       }
       tokCte +
         s""", wx AS (SELECT doc_id, unnest(toks) AS word FROM tk),
