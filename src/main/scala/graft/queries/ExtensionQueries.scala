@@ -428,6 +428,34 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup by perceptual hash: the stub 60-bit hash over the
+    * text stand-in payload ([[graft.operators.Multimodal.StubPHasher]]
+    * ≡ md5-prefix60 — the real `javax.imageio` average-hash path is
+    * behavior-tested with real images), with near-dup signal planted
+    * at the HASH level (md5 avalanche makes payload-level planting
+    * impossible): every 9th doc re-appears 1 bit flipped (must pair at
+    * Hamming 1), every 11th doc 4 bits flipped (must NOT pair at
+    * maxHamming 3). Banded Hamming join — pigeonhole-exact recall, no
+    * cross product ([[graft.operators.Multimodal.phashPairs]]).
+    */
+  private def xMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      graft.expressions.Md5Prefix60(col("text")).as("phash"))
+    val flip1 = base.where(col("doc_id") % 9 === 0).select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      expr("phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))")
+        .as("phash"))
+    val flip4 = base.where(col("doc_id") % 11 === 0).select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      expr("phash ^ shiftleft(CAST(15 AS BIGINT), CAST(doc_id % 57 AS INT))")
+        .as("phash"))
+    graft.operators.Multimodal.phashPairs(
+        base.unionByName(flip1).unionByName(flip4), "doc_id", "phash",
+        maxHamming = 3)
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+      .orderBy("i", "j")
+  }
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -911,6 +939,7 @@ object ExtensionQueries {
     "x_mix_report" -> (xMixReport _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
+    "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1600,6 +1629,33 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_multimodal_phash" ->
+      """WITH h0 AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+        |  FROM documents),
+        |hp AS (
+        |  SELECT doc_id, phash FROM h0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) AS phash
+        |  FROM h0 WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000 AS doc_id,
+        |    xor(phash, CAST(15 AS BIGINT) << CAST(doc_id % 57 AS INT)) AS phash
+        |  FROM h0 WHERE doc_id % 11 = 0),
+        |bx AS (SELECT doc_id, phash, unnest(range(0, 4)) AS b FROM hp),
+        |bd AS (
+        |  SELECT doc_id, phash,
+        |    CAST(b AS VARCHAR) || ':' ||
+        |      CAST((phash >> CAST(b * 15 AS INT)) & 32767 AS VARCHAR) AS band
+        |  FROM bx),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+        |    bit_count(xor(a.phash, b.phash)) AS hamming
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY i, j""".stripMargin,
 
     "x_bpe_tokens" -> {
       // encode replay with LENGTH-PREFIXED symbols: each symbol is

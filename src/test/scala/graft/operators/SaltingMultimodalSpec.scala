@@ -209,6 +209,46 @@ class SaltingMultimodalSpec extends SparkSpec {
     assert(one.map(_.frame_idx).toSeq == Seq(0))
   }
 
+  test("ImageIoPHasher: visually-near real images land within Hamming 3, " +
+      "distinct images far; phashPairs finds exactly the near pair") {
+    implicit val s = spark
+    // base: half-black / half-white split (strong 8x8 structure);
+    // near: same split with a tiny corner blemish; far: inverted split
+    def splitPng(invert: Boolean, blemish: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val left = x < 32
+        val white = if (invert) !left else left
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+      }
+      if (blemish) for (x <- 60 until 64; y <- 0 until 4)
+        img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, splitPng(invert = false, blemish = false)),
+      Multimodal.MediaRow(2L, splitPng(invert = false, blemish = true)),
+      Multimodal.MediaRow(3L, splitPng(invert = true, blemish = false)),
+      Multimodal.MediaRow(4L, "not an image at all".getBytes("UTF-8")))
+      .toDS()
+    val hs = Multimodal.phashBatch(rows, Multimodal.ImageIoPHasher)
+      .collect().sortBy(_.doc_id)
+    assert(hs.map(_.decoded).toSeq == Seq(true, true, true, false))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0).phash, hs(1).phash) <= 3,
+      s"near images too far: ${ham(hs(0).phash, hs(1).phash)}")
+    assert(ham(hs(0).phash, hs(2).phash) > 20,
+      s"inverted image too close: ${ham(hs(0).phash, hs(2).phash)}")
+    val pairs = Multimodal.phashPairs(
+        hs.toSeq.toDF("doc_id", "phash", "decoded"), "doc_id", "phash")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the near pair: ${pairs.toSeq}")
+  }
+
   test("hostile header declaring a huge raster degrades to the stub, not OOM") {
     implicit val s = spark
     // a syntactically valid 65535x65535 GIF89a header (~17 GB raster if
