@@ -19,6 +19,19 @@ object Sampling {
   def hashBucket(key: Column, nBuckets: Int): Column =
     pmod(Md5Prefix60(key.cast("string")), lit(nBuckets.toLong))
 
+  /** Score-proportional deterministic keep — the CCNet-style "sample
+    * by quality" step: a row with per-mille score p survives iff its
+    * key's hash bucket of 1000 falls below p, so the corpus keeps each
+    * row with probability p/1000 WITHOUT rand() — replay-identical,
+    * engine-portable, and the kept set of a higher threshold is a
+    * superset of a lower one (same bucket, larger cut). Callers derive
+    * `perMille` from any deterministic integer-exact signal (e.g.
+    * ⌊1000·n_dict/n_tokens⌋); values are clamped to [0, 1000].
+    */
+  def scoreKeep(perMille: Column, key: Column): Column =
+    hashBucket(key, 1000) <
+      greatest(lit(0L), least(lit(1000L), perMille.cast("long")))
+
   /** Train/val/test assignment by hash percentile: bucket < trainPct →
     * "train", < trainPct+valPct → "val", else "test". Percentages are
     * out of 100.

@@ -456,6 +456,25 @@ object ExtensionQueries {
       .orderBy("i", "j")
   }
 
+  /** Quality-proportional sampling ([[graft.operators.Sampling.scoreKeep]]):
+    * keep probability = the doc's stopword ratio (a deterministic
+    * integer-exact signal both engines compute identically), floored
+    * to per-mille. High-quality prose survives often; token soup
+    * rarely — the CCNet-style "sample by quality" shape without
+    * rand().
+    */
+  private def xSampleQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("__st",
+        graft.expressions.TokenStats.stats(col("text"), T.EnWords))
+      .withColumn("quality_pm",
+        when(col("__st.n_tokens") === 0, lit(0L)).otherwise(
+          floor(col("__st.n_dict").cast("double") * 1000.0 /
+            col("__st.n_tokens").cast("double")).cast("long")))
+      .where(graft.operators.Sampling.scoreKeep(col("quality_pm"), col("doc_id")))
+      .select(col("doc_id"), col("quality_pm"))
+      .orderBy("doc_id")
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -940,6 +959,7 @@ object ExtensionQueries {
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
+    "x_sample_quality" -> (xSampleQuality _),
     "x_text_rarity" -> (xTextRarity _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1629,6 +1649,18 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_sample_quality" -> (tokCte +
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
+         |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT) AS quality_pm
+         |FROM tk
+         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000)
+         |  < greatest(0, least(1000, CAST(CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
+         |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT)))
+         |ORDER BY doc_id""".stripMargin),
 
     "x_multimodal_phash" ->
       """WITH h0 AS (

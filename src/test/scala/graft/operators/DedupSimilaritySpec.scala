@@ -488,6 +488,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scoreKeep: keep rate tracks the per-mille score, clamped, deterministic") {
+    val df = (1L to 4000L).map(i => (i, (i % 4) * 250L)) // scores 0/250/500/750
+      .toDF("id", "pm")
+    val kept = df.where(Sampling.scoreKeep($"pm", $"id"))
+      .groupBy("pm").count().as[(Long, Long)].collect().toMap
+    assert(!kept.contains(0L), "score 0 keeps nothing")
+    assert(math.abs(kept(250L) - 250L) < 100, s"~25% of 1000: ${kept(250L)}")
+    assert(math.abs(kept(750L) - 750L) < 100, s"~75% of 1000: ${kept(750L)}")
+    // clamp: over-1000 scores keep everything, negatives nothing
+    assert(df.where(Sampling.scoreKeep(lit(5000), $"id")).count() == 4000L)
+    assert(df.where(Sampling.scoreKeep(lit(-5), $"id")).count() == 0L)
+    // monotone: the kept set of a higher score is a superset
+    val lo = df.where(Sampling.scoreKeep(lit(200), $"id"))
+      .select("id").as[Long].collect().toSet
+    val hi = df.where(Sampling.scoreKeep(lit(700), $"id"))
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
   test("capPerStratum: best-first top-n per stratum, small strata whole, " +
       "deterministic tiebreak") {
     val df = Seq(
