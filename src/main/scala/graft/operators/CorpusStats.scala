@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -54,5 +54,94 @@ object CorpusStats {
         col("df_sum"),
         round(col("df_sum").cast("double") /
           col("n_distinct_toks").cast("double"), 6).as("mean_token_df"))
+  }
+
+  /** Separator for composed bigram keys. Tokens come from whitespace
+    * splits, so U+0001 cannot appear inside one (same anchoring trick
+    * as the BPE oracle's chr(1)-prefixed symbols).
+    */
+  private val BgSep = "\u0001"
+
+  /** Ordered word-bigram occurrences (with multiplicity) of a token
+    * array, as (w1, bg) structs; <2 tokens ⇒ no bigrams. The `when`
+    * guard matters: a bare `sequence(1, size-1)` DESCENDS for size<2
+    * and would fabricate bigrams.
+    */
+  private[graft] def bigramPairs(toks: Column): Column =
+    when(size(toks) < 2,
+        array().cast("array<struct<w1:string,bg:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(
+          element_at(toks, i).as("w1"),
+          concat(element_at(toks, i), lit(BgSep),
+            element_at(toks, i + 1)).as("bg"))))
+
+  /** CCNet-shaped corpus-LM quality score: train word-bigram counts on
+    * a reference slice of the corpus (CCNet trains a KenLM on
+    * Wikipedia; here the slice is any boolean predicate over the input,
+    * e.g. `col("lang") === "en"`), then score EVERY document against
+    * that model. Two signals per doc:
+    *
+    *  - `oov_bigram_frac` — fraction of the doc's bigram occurrences
+    *    never seen in the reference slice (the OOV mass a smoothed LM
+    *    would back off on; high = unlike the reference).
+    *  - `lm_score` — aggregate conditional frequency
+    *    Σc(w1,w2) / Σc(w1) over the doc's bigram positions. This is
+    *    the integer-exact stand-in for mean conditional probability:
+    *    a true perplexity is a log-sum, and `log` is not an IEEE-exact
+    *    op (libm implementations differ in the last ulp), so a
+    *    float-summed perplexity would hash-differ across engines and
+    *    partitionings. Ratio-of-exact-sums ranks predictable text high
+    *    and noise low with BIGINT-only aggregation — same portability
+    *    argument as [[meanTokenDf]].
+    *
+    * Shape at scale: one pass explodes bigram occurrences (map-only);
+    * the reference model is two vocab-sized aggregates (map-side
+    * partial combine) joined back on bigram/context key — Heaps-law
+    * vocabulary means the model tables GROW with the corpus, so the
+    * joins stay planner-chosen (broadcast when small, shuffle SMJ when
+    * not; same adjudication as the rarity operator — forcing broadcast
+    * would OOM the driver at 100 TB). Docs with <2 tokens survive the
+    * final left join with n_bigrams = 0 and NULL scores.
+    *
+    * @param refPredicate boolean Column selecting the reference slice
+    *                     (evaluated against `docs`' columns)
+    * @return ONLY (idCol, n_bigrams, oov_bigram_frac, lm_score) —
+    *         join back on idCol to re-attach other columns.
+    */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+      refPredicate: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      refPredicate.as("__is_ref"), T.tokens(col(textCol)).as("__toks"))
+    val bg = toks
+      .select(col("__id"), col("__is_ref"),
+        explode(bigramPairs(col("__toks"))).as("__p"))
+      .select(col("__id"), col("__is_ref"),
+        col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
+    val c12 = bg.where(col("__is_ref"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
+    val c1 = toks.where(col("__is_ref"))
+      .select(explode(col("__toks")).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val perDoc = bg
+      .join(c12, Seq("__bg"), "left")
+      .join(c1, Seq("__w1"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("__c12")).as("__hits"),
+        sum(coalesce(col("__c12"), lit(0L))).as("__c12_sum"),
+        sum(coalesce(col("__c1"), lit(0L))).as("__c1_sum"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(null))
+          .otherwise(round((col("n_bigrams") - col("__hits")).cast("double") /
+            col("n_bigrams").cast("double"), 6))
+          .as("oov_bigram_frac"),
+        when(coalesce(col("__c1_sum"), lit(0L)) === 0, lit(null))
+          .otherwise(round(col("__c12_sum").cast("double") /
+            col("__c1_sum").cast("double"), 6))
+          .as("lm_score"))
   }
 }

@@ -350,6 +350,20 @@ object ExtensionQueries {
         Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet-shaped corpus-LM quality scoring
+    * ([[graft.operators.CorpusStats.bigramLm]]): train word-bigram
+    * counts on the English slice (CCNet's wiki-LM role), score EVERY
+    * document's OOV-bigram fraction and aggregate conditional
+    * frequency against that model. Integer-exact aggregates — the
+    * log-free stand-in for perplexity (see the operator scaladoc for
+    * why a float log-sum cannot be oracle-portable).
+    */
+  private def xQualityLm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bigramLm(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Deterministic source-mixing ([[graft.operators.Sampling.mixCopies]]):
     * upsample src13 2.5×, downsample src8 to 0.3×, drop src7, pass the
     * rest — every copy decision a pure hash function, materialized by
@@ -961,6 +975,7 @@ object ExtensionQueries {
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
     "x_text_rarity" -> (xTextRarity _),
+    "x_quality_lm" -> (xQualityLm _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
@@ -1647,6 +1662,39 @@ object ExtensionQueries {
         |  pd.df_sum,
         |  round(CAST(CAST(pd.df_sum AS VARCHAR) AS DOUBLE) /
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "x_quality_lm" -> (tokCte +
+      """, bge AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)), i ->
+        |      struct_pack(w1 := toks[i],
+        |                  bg := toks[i] || chr(1) || toks[i + 1]))) AS p
+        |  FROM tk),
+        |bgf AS (SELECT doc_id, lang, p.w1 AS w1, p.bg AS bg FROM bge),
+        |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bgf WHERE lang = 'en' GROUP BY bg),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(toks) AS w1 FROM tk WHERE lang = 'en')
+        |  GROUP BY w1),
+        |pd AS (
+        |  SELECT bgf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(c12.c12) AS BIGINT) AS hits,
+        |    CAST(sum(COALESCE(c12.c12, 0)) AS BIGINT) AS c12_sum,
+        |    CAST(sum(COALESCE(c1.c1, 0)) AS BIGINT) AS c1_sum
+        |  FROM bgf LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)
+        |  GROUP BY bgf.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN pd.n_bigrams IS NULL THEN NULL
+        |    ELSE round(CAST(CAST(pd.n_bigrams - pd.hits AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(pd.n_bigrams AS VARCHAR) AS DOUBLE), 6)
+        |  END AS oov_bigram_frac,
+        |  CASE WHEN COALESCE(pd.c1_sum, 0) = 0 THEN NULL
+        |    ELSE round(CAST(CAST(pd.c12_sum AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(pd.c1_sum AS VARCHAR) AS DOUBLE), 6)
+        |  END AS lm_score
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
 

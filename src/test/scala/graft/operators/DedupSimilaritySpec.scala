@@ -612,6 +612,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, None, None)), "empty doc: zero tokens, null score")
   }
 
+  test("bigramLm: ref-like docs score high, OOV text flagged, short/empty " +
+    "docs get null scores") {
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the cat ran"),
+      (3L, "de", "der hund lief"),
+      (4L, "en", "xx"), // one token: no bigrams
+      (5L, "en", "")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.CorpusStats
+      .bigramLm(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // ref bigrams: "the cat"×2, "cat sat", "cat ran"; ref unigrams:
+    // the×2 cat×2 sat ran xx. doc1: c12_sum = 2+1, c1_sum = 2+2.
+    assert(out(0) == ((1L, 2L, Some(0.0), Some(0.75))))
+    assert(out(1) == ((2L, 2L, Some(0.0), Some(0.75))))
+    assert(out(2) == ((3L, 2L, Some(1.0), None)),
+      "fully-OOV doc: oov 1.0, no observed context mass → null lm_score")
+    assert(out(3) == ((4L, 0L, None, None)), "single-token doc: no bigrams")
+    assert(out(4) == ((5L, 0L, None, None)), "empty doc: no bigrams")
+  }
+
   test("contaminationFractions: leaked docs flagged, unrelated clean, empty safe") {
     val benchmark = Seq(
       (900L, "the quick brown fox jumps over the lazy dog near the river bank")
