@@ -116,4 +116,85 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w))
       .where(col("cap_rank") <= n)
   }
+
+  /** Hashed unigram+bigram feature buckets of a token array, with
+    * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
+    * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the
+    * bigram key is the same chr(1)-joined composition as
+    * [[CorpusStats.bigramPairs]].
+    */
+  private[graft] def dsirFeatures(toks: Column, buckets: Int): Column =
+    concat(
+      transform(toks, t => pmod(Md5Prefix60(t), lit(buckets.toLong))),
+      transform(CorpusStats.bigramPairs(toks),
+        p => pmod(Md5Prefix60(p.getField("bg")), lit(buckets.toLong))))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): featurize every
+    * document as hashed n-grams (unigram+bigram, `buckets` buckets),
+    * fit target and raw feature distributions, and weight each doc by
+    * how target-like its feature mass is. Deviation from the paper,
+    * on purpose: DSIR's weight is the LIKELIHOOD RATIO
+    * Π p_tgt(f)/p_raw(f) — a per-feature log-sum, and `log` is not an
+    * IEEE-exact op, so that form can never hash-match across engines
+    * (same adjudication as [[CorpusStats.bigramLm]]). This operator
+    * ships the integer-exact arithmetic-mean form instead:
+    *
+    *   dsir_weight = (Σ_f c_tgt(f) / N_tgt) / (Σ_f c_raw(f) / N_raw)
+    *
+    * — the ratio of the doc's AVERAGE feature probability under the
+    * two models. Every aggregate is a BIGINT sum; the one division
+    * happens at output. weight > 1 ⇔ the doc's features are more
+    * target-typical than corpus-typical. Compose with [[scoreKeep]]
+    * (per-mille = ⌊weight·k⌋) for the resampling step.
+    *
+    * Scale shape — DSIR's whole point survives re-expression: the
+    * model is BOUNDED at `buckets` rows regardless of corpus size (no
+    * Heaps-law growth, unlike the rarity/bigram-LM vocab tables), so
+    * the two count tables stay broadcast-able at 100 TB and the only
+    * corpus-scale costs are the map-only feature explode and one
+    * per-doc re-aggregation. Docs with no tokens survive the final
+    * left join with n_feats = 0 and a NULL weight.
+    *
+    * @return ONLY (idCol, n_feats, tgt_mass, raw_mass, dsir_weight) —
+    *         join back on idCol to re-attach other columns.
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetPredicate: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    val toks = docs.select(col(idCol).as("__id"),
+      targetPredicate.as("__is_tgt"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val feats = toks.select(col("__id"), col("__is_tgt"),
+      explode(dsirFeatures(col("__toks"), buckets)).as("__b"))
+    val tgt = feats.where(col("__is_tgt"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val raw = feats.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val totals = feats.agg(
+      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("__nt"),
+      count(lit(1)).as("__nr"))
+    // a doc's own features are in the raw model, so the raw join is
+    // inner (never drops a row) and raw_mass > 0 whenever n_feats > 0
+    val perDoc = feats
+      .join(tgt, Seq("__b"), "left")
+      .join(raw, Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("__ct"), lit(0L))).as("tgt_mass"),
+        sum(col("__cr")).as("raw_mass"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("tgt_mass"), lit(0L)).as("tgt_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        when(coalesce(col("raw_mass"), lit(0L)) === 0 ||
+            col("__nt") === 0, lit(null))
+          .otherwise(round(
+            (col("tgt_mass").cast("double") * col("__nr").cast("double")) /
+            (col("raw_mass").cast("double") * col("__nt").cast("double")), 6))
+          .as("dsir_weight"))
+  }
 }

@@ -489,6 +489,19 @@ object ExtensionQueries {
       .select(col("doc_id"), col("quality_pm"))
       .orderBy("doc_id")
 
+  /** DSIR importance weights ([[graft.operators.Sampling.dsirWeights]]):
+    * every doc featurized as hashed unigram+bigram buckets (4096),
+    * target model trained on the English slice, weight = the doc's
+    * target-typicality / corpus-typicality ratio (integer-exact mass
+    * sums, one division at output — see the operator scaladoc for the
+    * deliberate likelihood-ratio → mean-ratio deviation).
+    */
+  private def xSampleDsir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.dsirWeights(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      .orderBy("doc_id")
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -974,6 +987,7 @@ object ExtensionQueries {
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
+    "x_sample_dsir" -> (xSampleDsir _),
     "x_text_rarity" -> (xTextRarity _),
     "x_quality_lm" -> (xQualityLm _),
     "x_dedup_spans" -> (xDedupSpans _),
@@ -1709,6 +1723,43 @@ object ExtensionQueries {
          |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
          |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT)))
          |ORDER BY doc_id""".stripMargin),
+
+    "x_sample_dsir" -> (tokCte +
+      """, uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM tk),
+        |bgr AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || chr(1) || toks[i + 1])) AS f
+        |  FROM tk),
+        |feats AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt,
+        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bgr)),
+        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |  FROM feats WHERE is_tgt GROUP BY b),
+        |rw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY b),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(count(*) AS BIGINT) AS nr FROM feats),
+        |pd AS (
+        |  SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(COALESCE(tgt.ct, 0)) AS BIGINT) AS tgt_mass,
+        |    CAST(sum(rw.cr) AS BIGINT) AS raw_mass
+        |  FROM feats LEFT JOIN tgt USING (b) JOIN rw USING (b)
+        |  GROUP BY feats.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(COALESCE(pd.tgt_mass, 0) AS BIGINT) AS tgt_mass,
+        |  CAST(COALESCE(pd.raw_mass, 0) AS BIGINT) AS raw_mass,
+        |  CASE WHEN COALESCE(pd.raw_mass, 0) = 0 OR tot.nt = 0 THEN NULL
+        |    ELSE round(
+        |      (CAST(CAST(pd.tgt_mass AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(tot.nr AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(pd.raw_mass AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(tot.nt AS VARCHAR) AS DOUBLE)), 6)
+        |  END AS dsir_weight
+        |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot
+        |ORDER BY d.doc_id""".stripMargin),
 
     "x_multimodal_phash" ->
       """WITH h0 AS (

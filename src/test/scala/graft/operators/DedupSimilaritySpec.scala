@@ -566,6 +566,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights: exact masses on a hand corpus, empty docs NULL, " +
+    "no-target corpus all-NULL, replay-stable") {
+    val docs = Seq(
+      (1L, "a b", true),  // target slice
+      (2L, "a b", false), // same text, raw-only: identical weight row
+      (3L, "x y", false), // fully off-target
+      (4L, "", false)     // no tokens -> no features
+    ).toDF("id", "text", "is_en")
+    val out = Sampling.dsirWeights(docs, "id", "text", $"is_en", buckets = 4096)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // per "a b" doc: features {a, b, a+SEP+b} = 3; nt = 3, nr = 9.
+    // doc1/doc2: tgt_mass = 3 (each feature once in target), raw_mass = 6
+    //   -> weight = (3*9)/(6*3) = 1.5; doc3: tgt_mass 0 -> weight 0.
+    assert(out == Seq(
+      (1L, 3L, 3L, 6L, Some(1.5)),
+      (2L, 3L, 3L, 6L, Some(1.5)),
+      (3L, 3L, 0L, 3L, Some(0.0)),
+      (4L, 0L, 0L, 0L, None)))
+    // target slice empty -> nt = 0 -> every weight NULL (never div-by-0)
+    val noTgt = Sampling.dsirWeights(docs, "id", "text", lit(false), 4096)
+      .select("dsir_weight").as[Option[Double]].collect()
+    assert(noTgt.forall(_.isEmpty))
+    // bucket collisions (buckets=1: every feature in one bucket) stay
+    // well-defined: each doc's weight is nr*nt_mass/(raw_mass*nt) with
+    // all mass in bucket 0 -> tgt_mass = 3*n_feats, raw_mass = 9*n_feats
+    val coll = Sampling.dsirWeights(docs, "id", "text", $"is_en", 1)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(coll == Seq(
+      (1L, 3L, 9L, 27L, Some(1.0)),
+      (2L, 3L, 9L, 27L, Some(1.0)),
+      (3L, 3L, 9L, 27L, Some(1.0)),
+      (4L, 0L, 0L, 0L, None)))
+    // replay-identical regardless of input order
+    val rev = Sampling.dsirWeights(docs.orderBy(desc("id")), "id", "text",
+        $"is_en", buckets = 4096)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(rev == out)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirWeights(docs, "id", "text", $"is_en", 0)
+    }
+  }
+
   test("sharedSpanPairs: verbatim passages pair, boilerplate df-cap " +
     "suppresses, counts are distinct spans") {
     val passage = "one two three four five six seven eight nine ten"
