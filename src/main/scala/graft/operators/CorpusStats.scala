@@ -144,4 +144,56 @@ object CorpusStats {
             col("__c1_sum").cast("double"), 6))
           .as("lm_score"))
   }
+
+  /** RefinedWeb/CCNet-style corpus-level line deduplication: drop every
+    * line whose trimmed form appears in more than `maxDocFreq` DISTINCT
+    * documents (nav menus, cookie banners, copyright footers — the
+    * boilerplate that survives per-doc rules because each document
+    * contains it only once), and reassemble each document's surviving
+    * lines in their original order. Blank lines are exempt — they carry
+    * structure, not boilerplate, and counting them would make one
+    * corpus-wide key of the empty string.
+    *
+    * This is the corpus-statistics-driven sibling of the per-doc line
+    * rules in [[graft.functions.TextFunctions.c4Clean]]: C4 judges a
+    * line by its own content; this judges it by how many OTHER
+    * documents repeat it.
+    *
+    * Shape at scale: one map-only posexplode into (doc, ix, line), one
+    * distinct-doc count per line key (partial-aggregated two-phase
+    * count-distinct), one join back on the line key (Heaps-law line
+    * vocabulary — planner-chosen broadcast vs SMJ, same adjudication as
+    * [[meanTokenDf]]), one re-aggregation by doc. Reassembly sorts each
+    * doc's surviving (ix, line) structs INSIDE the row (`array_sort`
+    * after `collect_list`), so the output is deterministic under any
+    * partitioning or shuffle order.
+    *
+    * @return ONLY (idCol, n_lines, n_kept, clean_text) — a doc whose
+    *         every line is boilerplate survives with n_kept = 0 and
+    *         clean_text = "".
+    */
+  def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
+      .withColumn("__k", trim(col("__line")))
+    val lineDf = lines.where(col("__k") =!= "")
+      .groupBy(col("__k"))
+      .agg(countDistinct(col("__id")).as("__df"))
+    val kept = lines
+      .join(lineDf, Seq("__k"), "left")
+      .where(col("__k") === "" || col("__df") <= maxDocFreq)
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ix"), col("__line")))),
+          s => s.getField("__line")), "\n").as("clean_text"))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

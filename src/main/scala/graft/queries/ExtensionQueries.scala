@@ -190,6 +190,34 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level line deduplication
+    * ([[graft.operators.CorpusStats.dropDuplicateLines]], the
+    * RefinedWeb/CCNet boilerplate-removal stage) over the same
+    * deterministic 8-token lined rendition as [[xTextC4]], with planted
+    * corpus-wide boilerplate: a newsletter header on doc_id % 3 docs
+    * and a rights footer on doc_id % 5 docs — both far above the df
+    * cap, so line dedup must strip them while keeping each doc's
+    * natural lines (which can themselves exceed the cap when a short
+    * trailing chunk repeats across docs — also exercised). Emits line
+    * counts and the cleaned text's md5.
+    */
+  private def xTextLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+      c => array_join(c.getField("toks"), " "))
+    val t2 = concat(
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter\n")).otherwise(lit("")),
+      array_join(lines0, "\n"),
+      when(col("doc_id") % 5 === 0,
+        lit("\nall rights reserved")).otherwise(lit("")))
+    graft.operators.CorpusStats.dropDuplicateLines(
+        Tables.documents(s, dir).withColumn("__t2", t2),
+        "doc_id", "__t2", maxDocFreq = 10)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -955,6 +983,7 @@ object ExtensionQueries {
     "x_text_repetition" -> (xTextRepetition _),
     "x_text_gopher" -> (xTextGopher _),
     "x_text_c4" -> (xTextC4 _),
+    "x_text_line_dedup" -> (xTextLineDedup _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -1246,6 +1275,43 @@ object ExtensionQueries {
         |       OR len(kept) < 3) AS doc_kept,
         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin),
+
+    "x_text_line_dedup" -> (tokCte +
+      """, ln0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(toks), 8),
+        |      g -> array_to_string(list_slice(toks, g + 1, g + 8), ' ')) AS lines
+        |  FROM tk),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+        |    || array_to_string(lines, chr(10))
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN chr(10) || 'all rights reserved' ELSE '' END AS t2
+        |  FROM ln0),
+        |ls AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS arr FROM p1),
+        |lx AS (
+        |  SELECT doc_id, ix, arr[CAST(ix AS INT)] AS line,
+        |    trim(arr[CAST(ix AS INT)]) AS kk
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ix
+        |        FROM ls)),
+        |dfc AS (SELECT kk, count(DISTINCT doc_id) AS df
+        |  FROM lx WHERE kk <> '' GROUP BY kk),
+        |kept AS (
+        |  SELECT lx.doc_id, lx.ix, lx.line
+        |  FROM lx LEFT JOIN dfc USING (kk)
+        |  WHERE lx.kk = '' OR dfc.df <= 10),
+        |rb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(line ORDER BY ix), chr(10)) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT ls.doc_id,
+        |  CAST(len(ls.arr) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(rb.clean_text, '')) AS clean_md5
+        |FROM ls LEFT JOIN rb USING (doc_id)
+        |ORDER BY ls.doc_id""".stripMargin),
 
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,

@@ -681,6 +681,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, None, None)), "empty doc: no bigrams")
   }
 
+  test("dropDuplicateLines: corpus-frequent lines stripped, order and original " +
+    "whitespace kept, blanks exempt, all-boilerplate doc empties") {
+    val docs = Seq(
+      (1L, "unique alpha\nBOILER\nunique beta"),
+      (2L, "BOILER\n\nunique gamma"), // blank line survives
+      (3L, "  BOILER  \nunique delta"), // trimmed key matches, df counts it
+      (4L, "BOILER"), // every line boilerplate
+      (5L, "solo line")
+    ).toDF("id", "text")
+    val out = graft.operators.CorpusStats
+      .dropDuplicateLines(docs, "id", "text", maxDocFreq = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    // BOILER's trimmed form is in 4 distinct docs > 2 -> dropped everywhere
+    assert(out == Seq(
+      (1L, 3L, 2L, "unique alpha\nunique beta"),
+      (2L, 3L, 2L, "\nunique gamma"),
+      (3L, 2L, 1L, "unique delta"),
+      (4L, 1L, 0L, ""),
+      (5L, 1L, 1L, "solo line")))
+    // df == maxDocFreq kept (<=); the padded original, not the key, survives
+    val all = graft.operators.CorpusStats
+      .dropDuplicateLines(docs, "id", "text", maxDocFreq = 4)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(all.map(r => (r._1, r._4)) == Seq(
+      (1L, "unique alpha\nBOILER\nunique beta"),
+      (2L, "BOILER\n\nunique gamma"),
+      (3L, "  BOILER  \nunique delta"),
+      (4L, "BOILER"),
+      (5L, "solo line")))
+    // replay-identical regardless of input order
+    val rev = graft.operators.CorpusStats
+      .dropDuplicateLines(docs.orderBy(desc("id")), "id", "text", 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(rev == out)
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats.dropDuplicateLines(docs, "id", "text", 0)
+    }
+  }
+
   test("contaminationFractions: leaked docs flagged, unrelated clean, empty safe") {
     val benchmark = Seq(
       (900L, "the quick brown fox jumps over the lazy dog near the river bank")
