@@ -117,6 +117,78 @@ object Sampling {
       .where(col("cap_rank") <= n)
   }
 
+  /** Quality-ordered selection under a global token budget: rank every
+    * document by (quality DESC, portable hash, id) and keep exactly the
+    * maximal prefix whose running token sum stays ≤ `budget` — "give me
+    * the best B tokens of this corpus", the cut behind quality-
+    * thresholded training sets. Selection is the set
+    * `{doc : cum(doc) ≤ budget}` over that total order; the running sum
+    * is monotone (token counts are ≥ 0), so the kept set IS a prefix
+    * and the rule is engine-portable (one window sum in the oracle).
+    *
+    * Scale design — the global running sum is never computed as one
+    * corpus-wide sorted window. It decomposes exactly along the order's
+    * three levels, each bounded:
+    *
+    *   cum(doc) = C_before(q) + B_before(q, h) + rowsum(q, h, ≤ id)
+    *
+    *  - `C_before`: token sums per quality stratum, cumulated DESC — a
+    *    table bounded by the quality domain (per-mille ⇒ ≤ 1001 rows;
+    *    the one unpartitioned window runs over it, not the corpus) and
+    *    broadcast back.
+    *  - `B_before`: per-(stratum, hash-bucket) sums, cumulated within
+    *    each stratum — ≤ strata×`buckets` rows, window PARTITIONED by
+    *    stratum, planner-chosen join back.
+    *  - `rowsum`: a window PARTITIONED by (stratum, bucket) — each
+    *    group is ~stratum/`buckets`, so no executor ever sorts more
+    *    than that. At 100 TB with per-mille quality and 1024 buckets a
+    *    group is ~corpus/10⁶.
+    *
+    * Docs with 0 tokens ride along for free wherever they fall in the
+    * order (they never move `cum`). Ties are impossible: `idCol` is
+    * last in the order and unique by contract.
+    *
+    * @param quality integer-valued Column (coarse strata, e.g. a
+    *                per-mille score — the stratum table must stay
+    *                bounded); higher = kept first
+    * @param tokensCol non-negative token count Column
+    * @return (idCol, quality, n_tokens, cum_tokens) for SELECTED docs
+    *         only — cum_tokens is the doc's global running sum, so
+    *         max(cum_tokens) ≤ budget reads directly off the output.
+    */
+  def tokenBudgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      quality: Column, tokensCol: Column, budget: Long,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    require(buckets >= 1, s"buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol).as("__id"),
+      quality.cast("long").as("__q"), tokensCol.cast("long").as("__nt"),
+      pmod(Md5Prefix60(col(idCol).cast("string")),
+        lit(buckets.toLong)).as("__h"))
+    // stratum sums, cumulated over strictly-better strata (bounded rows)
+    val wq = Window.orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val strata = d.groupBy(col("__q")).agg(sum(col("__nt")).as("__s"))
+      .select(col("__q"), coalesce(sum(col("__s")).over(wq), lit(0L)).as("__cq"))
+    // bucket sums within each stratum, cumulated over earlier buckets
+    val wb = Window.partitionBy(col("__q")).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bkts = d.groupBy(col("__q"), col("__h")).agg(sum(col("__nt")).as("__bs"))
+      .select(col("__q"), col("__h"),
+        coalesce(sum(col("__bs")).over(wb), lit(0L)).as("__cb"))
+    // distributed row-level running sum inside each (stratum, bucket)
+    val wr = Window.partitionBy(col("__q"), col("__h")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(strata), Seq("__q"))
+      .join(bkts, Seq("__q", "__h"))
+      .withColumn("__cum",
+        col("__cq") + col("__cb") + sum(col("__nt")).over(wr))
+      .where(col("__cum") <= budget)
+      .select(col("__id").as(idCol), col("__q").as("quality"),
+        col("__nt").as("n_tokens"), col("__cum").as("cum_tokens"))
+  }
+
   /** Hashed unigram+bigram feature buckets of a token array, with
     * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
     * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the

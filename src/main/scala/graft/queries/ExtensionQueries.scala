@@ -517,6 +517,28 @@ object ExtensionQueries {
       .select(col("doc_id"), col("quality_pm"))
       .orderBy("doc_id")
 
+  /** Token-budget selection
+    * ([[graft.operators.Sampling.tokenBudgetSelect]]): keep the
+    * best-quality documents (stopword per-mille, the same signal as
+    * [[xSampleQuality]]) until a 10k-token global budget is spent —
+    * the maximal prefix of the (quality DESC, hash, id) order whose
+    * running token sum stays inside the budget. 64 hash buckets so the
+    * three-level cum decomposition is exercised even at sf0.001.
+    */
+  private def xSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("__st",
+        graft.expressions.TokenStats.stats(col("text"), T.EnWords))
+      .withColumn("__q",
+        when(col("__st.n_tokens") === 0, lit(0L)).otherwise(
+          floor(col("__st.n_dict").cast("double") * 1000.0 /
+            col("__st.n_tokens").cast("double")).cast("long")))
+    graft.operators.Sampling.tokenBudgetSelect(base, "doc_id",
+        col("__q"), col("__st.n_tokens").cast("long"),
+        budget = 10000L, buckets = 64)
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights ([[graft.operators.Sampling.dsirWeights]]):
     * every doc featurized as hashed unigram+bigram buckets (4096),
     * target model trained on the English slice, weight = the doc's
@@ -1017,6 +1039,7 @@ object ExtensionQueries {
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
     "x_sample_dsir" -> (xSampleDsir _),
+    "x_select_budget" -> (xSelectBudget _),
     "x_text_rarity" -> (xTextRarity _),
     "x_quality_lm" -> (xQualityLm _),
     "x_dedup_spans" -> (xDedupSpans _),
@@ -1789,6 +1812,23 @@ object ExtensionQueries {
          |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
          |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT)))
          |ORDER BY doc_id""".stripMargin),
+
+    "x_select_budget" -> (tokCte +
+      s""", pd AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
+         |        * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT) AS q,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS h
+         |  FROM tk),
+         |c AS (
+         |  SELECT doc_id, q, nt,
+         |    CAST(sum(nt) OVER (ORDER BY q DESC, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM pd)
+         |SELECT doc_id, q AS quality, nt AS n_tokens, cum AS cum_tokens
+         |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin),
 
     "x_sample_dsir" -> (tokCte +
       """, uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM tk),

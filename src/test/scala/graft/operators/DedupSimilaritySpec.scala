@@ -611,6 +611,47 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect: exact prefix on a hand corpus, overflow stops the " +
+    "tail, zero-token docs ride free, strata fill best-first") {
+    // buckets = 1 collapses the order to (q DESC, id ASC): hand-checkable
+    val docs = Seq(
+      (0L, 950L, 0L), // zero tokens, best stratum: cum 0
+      (1L, 900L, 5L), // cum 5
+      (2L, 900L, 0L), // cum 5 (rides free)
+      (3L, 800L, 10L), // cum 15
+      (4L, 800L, 100L), // cum 115: overflows budget 20
+      (5L, 700L, 1L) // cum 116: monotone -> stays excluded
+    ).toDF("id", "q", "nt")
+    def run(budget: Long) =
+      Sampling.tokenBudgetSelect(docs, "id", $"q", $"nt", budget, buckets = 1)
+        .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run(20L) == Seq(
+      (0L, 950L, 0L, 0L), (1L, 900L, 5L, 5L), (2L, 900L, 0L, 5L),
+      (3L, 800L, 10L, 15L)))
+    assert(run(0L) == Seq((0L, 950L, 0L, 0L)),
+      "zero budget still admits leading zero-token docs")
+    assert(run(1000L).size == 6 && run(1000L).last._4 == 116L,
+      "budget past the total selects everything, cum = corpus tokens")
+    // multi-bucket path: 150 docs q=2 + 150 docs q=1, one token each,
+    // budget 100 -> exactly 100 docs, all from the better stratum
+    val uni = ((1L to 150L).map(i => (i, 2L, 1L)) ++
+      (151L to 300L).map(i => (i, 1L, 1L))).toDF("id", "q", "nt")
+    val sel = Sampling.tokenBudgetSelect(uni, "id", $"q", $"nt", 100L, 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sel.size == 100 && sel.forall(_._2 == 2L) && sel.map(_._4).max == 100L)
+    // replay-identical regardless of input order
+    val rev = Sampling.tokenBudgetSelect(uni.orderBy(desc("id")), "id",
+        $"q", $"nt", 100L, 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rev.sortBy(_._1) == sel.sortBy(_._1))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(docs, "id", $"q", $"nt", -1L, 64)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(docs, "id", $"q", $"nt", 10L, 0)
+    }
+  }
+
   test("sharedSpanPairs: verbatim passages pair, boilerplate df-cap " +
     "suppresses, counts are distinct spans") {
     val passage = "one two three four five six seven eight nine ten"
