@@ -148,6 +148,11 @@ object Sampling {
     * order (they never move `cum`). Ties are impossible: `idCol` is
     * last in the order and unique by contract.
     *
+    * Cost note: the (id, quality, tokens) projection is scanned three
+    * times (rows, stratum sums, bucket sums) — stateless recompute by
+    * design. If the quality signal is expensive, pre-materialize that
+    * projection and pass the materialized frame in.
+    *
     * @param quality integer-valued Column (coarse strata, e.g. a
     *                per-mille score — the stratum table must stay
     *                bounded); higher = kept first
@@ -226,7 +231,10 @@ object Sampling {
     * the two count tables stay broadcast-able at 100 TB and the only
     * corpus-scale costs are the map-only feature explode and one
     * per-doc re-aggregation. Docs with no tokens survive the final
-    * left join with n_feats = 0 and a NULL weight.
+    * left join with n_feats = 0 and a NULL weight. Cost note: the
+    * feature explode is recomputed four times (per-doc rows, target
+    * model, raw model, totals) — stateless by design; pre-materialize
+    * the exploded features if the tokenizer is the bill.
     *
     * @return ONLY (idCol, n_feats, tgt_mass, raw_mass, dsir_weight) —
     *         join back on idCol to re-attach other columns.

@@ -384,4 +384,47 @@ class PlanAuditSpec extends SparkSpec {
       s"a4 lost its explicit PK repartition:\n$p")
     assert(!p.contains("Expand"), s"unexpected Expand in a4:\n$p")
   }
+
+  test("token-budget select: row window is PARTITIONED by (stratum, bucket); " +
+    "the only single-partition exchange is the bounded strata table") {
+    val p = plan("x_select_budget")
+    // the per-doc running sum must be a distributed window — partition
+    // spec (__q, __h), order __id — never a corpus-wide sorted window
+    assert(p.replaceAll("#\\d+", "")
+        .contains("], [__qL, __hL], [__idL ASC NULLS FIRST]"),
+      s"row window lost its (stratum, bucket) partition spec:\n$p")
+    // exactly one SinglePartition exchange: the <=1001-row stratum-cum
+    // table (post-aggregation), not raw rows
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly one bounded single-partition exchange:\n$p")
+    assert(p.contains("partial_sum"),
+      "stratum/bucket sums must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cum tables must join back on keys:\n$p")
+  }
+
+  test("line dedup: two-phase count-distinct and partial collect_list — " +
+    "no single-partition stage anywhere") {
+    val p = plan("x_text_line_dedup")
+    assert(p.contains("partial_count(distinct"),
+      s"line-df count-distinct lost its partial phase:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"doc reassembly lost its partial phase:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in line dedup may serialize to one partition:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("DSIR: model joins are equi-joins; the only nested-loop is the " +
+    "1-row totals broadcast") {
+    val p = plan("x_sample_dsir")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the bounded 1-row totals may nested-loop:\n$p")
+    assert(p.contains("IdentityBroadcastMode"),
+      "totals must broadcast as the single-row build side")
+    assert(p.contains("partial_count"),
+      "feature-count models must partial-aggregate map-side")
+  }
 }
