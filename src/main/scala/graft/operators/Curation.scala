@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -9,9 +9,14 @@ import graft.functions.{TextFunctions => T}
   * 100 TB data run strings together, composed from this library's
   * operators with the provenance every stage needs downstream:
   *
-  *   C4 clean → exact dedup → MinHash-LSH near-dedup with
-  *   quality-aware survivors → deterministic source mixing →
-  *   sequence packing
+  *   C4 clean → [corpus line dedup] → exact dedup → MinHash-LSH
+  *   near-dedup with quality-aware survivors → [token-budget cut] →
+  *   deterministic source mixing → sequence packing
+  *
+  * (bracketed stages optional — RefinedWeb's order: per-doc rules
+  * first, then the cross-doc boilerplate those rules can't see, then
+  * content dedup; the budget cut runs on the deduped corpus so copies
+  * and duplicates never eat budget)
   *
   * Each stage is the already-oracle-checked operator — this object
   * adds only the composition, so the scale shape is the SUM of the
@@ -30,6 +35,15 @@ object Curation {
     *   2.3×, 400 = keep 40%); unlisted sources keep 1000
     * @param budget tokens per packed context window
     * @param nShards independent packing streams
+    * @param lineDedupMaxDf when set, strip lines appearing in more
+    *   than this many DISTINCT docs ([[CorpusStats.dropDuplicateLines]])
+    *   after the C4 pass; docs left with no lines drop out
+    * @param tokenBudget when set, keep only the best-first prefix of
+    *   the deduped corpus whose token sum fits
+    *   ([[Sampling.tokenBudgetSelect]])
+    * @param quality integer stratum column for the budget cut
+    *   (evaluated against the deduped frame; default: single stratum,
+    *   i.e. a fair hash-ordered cut)
     * @return one row per packed document INSTANCE:
     *   (instance_id, idCol, copy, sourceCol, clean_text, shard,
     *   n_tokens, token_offset, bin_first, bin_last, straddles)
@@ -37,7 +51,10 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, mixPerMille: Map[String, Int],
       budget: Int, nShards: Int,
-      shingleN: Int = 5, jaccardThreshold: Double = 0.7): DataFrame = {
+      shingleN: Int = 5, jaccardThreshold: Double = 0.7,
+      lineDedupMaxDf: Option[Int] = None,
+      tokenBudget: Option[Long] = None,
+      quality: Column = lit(0L)): DataFrame = {
     require(mixPerMille.values.forall(_ < 100000),
       "mix weights above 100x break the instance-id encoding")
 
@@ -48,10 +65,21 @@ object Curation {
       .select(col(idCol), col(sourceCol),
         col("__c.clean_text").as("clean_text"))
 
+    // 1b. optional corpus-level line dedup: the cross-doc boilerplate
+    // per-doc rules can't see; the rebuilt text replaces clean_text and
+    // docs stripped to nothing drop out
+    val lined = lineDedupMaxDf.fold(cleaned) { k =>
+      cleaned.select(col(idCol), col(sourceCol)).join(
+        CorpusStats.dropDuplicateLines(cleaned, idCol, "clean_text", k)
+          .where(col("n_kept") > 0)
+          .select(col(idCol), col("clean_text")),
+        Seq(idCol))
+    }
+
     // 2. exact dedup on the CLEANED text (cleaning canonicalizes
     // whitespace-level variants into byte-equal survivors)
-    val exact = cleaned.join(
-      Dedup.exactGroups(cleaned, idCol, "clean_text")
+    val exact = lined.join(
+      Dedup.exactGroups(lined, idCol, "clean_text")
         .select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
@@ -64,9 +92,19 @@ object Curation {
       .where(!col("kept")).select(col(idCol))
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 
+    // 3b. optional token-budget cut on the deduped corpus — best-first
+    // prefix, so copies and duplicates never ate budget
+    val budgeted = tokenBudget.fold(deduped) { b =>
+      deduped.join(
+        Sampling.tokenBudgetSelect(deduped, idCol, quality,
+            T.tokenCount(col("clean_text")), b)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+
     // 4. deterministic source mixing: repeat counts, then materialize
     // copies under a collision-free instance id (id · 100 + copy)
-    val mixed = deduped
+    val mixed = budgeted
       .withColumn("__copies",
         Sampling.mixCopies(col(sourceCol), col(idCol), mixPerMille))
       .where(col("__copies") > 0)

@@ -84,4 +84,35 @@ class CurationSpec extends SparkSpec {
     val ids = out.select($"doc_id").as[Long].collect().distinct.sorted
     assert(ids.toSeq == Seq(1L, 3L))
   }
+
+  test("curate: optional line-dedup strips cross-doc boilerplate, optional " +
+    "token budget cuts the deduped corpus") {
+    // boilerplate passes every C4 LINE rule (6 words, terminal '.') —
+    // only corpus-level line df can catch it
+    val boiler = "please subscribe to our newsletter now."
+    val docs = Seq(
+      (1L, "A", mk("red") + "\n" + boiler),
+      (2L, "A", mk("blue") + "\n" + boiler),
+      (3L, "A", mk("green") + "\n" + boiler),
+      (4L, "A", mk("plain")),
+      (5L, "A", Seq(boiler, boiler, boiler).mkString("\n")) // all boilerplate
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(docs, "doc_id", "text", "source",
+      mixPerMille = Map.empty, budget = 16, nShards = 1,
+      lineDedupMaxDf = Some(2))
+    val byId = out.select($"doc_id", $"clean_text", $"n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // doc 5 stripped to nothing and dropped; 1-4 survive without the line
+    assert(byId.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(byId.forall(!_._2.contains("subscribe")))
+    assert(byId.forall(_._3 == 18L), s"back to mk()'s 18 tokens: ${byId.toSeq}")
+    // budget 40 over four 18-token survivors admits exactly two (cum 36)
+    val cut = Curation.curate(docs, "doc_id", "text", "source",
+      mixPerMille = Map.empty, budget = 16, nShards = 1,
+      lineDedupMaxDf = Some(2), tokenBudget = Some(40L))
+    val cutIds = cut.select($"doc_id").as[Long].collect().distinct
+    assert(cutIds.length == 2, s"got ${cutIds.toSeq}")
+    // without the budget all four pack
+    assert(out.select($"doc_id").as[Long].collect().distinct.length == 4)
+  }
 }
