@@ -194,6 +194,47 @@ object Sampling {
         col("__nt").as("n_tokens"), col("__cum").as("cum_tokens"))
   }
 
+  /** Temperature-based source-mixing table (the mT5/UniMax shape:
+    * sample source i with probability ∝ n_i^α, α = 0.5, so rare
+    * sources are upsampled and dominant ones flattened). Deviation
+    * from the float formula, on purpose: weights are
+    * `s_i = floor(sqrt(n_i))` — `sqrt` is IEEE-exact-rounded and
+    * `floor` quantizes it to a BIGINT, so every downstream aggregate
+    * is an integer sum (order-independent, engine-portable), where
+    * `pow(n, 0.43)`-style libm calls could hash-differ in the last
+    * ulp. All shares are integer-division per-milles:
+    *
+    *   natural_pm = (1000·n_i) div N      (the corpus as it is)
+    *   target_pm  = (1000·s_i) div S      (the corpus as α wants it)
+    *   copies_pm  = (1000·s_i·N) div (S·n_i)   (feed to [[mixCopies]])
+    *
+    * copies_pm > 1000 upsamples a rare source, < 1000 downsamples a
+    * dominant one. Overflow bound: 1000·s_i·N needs s_i·N < 2⁶³/1000,
+    * i.e. N ≲ 4.4·10¹⁰ docs (a 100 TB corpus at 5 KB/doc is ~2·10¹⁰ —
+    * inside). Shape at scale: one count per source (map-side partial),
+    * a source-bounded table cross-joined with its own 1-row totals —
+    * corpus-scale cost is the single count aggregation.
+    *
+    * @return one row per source:
+    *         (source, n_docs, sqrt_weight, natural_pm, target_pm,
+    *         copies_pm)
+    */
+  def temperatureMixTable(docs: org.apache.spark.sql.DataFrame,
+      source: Column): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_weight",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("__n"),
+      sum(col("sqrt_weight")).as("__s"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sqrt_weight"),
+        expr("(1000 * n_docs) DIV __n").as("natural_pm"),
+        expr("(1000 * sqrt_weight) DIV __s").as("target_pm"),
+        expr("(1000 * sqrt_weight * __n) DIV (__s * n_docs)")
+          .as("copies_pm"))
+  }
+
   /** Hashed unigram+bigram feature buckets of a token array, with
     * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
     * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the

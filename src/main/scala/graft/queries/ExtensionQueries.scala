@@ -517,6 +517,17 @@ object ExtensionQueries {
       .select(col("doc_id"), col("quality_pm"))
       .orderBy("doc_id")
 
+  /** Temperature-based mixing table
+    * ([[graft.operators.Sampling.temperatureMixTable]]): α = 0.5
+    * per-source sampling shares, integer-exact via floor(sqrt(n))
+    * weights and DIV per-milles — rare sources get copies_pm > 1000,
+    * dominant ones < 1000.
+    */
+  private def xMixTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixTable(
+        Tables.documents(s, dir), col("source"))
+      .orderBy("source")
+
   /** Token-budget selection
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): keep the
     * best-quality documents (stopword per-mille, the same signal as
@@ -1034,6 +1045,7 @@ object ExtensionQueries {
     "x_cap_per_source" -> (xCapPerSource _),
     "x_mix_weights" -> (xMixWeights _),
     "x_mix_report" -> (xMixReport _),
+    "x_mix_temperature" -> (xMixTemperature _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
@@ -1812,6 +1824,19 @@ object ExtensionQueries {
          |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
          |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT)))
          |ORDER BY doc_id""".stripMargin),
+
+    "x_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(CAST(count(*) AS VARCHAR) AS DOUBLE))) AS BIGINT) AS sqrt_weight
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |             CAST(sum(sqrt_weight) AS BIGINT) AS s FROM c)
+        |SELECT source, n_docs, sqrt_weight,
+        |  (1000 * n_docs) // t.n AS natural_pm,
+        |  (1000 * sqrt_weight) // t.s AS target_pm,
+        |  (1000 * sqrt_weight * t.n) // (t.s * n_docs) AS copies_pm
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
 
     "x_select_budget" -> (tokCte +
       s""", pd AS (

@@ -611,6 +611,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixTable: exact sqrt-flattened shares on a hand corpus, " +
+    "rare upsampled, dominant downsampled, composes with mixCopies") {
+    val docs = ((1L to 100L).map(i => (i, "A")) ++
+      (101L to 500L).map(i => (i, "B")) ++
+      Seq((501L, "C"))).toDF("id", "src")
+    val out = Sampling.temperatureMixTable(docs, $"src")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // n: A 100, B 400, C 1 -> s: 10, 20, 1; N = 501, S = 31
+    assert(out == Seq(
+      ("A", 100L, 10L, 199L, 322L, 1616L),
+      ("B", 400L, 20L, 798L, 645L, 808L),
+      ("C", 1L, 1L, 1L, 32L, 16161L)))
+    // flattening: dominant source's share shrinks, rare one's grows
+    assert(out.find(_._1 == "B").get._5 < out.find(_._1 == "B").get._4)
+    assert(out.find(_._1 == "C").get._5 > out.find(_._1 == "C").get._4)
+    // composes with mixCopies: the realized corpus tracks target shares
+    val rates = out.map(r => r._1 -> r._6.toInt).toMap
+    val realized = docs
+      .withColumn("c", Sampling.mixCopies($"src", $"id", rates))
+      .groupBy("src").agg(sum("c").as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(realized("A") > 150 && realized("A") < 180, s"~161: $realized")
+    assert(realized("B") > 300 && realized("B") < 350, s"~323: $realized")
+    assert(realized("C") == 16L || realized("C") == 17L,
+      s"16 + hash-proportioned 0.161 fraction: $realized")
+  }
+
   test("tokenBudgetSelect: exact prefix on a hand corpus, overflow stops the " +
     "tail, zero-token docs ride free, strata fill best-first") {
     // buckets = 1 collapses the order to (q DESC, id ASC): hand-checkable
