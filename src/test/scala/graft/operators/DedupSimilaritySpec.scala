@@ -611,6 +611,105 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect: matches the brute-force global prefix on seeded " +
+    "random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 300L).map(i =>
+        (i, rnd.nextInt(5).toLong, rnd.nextInt(30).toLong))
+      val df = docs.toDF("id", "q", "nt")
+      val buckets = 16
+      val budget = docs.map(_._3).sum / 3
+      // reference: same (q DESC, hash, id) order, running sum in Scala
+      val h = df.select($"id",
+          Sampling.hashBucket($"id".cast("string"), buckets).as("h"))
+        .as[(Long, Long)].collect().toMap
+      val ordered = docs.sortBy { case (id, q, _) => (-q, h(id), id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val expect = ordered.zip(cums).filter(_._2 <= budget)
+        .map { case ((id, q, nt), c) => (id, q, nt, c) }.sortBy(_._1)
+      val got = Sampling.tokenBudgetSelect(df, "id", $"q", $"nt", budget, buckets)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial: budget=$budget")
+    }
+  }
+
+  test("dropDuplicateLines: matches a brute-force reference on seeded " +
+    "random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => s"line $i content")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 120L).map { i =>
+        val k = 1 + rnd.nextInt(6)
+        (i, (1 to k).map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }
+      val maxDf = 8
+      val lineDf = docs
+        .flatMap { case (id, t) =>
+          t.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id)
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      val expect = docs.map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l =>
+          l.trim.isEmpty || lineDf.getOrElse(l.trim, 0) <= maxDf)
+        (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+      }.sortBy(_._1)
+      val got = graft.operators.CorpusStats
+        .dropDuplicateLines(docs.toDF("id", "text"), "id", "text", maxDf)
+        .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("dsirWeights: matches a brute-force reference on seeded random corpora") {
+    import graft.expressions.Md5Prefix60
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val buckets = 64
+    def bruteFeats(text: String): Seq[Long] = {
+      val toks = text.trim match {
+        case "" => Nil
+        case t => t.split("\\s+").toSeq
+      }
+      val uni = toks.map(t => Md5Prefix60.compute(t.getBytes("UTF-8")) % buckets)
+      val bg =
+        if (toks.size < 2) Nil
+        else toks.sliding(2).map(p =>
+          Md5Prefix60.compute((p(0) + "\u0001" + p(1)).getBytes("UTF-8"))
+            % buckets).toSeq
+      uni ++ bg
+    }
+    for (trial <- 1 to 3) {
+      val docs = (1L to 100L).map { i =>
+        val k = rnd.nextInt(10) // 0 tokens possible
+        (i, (1 to k).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          rnd.nextBoolean())
+      }
+      val fs = docs.map { case (id, t, tgt) => (id, bruteFeats(t), tgt) }
+      val tgtCt = fs.filter(_._3).flatMap(_._2)
+        .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val rawCt = fs.flatMap(_._2)
+        .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val nt = fs.filter(_._3).map(_._2.size.toLong).sum
+      val nr = fs.map(_._2.size.toLong).sum
+      val expect = fs.map { case (id, f, _) =>
+        val tm = f.map(b => tgtCt.getOrElse(b, 0L)).sum
+        val rm = f.map(b => rawCt(b)).sum
+        val w =
+          if (rm == 0 || nt == 0) None
+          else Some(BigDecimal(tm.toDouble * nr.toDouble / (rm.toDouble * nt.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (id, f.size.toLong, tm, rm, w)
+      }.sortBy(_._1)
+      val got = Sampling.dsirWeights(
+          docs.toDF("id", "text", "tgt"), "id", "text", $"tgt", buckets)
+        .orderBy("id")
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("temperatureMixTable: exact sqrt-flattened shares on a hand corpus, " +
     "rare upsampled, dominant downsampled, composes with mixCopies") {
     val docs = ((1L to 100L).map(i => (i, "A")) ++
