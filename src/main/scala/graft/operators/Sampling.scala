@@ -153,9 +153,11 @@ object Sampling {
     * design. If the quality signal is expensive, pre-materialize that
     * projection and pass the materialized frame in.
     *
-    * @param quality integer-valued Column (coarse strata, e.g. a
-    *                per-mille score — the stratum table must stay
-    *                bounded); higher = kept first
+    * @param quality integer-valued, NON-NULL Column (coarse strata,
+    *                e.g. a per-mille score — the stratum table must
+    *                stay bounded); higher = kept first. A null
+    *                quality would sort into a null stratum with
+    *                engine-dependent order — coalesce it first.
     * @param tokensCol non-negative token count Column
     * @return (idCol, quality, n_tokens, cum_tokens) for SELECTED docs
     *         only — cum_tokens is the doc's global running sum, so
