@@ -957,4 +957,99 @@ object Dedup {
       .where(col("cos") > threshold)
       .select(col("a.__id").as("i"), col("b.__id").as("j"), col("cos"))
   }
+
+  /** Exact edit-distance similarity join (entity resolution over
+    * names/titles/URLs): all pairs with `levenshtein ≤ k`, found via
+    * Pass-Join-style segment blocking (Li, Deng, Feng — VLDB'11),
+    * never all-pairs.
+    *
+    * The pigeonhole lemma: split every string into k+1 contiguous
+    * segments; an edit script of ≤ k operations cannot touch all k+1,
+    * so for any qualifying pair at least one of a's segments appears
+    * VERBATIM in b, shifted by at most k positions. Candidates are
+    * therefore an EQUI-join: a's (segment, i, |a|) keys against b's
+    * enumerated substrings at the positions/lengths a's segmentation
+    * would dictate (|a| ranges over [|b|−k, |b|+k], start over ±k of
+    * the segment's home position — ≤ (2k+1)²·(k+1) map-only emissions
+    * per string, 75 at k = 2). Both directions are emitted, so the
+    * lemma's asymmetry never loses a pair; `levenshtein` (codegen'd)
+    * confirms each distinct candidate.
+    *
+    * Exactness contract: strings shorter than k+1 characters are
+    * EXCLUDED (their segments would be empty — an empty join key is a
+    * cross join in disguise), and strings longer than `maxLen` are
+    * excluded as a cost guard (segment selectivity collapses on long
+    * near-duplicate texts — use the shingle-based family for those).
+    * Both exclusions are part of the operator's declared domain, and
+    * the brute-force cross-check in `DedupSimilaritySpec` pins
+    * completeness inside it.
+    *
+    * Scale shape: emissions are map-only and bounded per row; the
+    * candidate join is an equi-join on (content, segment-index,
+    * length) — hot keys only where many strings share a verbatim
+    * segment, the same boilerplate regime as shingle buckets (AQE
+    * skew-join applies). No sort, no window, no cross product.
+    *
+    * @return (i, j, dist) with i < j, one row per qualifying pair
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      k: Int, maxLen: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 3, s"k=$k (the emission count is (2k+1)²(k+1))")
+    require(maxLen > k, s"maxLen=$maxLen")
+    val kk = k + 1
+    val d = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull &&
+        length(col("__s")).between(kk, maxLen))
+      .withColumn("__len", length(col("__s")))
+    // 0-based segmentation of a length-L string into k+1 pieces:
+    //   base = L div (k+1), rem = L mod (k+1)
+    //   l_i = base + (i < rem), p_i = i·base + min(i, rem)
+    def segLen(L: Column, i: Column): Column =
+      (L.cast("int") / kk).cast("int") +
+        when(i < pmod(L.cast("int"), lit(kk)), 1).otherwise(0)
+    def segPos(L: Column, i: Column): Column =
+      i * (L.cast("int") / kk).cast("int") +
+        least(i, pmod(L.cast("int"), lit(kk)))
+    // index role: my own k+1 segments, keyed (content, i, my length)
+    val idx = d.select(col("__id").as("__aid"), col("__s").as("__sa"),
+        col("__len").as("__la"),
+        explode(transform(sequence(lit(0), lit(k)), i =>
+          struct(i.as("i"),
+            col("__s").substr(segPos(col("__len"), i) + 1,
+              segLen(col("__len"), i)).as("seg")))).as("__e"))
+      .select(col("__aid"), col("__sa"), col("__la"),
+        col("__e.i").as("__i"), col("__e.seg").as("__key"))
+    // probe role: for each partner length L' and segment i, my
+    // substrings at the home position ± k (clamped to my bounds)
+    val probe = d.select(col("__id").as("__bid"), col("__s").as("__sb"),
+        col("__len").as("__lb"),
+        explode(flatten(transform(
+          sequence(greatest(lit(kk), col("__len") - k), col("__len") + k),
+          lp => flatten(transform(sequence(lit(0), lit(k)), i => {
+            val l = segLen(lp, i)
+            val lo = greatest(lit(0), segPos(lp, i) - k)
+            val hi = least(col("__len") - l, segPos(lp, i) + k)
+            when(lo <= hi, transform(sequence(lo, hi), st =>
+              struct(lp.as("lp"), i.as("i"),
+                col("__s").substr(st + 1, l).as("sub"))))
+              .otherwise(array().cast(
+                "array<struct<lp:int,i:int,sub:string>>"))
+          }))))).as("__e"))
+      .select(col("__bid"), col("__sb"),
+        col("__e.lp").as("__la"), col("__e.i").as("__i"),
+        col("__e.sub").as("__key"))
+    val cand = idx.join(probe, Seq("__la", "__i", "__key"))
+      .where(col("__aid") =!= col("__bid"))
+      .select(least(col("__aid"), col("__bid")).as("i"),
+        greatest(col("__aid"), col("__bid")).as("j"),
+        when(col("__aid") < col("__bid"), col("__sa"))
+          .otherwise(col("__sb")).as("__si"),
+        when(col("__aid") < col("__bid"), col("__sb"))
+          .otherwise(col("__sa")).as("__sj"))
+      .distinct()
+    cand.withColumn("dist",
+        levenshtein(col("__si"), col("__sj")).cast("long"))
+      .where(col("dist") <= k)
+      .select(col("i"), col("j"), col("dist"))
+  }
 }

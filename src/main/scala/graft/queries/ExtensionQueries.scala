@@ -190,6 +190,36 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance similarity join
+    * ([[graft.operators.Dedup.editDistancePairs]], Pass-Join segment
+    * blocking + levenshtein confirm): entity-resolution names built
+    * from an md5 prefix + text prefix (unique-ish, so natural pairs
+    * are rare and the planted ones decide), with substitution and
+    * deletion variants planted on collision-proof id offsets. The
+    * 1-in-17 doc subset keeps the ORACLE's all-pairs confirm
+    * tractable at sf1 — the operator itself never goes all-pairs
+    * (completeness pinned against a DP reference in
+    * `DedupSimilaritySpec`).
+    */
+  private def xDedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"),
+        concat(substring(md5(col("text")), 1, 12), lit("-"),
+          substring(col("text"), 1, 8)).as("nm"))
+    val sub = base.where(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(substring(col("nm"), 1, 4), lit("Z"),
+          substring(col("nm"), 6, 100)).as("nm"))
+    val del = base.where(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(substring(col("nm"), 1, 6),
+          substring(col("nm"), 8, 100)).as("nm"))
+    graft.operators.Dedup.editDistancePairs(
+        base.unionByName(sub).unionByName(del), "doc_id", "nm", k = 2)
+      .orderBy("i", "j")
+  }
+
   /** Corpus-level line deduplication
     * ([[graft.operators.CorpusStats.dropDuplicateLines]], the
     * RefinedWeb/CCNet boilerplate-removal stage) over the same
@@ -1055,6 +1085,7 @@ object ExtensionQueries {
     "x_text_rarity" -> (xTextRarity _),
     "x_quality_lm" -> (xQualityLm _),
     "x_dedup_spans" -> (xDedupSpans _),
+    "x_dedup_editdist" -> (xDedupEditdist _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
     "x_contamination_bloom" -> (xContaminationBloom _),
@@ -1824,6 +1855,29 @@ object ExtensionQueries {
          |    ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
          |      * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT)))
          |ORDER BY doc_id""".stripMargin),
+
+    "x_dedup_editdist" ->
+      """WITH b0 AS (
+        |  SELECT doc_id,
+        |    substr(md5(text), 1, 12) || '-' || substr(text, 1, 8) AS nm
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |v AS (
+        |  SELECT doc_id, nm FROM b0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    substr(nm, 1, 4) || 'Z' || substr(nm, 6)
+        |  FROM b0 WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, substr(nm, 1, 6) || substr(nm, 8)
+        |  FROM b0 WHERE doc_id % 14 = 0),
+        |d AS (SELECT doc_id, nm, length(nm) AS len FROM v
+        |  WHERE length(nm) BETWEEN 3 AND 64)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 2
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY i, j""".stripMargin,
 
     "x_mix_temperature" ->
       """WITH c AS (

@@ -710,6 +710,50 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: exact and COMPLETE vs all-pairs DP reference at " +
+    "k=1..3, domain exclusions honored") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    for (kk <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + kk)
+      // tiny alphabet + short strings = dense near-pair space, the
+      // hardest completeness regime for the segment blocking
+      val strs = (1L to 200L).map(i => (i,
+        (1 to (3 + rnd.nextInt(10)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+      val expect = (for {
+        (i, a) <- strs; (j, b) <- strs
+        if i < j && a.length >= kk + 1 && b.length >= kk + 1
+        d = lev(a, b) if d <= kk
+      } yield (i, j, d.toLong)).sortBy(t => (t._1, t._2))
+      val got = Dedup.editDistancePairs(strs.toDF("id", "nm"), "id", "nm", kk)
+        .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+      assert(got.size == expect.size && got == expect,
+        s"k=$kk: got ${got.size}, expected ${expect.size}")
+    }
+    // maxLen excludes long strings; short strings (< k+1) excluded
+    val lim = Dedup.editDistancePairs(
+      Seq((1L, "abcdef"), (2L, "abcdefg"), (3L, "ab"), (4L, "ab"))
+        .toDF("id", "nm"), "id", "nm", 2, maxLen = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(lim.isEmpty,
+      "len-7 string over maxLen and len-2 strings under k+1 must drop")
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(Seq((1L, "ab")).toDF("id", "nm"), "id", "nm", 4)
+    }
+  }
+
   test("temperatureMixTable: exact sqrt-flattened shares on a hand corpus, " +
     "rare upsampled, dominant downsampled, composes with mixCopies") {
     val docs = ((1L to 100L).map(i => (i, "A")) ++

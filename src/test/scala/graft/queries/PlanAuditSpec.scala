@@ -416,6 +416,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian products")
   }
 
+  test("edit-distance join: candidates from an equi-join on the segment key, " +
+    "never a cross product") {
+    val p = plan("x_dedup_editdist")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"segment blocking must plan as a hash/merge equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join must never go all-pairs:\n$p")
+  }
+
   test("DSIR: model joins are equi-joins; the only nested-loop is the " +
     "1-row totals broadcast") {
     val p = plan("x_sample_dsir")
