@@ -986,9 +986,16 @@ object Dedup {
     *
     * Scale shape: emissions are map-only and bounded per row; the
     * candidate join is an equi-join on (content, segment-index,
-    * length) — hot keys only where many strings share a verbatim
-    * segment, the same boilerplate regime as shingle buckets (AQE
-    * skew-join applies). No sort, no window, no cross product.
+    * length). The one genuine hazard is a HEAVY SHARED AFFIX: if a few
+    * percent of all names end (or start) with the same token — Zipf
+    * head words, Inc/LLC suffixes — that one (segment, i, len) key
+    * pairs its whole bucket quadratically, and levenshtein then
+    * rejects nearly all of it (measured in `tools/EditDistProbe`:
+    * the same corpus that joins in seconds with hash-unique names
+    * stalls with first-word suffixes). Normalize shared affixes away
+    * before calling, or use the shingle family for that data shape —
+    * this is part of the declared domain, like the length bounds.
+    * No sort, no window, no cross product.
     *
     * @return (i, j, dist) with i < j, one row per qualifying pair
     */
