@@ -145,6 +145,65 @@ object CorpusStats {
           .as("lm_score"))
   }
 
+  /** BM25-shaped lexical scoring of a fixed keyword query against every
+    * document — the exact-term complement to the embedding ANN family.
+    * Deviation from textbook BM25, on purpose: the IDF is the RATIO
+    * `(N − df + 0.5) / (df + 0.5)` rather than its logarithm — `log`
+    * is a libm call that can differ in the last ulp across engines,
+    * while +, ×, / are IEEE-exact-rounded, so this form is
+    * bit-reproducible anywhere (same adjudication as [[bigramLm]]).
+    * Rankings agree with log-BM25 whenever a single term dominates;
+    * multi-term blends weight rare terms more steeply (documented).
+    *
+    * The per-document term-frequency normalization is standard:
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Scale shape: terms are a FIXED literal list (≤ 16), so per-doc
+    * term frequencies are map-only array filters — no explode, no
+    * (doc, term) shuffle. Corpus statistics (N, Σdl, per-term df) are
+    * ONE aggregate row broadcast back; the score is a fixed expression
+    * tree summed in term order (no aggregation-order nondeterminism).
+    * Two corpus scans total (the stats pass and the scoring pass —
+    * stateless recompute, same shape note as [[meanTokenDf]]) + a
+    * 1-row broadcast; no shuffle touches the corpus.
+    *
+    * @return (idCol, dl, n_hits, score) for docs matching ≥ 1 term,
+    *         score rounded to 6 — order by (score DESC, idCol) for a
+    *         deterministic top-k.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, s"1..16 terms, got ${terms.size}")
+    require(terms.distinct == terms, "duplicate query terms")
+    val toks = docs.select(col(idCol).as("__id"),
+        T.tokens(col(textCol)).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("long"))
+    val tfs = terms.indices.foldLeft(toks) { (d, ix) =>
+      d.withColumn(s"__tf$ix",
+        size(filter(col("__t"), x => x === lit(terms(ix)))).cast("long"))
+    }
+    val aggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl")) ++
+      terms.indices.map(ix =>
+        sum(when(col(s"__tf$ix") > 0, 1L).otherwise(0L)).as(s"__df$ix"))
+    val stats = tfs.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+    def term(ix: Int): Column = {
+      val tf = col(s"__tf$ix").cast("double")
+      val idf = (col("__n").cast("double") - col(s"__df$ix").cast("double")
+        + 0.5) / (col(s"__df$ix").cast("double") + 0.5)
+      idf * (tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("__dl").cast("double") / avgdl))))
+    }
+    tfs.crossJoin(broadcast(stats))
+      .withColumn("n_hits", terms.indices
+        .map(ix => when(col(s"__tf$ix") > 0, 1L).otherwise(0L))
+        .reduce(_ + _))
+      .where(col("n_hits") > 0)
+      .select(col("__id").as(idCol), col("__dl").as("dl"), col("n_hits"),
+        round(terms.indices.map(term).reduce(_ + _), 6).as("score"))
+  }
+
   /** RefinedWeb/CCNet-style corpus-level line deduplication: drop every
     * line whose trimmed form appears in more than `maxDocFreq` DISTINCT
     * documents (nav menus, cookie banners, copyright footers — the

@@ -397,6 +397,19 @@ object ExtensionQueries {
     Dedup.sharedSpanPairs(Tables.documents(s, dir), "doc_id", "text", n = 8)
       .orderBy("i", "j")
 
+  /** BM25-shaped keyword search
+    * ([[graft.operators.CorpusStats.bm25Scores]]): a fixed 4-term
+    * query scored against every document, ratio-IDF (the libm-free
+    * deviation documented on the operator), deterministic top-50 by
+    * (score DESC, doc_id).
+    */
+  private def xSearchBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bm25Scores(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "query", "window", "merge"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(50)
+
   /** Corpus-relative rarity scoring
     * ([[graft.operators.CorpusStats.meanTokenDf]]): mean document
     * frequency of each doc's distinct tokens — the integer-exact
@@ -1084,6 +1097,7 @@ object ExtensionQueries {
     "x_select_budget" -> (xSelectBudget _),
     "x_text_rarity" -> (xTextRarity _),
     "x_quality_lm" -> (xQualityLm _),
+    "x_search_bm25" -> (xSearchBm25 _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_dedup_editdist" -> (xDedupEditdist _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
@@ -1810,6 +1824,34 @@ object ExtensionQueries {
         |        CAST(CAST(pd.n_distinct_toks AS VARCHAR) AS DOUBLE), 6) AS mean_token_df
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "x_search_bm25" -> {
+      val terms = Seq("spark", "query", "window", "merge")
+      def termSql(ix: Int): String =
+        s"(CAST(n AS DOUBLE) - CAST(df$ix AS DOUBLE) + 0.5) / (CAST(df$ix AS DOUBLE) + 0.5)" +
+          s" * (CAST(tf$ix AS DOUBLE) * (1.2 + 1.0) / (CAST(tf$ix AS DOUBLE)" +
+          s" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+      tokCte +
+        s""", tf AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |${terms.zipWithIndex.map { case (t, ix) =>
+              s"    CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$ix"
+            }.mkString(",\n")}
+           |  FROM tk),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dl) AS BIGINT) AS sdl,
+           |${terms.indices.map(ix =>
+              s"  CAST(sum(CASE WHEN tf$ix > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$ix"
+            ).mkString(",\n")}
+           |  FROM tf)
+           |SELECT doc_id, dl,
+           |  CAST(${terms.indices.map(ix =>
+              s"CASE WHEN tf$ix > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS n_hits,
+           |  round(${terms.indices.map(termSql).mkString("\n    + ")}, 6) AS score
+           |FROM tf CROSS JOIN st
+           |WHERE ${terms.indices.map(ix => s"tf$ix > 0").mkString(" OR ")}
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     "x_quality_lm" -> (tokCte +
       """, bge AS (

@@ -710,6 +710,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bm25Scores: exact ratio-IDF scores on a hand corpus, no-hit and " +
+    "empty docs excluded, rare term outweighs common") {
+    val docs = Seq(
+      (1L, "spark spark query"),
+      (2L, "spark alpha beta"),
+      (3L, "gamma delta"), // no hits
+      (4L, "") // no tokens
+    ).toDF("id", "text")
+    val out = graft.operators.CorpusStats
+      .bm25Scores(docs, "id", "text", Seq("spark", "query"))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // N=4, sdl=8, avgdl=2.0; df(spark)=2, df(query)=1 — same IEEE ops
+    val avgdl = 8.0 / 4.0
+    def term(tf: Double, df: Double, dl: Double): Double =
+      ((4.0 - df + 0.5) / (df + 0.5)) *
+        (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 3L, 2L, r6(term(2, 2, 3) + term(1, 1, 3))),
+      (2L, 3L, 1L, r6(term(1, 2, 3) + term(0, 1, 3)))))
+    // the rare term (df=1) contributes more per occurrence than the
+    // common one (df=2) at equal tf and dl — the IDF's whole point
+    assert(term(1, 1, 3) > term(1, 2, 3))
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats.bm25Scores(docs, "id", "text",
+        Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats.bm25Scores(docs, "id", "text",
+        (1 to 17).map(i => s"t$i"))
+    }
+  }
+
   test("editDistancePairs: exact and COMPLETE vs all-pairs DP reference at " +
     "k=1..3, domain exclusions honored") {
     def lev(a: String, b: String): Int = {
