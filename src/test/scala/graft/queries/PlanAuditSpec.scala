@@ -416,6 +416,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian products")
   }
 
+  test("bm25 search: the corpus never hash-shuffles — top-k via " +
+    "TakeOrderedAndProject, stats as a 1-row broadcast") {
+    val p = plan("x_search_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a streaming top-k, not a global sort:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"no corpus-wide hash exchange belongs in a map-only scorer:\n$p")
+    assert(p.contains("IdentityBroadcastMode"),
+      "corpus stats must broadcast as the single-row build side")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the bounded 1-row stats may nested-loop:\n$p")
+  }
+
   test("edit-distance join: candidates from an equi-join on the segment key, " +
     "never a cross product") {
     val p = plan("x_dedup_editdist")
