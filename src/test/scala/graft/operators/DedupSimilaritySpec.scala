@@ -710,6 +710,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("entity resolution end-to-end: editDistancePairs -> survivors picks " +
+    "one canonical record per variant cluster") {
+    // three spellings of one entity, two of another, one singleton
+    val recs = Seq(
+      (1L, "acme corporation", 10L),
+      (2L, "acme corporatio", 5L), // deletion
+      (3L, "acme c0rporation", 7L), // substitution
+      (4L, "zenith industries", 9L),
+      (5L, "zenith industriez", 3L), // substitution
+      (6L, "unrelated company", 1L)
+    ).toDF("id", "nm", "freshness")
+    val pairs = Dedup.editDistancePairs(recs, "id", "nm", 2)
+      .select($"i", $"j")
+    val out = Dedup.survivors(pairs, recs, "id", $"freshness")
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // cluster {1,2,3} canonical 1 survives (max freshness); {4,5} -> 4;
+    // 6 never pairs so never appears (unclustered docs all survive)
+    assert(out == Seq(
+      (1L, 1L, 1L, true), (2L, 1L, 1L, false), (3L, 1L, 1L, false),
+      (4L, 4L, 4L, true), (5L, 4L, 4L, false)))
+  }
+
   test("bm25Scores: exact ratio-IDF scores on a hand corpus, no-hit and " +
     "empty docs excluded, rare term outweighs common") {
     val docs = Seq(
