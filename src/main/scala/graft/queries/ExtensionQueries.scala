@@ -519,9 +519,13 @@ object ExtensionQueries {
     * behavior-tested with real images), with near-dup signal planted
     * at the HASH level (md5 avalanche makes payload-level planting
     * impossible): every 9th doc re-appears 1 bit flipped (must pair at
-    * Hamming 1), every 11th doc 4 bits flipped (must NOT pair at
-    * maxHamming 3). Banded Hamming join — pigeonhole-exact recall, no
-    * cross product ([[graft.operators.Multimodal.phashPairs]]).
+    * Hamming 1), every 11th doc 4 bits flipped (the BASE copy must NOT
+    * pair with it at maxHamming 3; a doc divisible by both 9 and 11
+    * can still legitimately pair its flip1 against its flip4 when the
+    * flip windows overlap — e.g. doc 0: bit 0 vs bits 0–3 is xor
+    * Hamming 3 — and the oracle applies the identical semantics).
+    * Banded Hamming join — pigeonhole-exact recall, no cross product
+    * ([[graft.operators.Multimodal.phashPairs]]).
     */
   private def xMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"),
