@@ -54,6 +54,13 @@ object Bpe {
     * merge list (rank, a, b) — rank 0 learned first. Driver holds one
     * (a, b) pair per iteration; the vocab table is cached and
     * checkpoint-compacted every few iterations so lineage stays flat.
+    *
+    * This is the REFERENCE sequential learner: one Spark job per
+    * merge, so wall time is ~nMerges × per-job latency regardless of
+    * corpus size (measured 0.8 s/merge at the 500k-doc decade) —
+    * practical to a few hundred merges. At production merge counts
+    * (10k–50k) use [[trainMergesBatched]], which learns the IDENTICAL
+    * list (pinned in `BpeSpec`) in far fewer passes.
     */
   def trainMerges(docs: DataFrame, textCol: String,
       nMerges: Int): Seq[(Int, String, String)] = {
@@ -90,18 +97,127 @@ object Bpe {
 
   /** Encode words with a learned merge list: apply every merge in
     * rank order (the standard encode — greedy in learned priority).
-    * Map-only: the merge list rides along as nMerges chained
-    * [[graft.expressions.MergeAdjacent]] kernels. Adds/overwrites a
-    * `syms` column; every input column survives.
+    * Map-only: the full ordered list rides inside ONE
+    * [[graft.expressions.MergeList]] kernel (chaining one
+    * [[graft.expressions.MergeAdjacent]] per merge is exact but blows
+    * codegen/planner limits past a few hundred merges; the kernel is
+    * pinned ≡ the chain in `BpeSpec`). Adds/overwrites a `syms`
+    * column; every input column survives.
     */
   def applySyms(words: DataFrame,
       merges: Seq[(Int, String, String)]): DataFrame =
-    merges.sortBy(_._1).foldLeft(words.withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
-      case (df, (_, a, b)) =>
-        df.withColumn("syms",
-          graft.expressions.MergeAdjacent.merge(col("syms"), a, b))
-    }
+    words.withColumn("syms",
+      graft.expressions.MergeList.merge(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        merges.sortBy(_._1).map(m => (m._2, m._3))))
+
+  /** Learn `nMerges` BPE merges in batched passes — the SAME list as
+    * [[trainMerges]] (pinned in `BpeSpec`), at a fraction of the
+    * driver-loop latency: one pair-count job can safely commit a whole
+    * PREFIX of the ranked pair list, not just its head, whenever no
+    * earlier commit could have changed a later pick.
+    *
+    * Soundness (why batched ≡ sequential, not just deterministic):
+    * walking pairs in (count DESC, a, b) order, pair p_i may join the
+    * batch only while
+    *
+    *  1. its symbols are disjoint from every earlier batch member's
+    *     {a_j, b_j, a_j+b_j} — so applying those merges cannot touch
+    *     p_i's own count;
+    *  2. count(p_i) > cap_j for every earlier member, where cap_j
+    *     bounds the count of ANY pair a merge chain seeded by p_j can
+    *     create: a new pair (x, ab) needs an "x a b" occurrence
+    *     (≤ count(x,a) ≤ maxIn(a)), (ab, y) needs "a b y"
+    *     (≤ count(b,y) ≤ maxOut(b)), and every occurrence consumes a
+    *     p_j occurrence (≤ count(p_j)) — so at p_i's sequential turn
+    *     no created pair can outrank it, and ties are impossible
+    *     (strict >);
+    *  3. earlier members' merged symbols are FRESH strings (not the
+    *     initial alphabet, not a previously created symbol): a
+    *     colliding symbol could boost an EXISTING pair's count past
+    *     the bound in (2). The symbol universe is driver-known by
+    *     construction — the initial alphabet plus every merge's a+b —
+    *     so freshness is an exact set probe, no extra job.
+    *
+    * The first violation CLOSES the batch (pairs are committed in rank
+    * order, never skipped past), so each pass commits a verified
+    * prefix — worst case 1 merge (= sequential), typical tens.
+    * maxIn/maxOut are bounded from the collected top-`topK` slice: a
+    * pair outside the slice has count ≤ the slice minimum, so the
+    * bound stays sound when the pair table is bigger than the slice.
+    *
+    * @param maxBatch  hard cap on merges per pass (bounds the
+    *                  [[graft.expressions.MergeList]] work per row)
+    * @param topK      ranked pairs collected per pass (driver-side,
+    *                  bounded memory)
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      maxBatch: Int = 64, topK: Int = 512): Seq[(Int, String, String)] = {
+    require(nMerges >= 1, s"nMerges=$nMerges")
+    require(maxBatch >= 1, s"maxBatch=$maxBatch")
+    require(topK >= maxBatch, s"topK=$topK < maxBatch=$maxBatch")
+    var syms = charSyms(wordTable(docs, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symbol universe = initial alphabet ∪ {a+b of merges applied};
+    // the alphabet is one tiny distinct over 1-char symbols
+    val known = scala.collection.mutable.Set[String](
+      syms.select(explode(col("syms")).as("s")).distinct()
+        .collect().map(_.getString(0)).toIndexedSeq: _*)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    try {
+      var pass = 0
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        val top = pairCounts(syms)
+          .orderBy(desc("count"), col("a"), col("b")).limit(topK)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (top.isEmpty) exhausted = true
+        else {
+          // pairs beyond the collected slice exist only if the slice is
+          // full; they are bounded by its minimum count
+          val sliceMin = if (top.length == topK) top.last._3 else 0L
+          def maxIn(s: String): Long = // max count of pairs ending at s
+            (top.iterator.filter(_._2 == s).map(_._3) ++ Iterator(sliceMin)).max
+          def maxOut(s: String): Long = // max count of pairs starting at s
+            (top.iterator.filter(_._1 == s).map(_._3) ++ Iterator(sliceMin)).max
+          val used = scala.collection.mutable.Set.empty[String]
+          val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val budget = math.min(maxBatch, nMerges - merges.size)
+          var open = true
+          var i = 0
+          while (open && batch.size < budget && i < top.length) {
+            val (a, b, c) = top(i)
+            val ab = a + b
+            if (used.contains(a) || used.contains(b) || used.contains(ab))
+              open = false
+            else if (caps.exists(c <= _)) open = false
+            else {
+              batch += ((a, b))
+              if (known.contains(ab)) open = false // commit, then close
+              known += ab
+              used += a; used += b; used += ab
+              caps += math.min(c, math.max(maxIn(a), maxOut(b)))
+            }
+            i += 1
+          }
+          val r0 = merges.size
+          merges ++= batch.zipWithIndex.map { case ((a, b), k) => (r0 + k, a, b) }
+          val next = syms.select(
+            graft.expressions.MergeList.merge(col("syms"), batch.toSeq).as("syms"),
+            col("n"))
+          val mat =
+            if ((pass + 1) % 8 == 0) next.localCheckpoint(true)
+            else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          syms.unpersist(blocking = false)
+          syms = mat
+          pass += 1
+        }
+      }
+    } finally syms.unpersist(blocking = false)
+    merges.toSeq
+  }
 
   /** Per-document subword token counts under a learned merge list —
     * the "how many BPE tokens is my corpus" accounting every training

@@ -507,7 +507,10 @@ object ExtensionQueries {
     */
   private def xBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMerges(docs, "text", 10)
+    // batched learner: identical list to the sequential reference
+    // (pinned in BpeSpec), so the oracle gate exercises the production
+    // training path end-to-end
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
     bpeTokenMerges = merges
     graft.operators.Bpe.subwordCounts(docs, "doc_id", "text", merges)
       .orderBy("doc_id")

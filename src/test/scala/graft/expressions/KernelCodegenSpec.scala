@@ -90,6 +90,17 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
+  test("MergeList compiles and matches interpreted") {
+    val syms = ArrayData.toArrayData(
+      Array("l", "o", "w", "e", "s", "t", "l", "o", "w").map(UTF8String.fromString))
+    val e = MergeList(
+      BoundReference(0, ArrayType(StringType, containsNull = false), nullable = true),
+      Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")))
+    compiledVsInterpreted(e, InternalRow(syms))
+    compiledVsInterpreted(e, InternalRow(ArrayData.toArrayData(
+      Array.empty[UTF8String])))
+  }
+
   test("RollingHash compiles and matches interpreted") {
     val e = RollingHash(BoundReference(0, StringType, nullable = true))
     compiledVsInterpreted(e, InternalRow(UTF8String.fromString("rolling hash input")))

@@ -55,6 +55,57 @@ class BpeSpec extends SparkSpec {
     assert(out(4L) == Seq.empty[String])
   }
 
+  test("MergeList ≡ the MergeAdjacent fold (seeded random sequences + edges)") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c", "ab", "bc", "x")
+    val seqs: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "a", "a", "a")) ++
+        (1 to 60).map(_ => Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))))
+    // merge list deliberately includes a created-symbol reuse ("ab"
+    // exists in the alphabet) and a self-pair
+    val merges = Seq(("a", "b"), ("ab", "c"), ("a", "a"), ("aa", "ab"), ("b", "c"))
+    val df = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "syms")
+    val folded = merges.foldLeft(df.withColumn("m", col("syms"))) {
+        case (d, (a, b)) =>
+          d.withColumn("m", graft.expressions.MergeAdjacent.merge(col("m"), a, b))
+      }.select($"id", $"m").as[(Long, Seq[String])].collect().toMap
+    val kernel = df.select($"id",
+        graft.expressions.MergeList.merge($"syms", merges).as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel == folded)
+    // empty merge list = identity
+    val ident = df.select($"id",
+        graft.expressions.MergeList.merge($"syms", Seq.empty).as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(ident == seqs.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap)
+  }
+
+  test("trainMergesBatched learns the identical list to trainMerges") {
+    // corpus 1: the Sennrich-style hand corpus
+    val hand = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lowest").mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.trainMergesBatched(hand, "text", 4) == Bpe.trainMerges(hand, "text", 4))
+    // corpus 2: seeded pseudo-random words over a small alphabet — ties,
+    // shared affixes, self-pairs, symbol-reuse hazards all present
+    val rnd = new scala.util.Random(42L)
+    val vocabChars = "abcde"
+    def word(): String =
+      (1 to (2 + rnd.nextInt(7))).map(_ => vocabChars(rnd.nextInt(5))).mkString
+    val docs = (0 until 120).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(10))).map(_ => word()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val seqList = Bpe.trainMerges(docs, "text", 40)
+    val batList = Bpe.trainMergesBatched(docs, "text", 40)
+    assert(batList == seqList)
+    // maxBatch=1 degenerates to the sequential learner exactly
+    assert(Bpe.trainMergesBatched(docs, "text", 12, maxBatch = 1) ==
+      seqList.take(12))
+    // and a small topK slice (loose maxIn/maxOut bounds) stays exact
+    assert(Bpe.trainMergesBatched(docs, "text", 25, maxBatch = 8, topK = 16) ==
+      seqList.take(25))
+  }
+
   test("pairCounts weights by word frequency and skips word boundaries") {
     val syms = Seq(
       (Seq("a", "b", "c"), 3L),
