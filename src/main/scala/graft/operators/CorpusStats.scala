@@ -86,8 +86,12 @@ object CorpusStats {
     *    never seen in the reference slice (the OOV mass a smoothed LM
     *    would back off on; high = unlike the reference).
     *  - `lm_score` — aggregate conditional frequency
-    *    Σc(w1,w2) / Σc(w1) over the doc's bigram positions. This is
-    *    the integer-exact stand-in for mean conditional probability:
+    *    Σc(w1,w2) / Σc_ctx(w1) over the doc's bigram positions, where
+    *    c_ctx counts w1's occurrences AS A BIGRAM CONTEXT (left
+    *    position) in the reference slice — a document's final token
+    *    never serves as a context, so it never enters the denominator
+    *    (a raw unigram count would slightly inflate it). This is the
+    *    integer-exact stand-in for mean conditional probability:
     *    a true perplexity is a log-sum, and `log` is not an IEEE-exact
     *    op (libm implementations differ in the last ulp), so a
     *    float-summed perplexity would hash-differ across engines and
@@ -103,6 +107,17 @@ object CorpusStats {
     * not; same adjudication as the rarity operator — forcing broadcast
     * would OOM the driver at 100 TB). Docs with <2 tokens survive the
     * final left join with n_bigrams = 0 and NULL scores.
+    *
+    * Skew: the `__w1` context join keys on raw tokens and the Zipf
+    * head word carries a scale-INVARIANT ~11% of all bigram
+    * occurrences (measured at 500k and 5M docs —
+    * `bench_evidence/r11_bigramlm_probe_sf10z_sf100z.txt`). Locally
+    * the straggler stage is a bounded 4-5× one-stage tail and the
+    * wall stays linear across the decade; at cluster partition counts
+    * the head partition can't shrink below that share, which is the
+    * regime AQE skew-join's splitting is built for (the probe pins
+    * that the setting cannot change the output; [[Salting]] is the
+    * manual lever for AQE-off deployments).
     *
     * @param refPredicate boolean Column selecting the reference slice
     *                     (evaluated against `docs`' columns)
@@ -120,8 +135,9 @@ object CorpusStats {
         col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
     val c12 = bg.where(col("__is_ref"))
       .groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
-    val c1 = toks.where(col("__is_ref"))
-      .select(explode(col("__toks")).as("__w1"))
+    // context counts over bigram LEFT positions (reuses the bg explode:
+    // one fewer corpus pass than a separate unigram explode would cost)
+    val c1 = bg.where(col("__is_ref"))
       .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
     val perDoc = bg
       .join(c12, Seq("__bg"), "left")

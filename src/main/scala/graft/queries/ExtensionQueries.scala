@@ -1871,7 +1871,7 @@ object ExtensionQueries {
         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
         |  FROM bgf WHERE lang = 'en' GROUP BY bg),
         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(toks) AS w1 FROM tk WHERE lang = 'en')
+        |  FROM bgf WHERE lang = 'en'
         |  GROUP BY w1),
         |pd AS (
         |  SELECT bgf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

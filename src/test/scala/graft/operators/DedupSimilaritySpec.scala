@@ -948,6 +948,25 @@ class DedupSimilaritySpec extends SparkSpec {
       "fully-OOV doc: oov 1.0, no observed context mass → null lm_score")
     assert(out(3) == ((4L, 0L, None, None)), "single-token doc: no bigrams")
     assert(out(4) == ((5L, 0L, None, None)), "empty doc: no bigrams")
+
+    // the denominator is a CONTEXT count (bigram left positions), not a
+    // raw unigram count: 'b' ends ref doc 1 and never serves as context
+    // there, so c_ctx(b) = 1 (only "b c" in doc 2) where unigram(b) = 2
+    val ctx = Seq(
+      (1L, "en", "a b"),
+      (2L, "en", "b c"),
+      (3L, "xx", "b z")
+    ).toDF("doc_id", "lang", "text")
+    val scored = graft.operators.CorpusStats
+      .bigramLm(ctx, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    // doc 3 "b z": bigram (b,z) unseen -> c12_sum = 0; c1_sum = c_ctx(b) = 1
+    // (a unigram denominator would read 2 and score 0/2 identically here,
+    // so also pin doc 2 where the numerator is live: c12(b,c)=1, c_ctx(b)=1
+    // -> 1.0 exactly; unigram would read 1/2 = 0.5)
+    assert(scored(1) == ((2L, 1L, Some(0.0), Some(1.0))))
+    assert(scored(2) == ((3L, 1L, Some(1.0), Some(0.0))))
   }
 
   test("dropDuplicateLines: corpus-frequent lines stripped, order and original " +
