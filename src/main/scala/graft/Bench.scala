@@ -117,9 +117,13 @@ object Bench {
     val chron = scala.collection.mutable.LinkedHashMap(
       selected.map { case (n, _) =>
         n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    // per-sweep wall totals (successful + failed attempts): the
+    // box-state self-adjudication input — on a quiet box the separated
+    // sweeps agree; a loaded/decaying session makes them disagree
+    val sweepTotals = Array.fill(runs)(0.0)
     // attempt every run: a transient failure (contention OOM, lost
     // task) must not discard the query — surviving runs still count
-    (1 to runs).foreach { _ =>
+    (0 until runs).foreach { sweep =>
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -127,11 +131,13 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           ok(name) += t
           chron(name) += t
+          sweepTotals(sweep) += t
         } catch {
           case e: Throwable =>
             val t = (System.nanoTime() - t0) / 1e9
             bad(name) += t
             chron(name) += -t // negative = failed run, duration preserved
+            sweepTotals(sweep) += t
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(300)
         }
@@ -168,8 +174,30 @@ object Bench {
     val raws = raw.map { case (k, ts) => jstr(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
+    // box-state verdict: two rounds of driver artifacts misread as code
+    // regressions (r9 consecutive-sample windows, r10 a uniformly slow
+    // session convicted only by a manual old-code A/B). Sweep-major
+    // sampling makes the separated sweep totals a built-in control:
+    // if they disagree by >15% the box was NOT quiet during this run
+    // and the artifact should be read against the MINIMUM sweep, not
+    // the median. sweep 1 additionally carries first-touch IO warmup,
+    // so the verdict compares the later sweeps when runs >= 3 and only
+    // flags warmup if sweep 1 alone is the outlier.
+    val sweeps = sweepTotals.toSeq
+    val boxState =
+      if (runs < 2) "unknown"
+      else {
+        val later = if (runs >= 3) sweeps.tail else sweeps
+        val spread = (later.max - later.min) / math.max(later.min, 1e-9)
+        if (spread > 0.15) "noisy"
+        else if (runs >= 3 &&
+          (sweeps.head - later.min) / math.max(later.min, 1e-9) > 0.15)
+          "warmup_only"
+        else "quiet"
+      }
+    val sweepsJson = sweeps.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_count":$failedCount,"runs":$runs,"stat":"lower_median","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"raw_times":$raws,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_count":$failedCount,"runs":$runs,"stat":"lower_median","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sweep_totals":$sweepsJson,"box_state":${jstr(boxState)},"raw_times":$raws,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
