@@ -103,14 +103,24 @@ object Curation {
     }
 
     // 4. deterministic source mixing: repeat counts, then materialize
-    // copies under a collision-free instance id (id · 100 + copy)
+    // copies under a collision-free instance id (id · 100 + copy).
+    // id · 100 is injective ONLY on [0, (Long.MaxValue − 99) / 100] —
+    // negative or oversized ids would wrap mod 2⁶⁴ and silently
+    // collide instance ids, so the guard rides the instance_id column
+    // itself (map-only, never pruned: packing keys on it) and fails
+    // the job loudly on the first out-of-domain id
+    val idMax = (Long.MaxValue - 99L) / 100L
     val mixed = budgeted
       .withColumn("__copies",
         Sampling.mixCopies(col(sourceCol), col(idCol), mixPerMille))
       .where(col("__copies") > 0)
       .withColumn("copy",
         explode(sequence(lit(0L), col("__copies") - 1)))
-      .withColumn("instance_id", col(idCol) * 100 + col("copy"))
+      .withColumn("instance_id",
+        when(col(idCol) < 0 || col(idCol) > idMax, raise_error(concat(
+            lit(s"Curation.curate: doc id outside the instance-id domain [0, $idMax]: "),
+            col(idCol).cast("string"))))
+          .otherwise(col(idCol) * 100 + col("copy")))
       .drop("__copies")
 
     // 5. sequence packing over instances; re-attach provenance with

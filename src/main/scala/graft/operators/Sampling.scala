@@ -159,15 +159,25 @@ object Sampling {
     *                quality would sort into a null stratum with
     *                engine-dependent order — coalesce it first.
     * @param tokensCol non-negative token count Column
+    * @param maxStrata runtime guard on the stratum-table cardinality:
+    *                the strata cumulation is an unpartitioned window,
+    *                safe ONLY because that table is bounded — a
+    *                fine-grained (e.g. per-doc) quality would
+    *                silently hand one executor a corpus-sized sort.
+    *                The guard rides the window that is already there
+    *                (a row_number over the same single-partition
+    *                strata table — no extra job, no extra shuffle)
+    *                and fails the job loudly past the bound.
     * @return (idCol, quality, n_tokens, cum_tokens) for SELECTED docs
     *         only — cum_tokens is the doc's global running sum, so
     *         max(cum_tokens) ≤ budget reads directly off the output.
     */
   def tokenBudgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
       quality: Column, tokensCol: Column, budget: Long,
-      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+      buckets: Int = 1024, maxStrata: Int = 100000): org.apache.spark.sql.DataFrame = {
     require(budget >= 0, s"budget=$budget")
     require(buckets >= 1, s"buckets=$buckets")
+    require(maxStrata >= 1, s"maxStrata=$maxStrata")
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col(idCol).as("__id"),
       quality.cast("long").as("__q"), tokensCol.cast("long").as("__nt"),
@@ -176,8 +186,16 @@ object Sampling {
     // stratum sums, cumulated over strictly-better strata (bounded rows)
     val wq = Window.orderBy(col("__q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wqn = Window.orderBy(col("__q").desc)
     val strata = d.groupBy(col("__q")).agg(sum(col("__nt")).as("__s"))
-      .select(col("__q"), coalesce(sum(col("__s")).over(wq), lit(0L)).as("__cq"))
+      .select(col("__q"),
+        // cardinality guard rides __cq (consumed downstream, never
+        // pruned): fail loudly instead of single-partition-sorting a
+        // corpus-sized "strata" table
+        when(row_number().over(wqn) > maxStrata, raise_error(concat(
+            lit(s"tokenBudgetSelect: quality produced more than $maxStrata "),
+            lit("strata - pass a coarser (e.g. per-mille) quality or raise maxStrata"))))
+          .otherwise(coalesce(sum(col("__s")).over(wq), lit(0L))).as("__cq"))
     // bucket sums within each stratum, cumulated over earlier buckets
     val wb = Window.partitionBy(col("__q")).orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, -1)

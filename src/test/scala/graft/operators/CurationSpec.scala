@@ -85,6 +85,29 @@ class CurationSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 3L))
   }
 
+  test("curate: out-of-domain doc ids fail loudly instead of silently " +
+    "colliding instance ids") {
+    val bad = Seq(
+      (1L, "A", mk("red")),
+      (-7L, "A", mk("blue")) // negative id: id*100 wraps / collides
+    ).toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      Curation.curate(bad, "doc_id", "text", "source",
+        mixPerMille = Map.empty, budget = 16, nShards = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("instance-id domain")),
+      s"wanted the domain guard, got: $e")
+    // an id just inside the domain still works
+    val edge = Seq(((Long.MaxValue - 99L) / 100L, "A", mk("red")))
+      .toDF("doc_id", "source", "text")
+    val ok = Curation.curate(edge, "doc_id", "text", "source",
+      mixPerMille = Map.empty, budget = 16, nShards = 1)
+      .select($"instance_id").as[Long].collect()
+    assert(ok.toSeq == Seq((Long.MaxValue - 99L) / 100L * 100L))
+  }
+
   test("curate: optional line-dedup strips cross-doc boilerplate, optional " +
     "token budget cuts the deduped corpus") {
     // boilerplate passes every C4 LINE rule (6 words, terminal '.') —

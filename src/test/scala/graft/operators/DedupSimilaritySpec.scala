@@ -878,6 +878,21 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.tokenBudgetSelect(docs, "id", $"q", $"nt", 10L, 0)
     }
+    // strata-cardinality guard: a fine-grained (per-doc) quality would
+    // silently hand one executor a corpus-sized single-partition sort —
+    // it must fail loudly instead
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val fine = intercept[Exception] {
+      Sampling.tokenBudgetSelect(uni, "id", $"id", $"nt", 100L, 64,
+        maxStrata = 100).collect()
+    }
+    assert(msgs(fine).exists(_.contains("strata")),
+      s"wanted the strata guard, got: $fine")
+    // at the bound exactly (300 strata, maxStrata = 300) it still runs
+    val atBound = Sampling.tokenBudgetSelect(uni, "id", $"id", $"nt",
+      300L, 64, maxStrata = 300).count()
+    assert(atBound == 300L)
   }
 
   test("sharedSpanPairs: verbatim passages pair, boilerplate df-cap " +
