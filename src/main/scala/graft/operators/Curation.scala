@@ -44,6 +44,18 @@ object Curation {
     * @param quality integer stratum column for the budget cut
     *   (evaluated against the deduped frame; default: single stratum,
     *   i.e. a fair hash-ordered cut)
+    * @param persistStages persist the multiply-scanned stage frames
+    *   (post-line-dedup text, the deduped survivor set, the mixed
+    *   instances) at MEMORY_AND_DISK. Without it every downstream
+    *   stage lazily RE-DERIVES the whole upstream chain — the deduped
+    *   frame alone is consumed five times (near-dup pairs, survivor
+    *   scoring, the anti join, the budget cut's three scans), each
+    *   re-running C4 + line dedup + exact dedup from the source scan;
+    *   measured 1.77× end-to-end at the 500k-doc decade
+    *   (`bench_evidence/r11_curation_e2e_sf10z.txt`). Off by default
+    *   because persisted blocks outlive the returned frame (Spark has
+    *   no scope-exit unpersist); callers owning the session lifecycle
+    *   should turn it on.
     * @return one row per packed document INSTANCE:
     *   (instance_id, idCol, copy, sourceCol, clean_text, shard,
     *   n_tokens, token_offset, bin_first, bin_last, straddles)
@@ -54,9 +66,14 @@ object Curation {
       shingleN: Int = 5, jaccardThreshold: Double = 0.7,
       lineDedupMaxDf: Option[Int] = None,
       tokenBudget: Option[Long] = None,
-      quality: Column = lit(0L)): DataFrame = {
+      quality: Column = lit(0L),
+      persistStages: Boolean = false): DataFrame = {
     require(mixPerMille.values.forall(_ < 100000),
       "mix weights above 100x break the instance-id encoding")
+    def staged(df: DataFrame): DataFrame =
+      if (persistStages)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
 
     // 1. C4 clean: drop rule-violating lines, then rule-violating docs
     val cleaned = docs
@@ -68,13 +85,13 @@ object Curation {
     // 1b. optional corpus-level line dedup: the cross-doc boilerplate
     // per-doc rules can't see; the rebuilt text replaces clean_text and
     // docs stripped to nothing drop out
-    val lined = lineDedupMaxDf.fold(cleaned) { k =>
+    val lined = staged(lineDedupMaxDf.fold(cleaned) { k =>
       cleaned.select(col(idCol), col(sourceCol)).join(
         CorpusStats.dropDuplicateLines(cleaned, idCol, "clean_text", k)
           .where(col("n_kept") > 0)
           .select(col(idCol), col("clean_text")),
         Seq(idCol))
-    }
+    })
 
     // 2. exact dedup on the CLEANED text (cleaning canonicalizes
     // whitespace-level variants into byte-equal survivors)
@@ -90,7 +107,7 @@ object Curation {
     val losers = Dedup.survivors(pairs.select(col("i"), col("j")), exact,
         idCol, T.tokenCount(col("clean_text")))
       .where(!col("kept")).select(col(idCol))
-    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+    val deduped = staged(exact.join(losers, Seq(idCol), "left_anti"))
 
     // 3b. optional token-budget cut on the deduped corpus — best-first
     // prefix, so copies and duplicates never ate budget
@@ -110,7 +127,7 @@ object Curation {
     // itself (map-only, never pruned: packing keys on it) and fails
     // the job loudly on the first out-of-domain id
     val idMax = (Long.MaxValue - 99L) / 100L
-    val mixed = budgeted
+    val mixed = staged(budgeted
       .withColumn("__copies",
         Sampling.mixCopies(col(sourceCol), col(idCol), mixPerMille))
       .where(col("__copies") > 0)
@@ -121,7 +138,7 @@ object Curation {
             lit(s"Curation.curate: doc id outside the instance-id domain [0, $idMax]: "),
             col(idCol).cast("string"))))
           .otherwise(col(idCol) * 100 + col("copy")))
-      .drop("__copies")
+      .drop("__copies"))
 
     // 5. sequence packing over instances; re-attach provenance with
     // the pipeline's one corpus-sized equi-join
