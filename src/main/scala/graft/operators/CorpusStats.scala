@@ -248,17 +248,66 @@ object CorpusStats {
     *         clean_text = "".
     */
   def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int): DataFrame =
+    dropDuplicateLinesWith(docs, idCol, textCol,
+      lineDf(docs, idCol, textCol), maxDocFreq)
+
+  /** The corpus statistics half of [[dropDuplicateLines]], factored
+    * out so it can be maintained INCREMENTALLY: the per-line
+    * distinct-document frequency table (line_key, line_df) over every
+    * trimmed non-blank line. One map-only posexplode + one two-phase
+    * count-distinct — Heaps-law-sized output (the line vocabulary).
+    *
+    * This is the reference's whole design ethos (hash gates,
+    * watermarks — incremental state, never full recompute) applied to
+    * corpus curation: compute [[lineDf]] per ingestion batch, fold new
+    * days in with [[mergeLineDf]], and gate documents against the
+    * maintained table with [[dropDuplicateLinesWith]] — no 100 TB
+    * recount to admit one day's data.
+    */
+  def lineDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__id"), trim(col("__line")).as("line_key"))
+      .where(col("line_key") =!= "")
+      .groupBy(col("line_key"))
+      .agg(countDistinct(col("__id")).as("line_df"))
+
+  /** Additive merge of per-batch [[lineDf]] partials — one union +
+    * one sum per line key. EXACT precondition: the batches must
+    * PARTITION the document space (every document in exactly one
+    * batch — the natural shape of daily ingestion), so per-batch
+    * distinct-doc counts add without overlap. Pinned
+    * merge ≡ full recompute in `CurationSpec` and oracle-checked as
+    * `x_linedf_incremental`; the streaming maintenance loop (a
+    * foreachBatch folding each micro-batch's partial into a persisted
+    * stats table) is tested in `StreamingDedupSpec`.
+    */
+  def mergeLineDf(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeLineDf: no partials")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("line_key"))
+      .agg(sum(col("line_df")).as("line_df"))
+  }
+
+  /** [[dropDuplicateLines]] against a PRECOMPUTED (e.g. incrementally
+    * maintained) stats table of (line_key, line_df).
+    * `dropDuplicateLinesWith(docs, …, lineDf(docs, …), k)` ≡
+    * `dropDuplicateLines(docs, …, k)` by construction; with a MERGED
+    * table the gate judges lines against the whole maintained corpus,
+    * not just the batch in hand.
+    */
+  def dropDuplicateLinesWith(docs: DataFrame, idCol: String,
+      textCol: String, stats: DataFrame, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
     val lines = docs.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
       .withColumn("__k", trim(col("__line")))
-    val lineDf = lines.where(col("__k") =!= "")
-      .groupBy(col("__k"))
-      .agg(countDistinct(col("__id")).as("__df"))
     val kept = lines
-      .join(lineDf, Seq("__k"), "left")
-      .where(col("__k") === "" || col("__df") <= maxDocFreq)
+      .join(stats.select(col("line_key").as("__k"),
+        col("line_df").as("__df")), Seq("__k"), "left")
+      .where(col("__k") === "" || col("__df").isNull ||
+        col("__df") <= maxDocFreq)
     val rebuilt = kept.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -248,6 +248,41 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental corpus-stats maintenance
+    * ([[graft.operators.CorpusStats.lineDf]] /
+    * [[graft.operators.CorpusStats.mergeLineDf]]): split the corpus
+    * into three DISJOINT batches (doc_id % 3 — a stand-in for daily
+    * ingestion), compute each batch's line-df partial, fold them with
+    * the additive merge, and emit every line key seen in ≥ 2 distinct
+    * docs. The oracle computes the same table in ONE full-corpus
+    * count(DISTINCT doc_id) — equality IS the incremental ≡ recompute
+    * proof, the operator's whole contract (the reference's
+    * hash-gate/watermark ethos applied to corpus statistics:
+    * `internal/service/tasks.go:79-127` never recounts history to
+    * admit a day). Same lined rendition + planted boilerplate as
+    * [[xTextLineDedup]], so the planted header (df ≈ n/3, all in one
+    * batch) and footer (df ≈ n/5, spread over all three) both cross
+    * batch boundaries differently — a merge that double-counted or
+    * dropped a partial could not match.
+    */
+  private def xLinedfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+      c => array_join(c.getField("toks"), " "))
+    val t2 = concat(
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter\n")).otherwise(lit("")),
+      array_join(lines0, "\n"),
+      when(col("doc_id") % 5 === 0,
+        lit("\nall rights reserved")).otherwise(lit("")))
+    val docs = Tables.documents(s, dir).withColumn("__t2", t2)
+    val parts = (0 to 2).map(r =>
+      graft.operators.CorpusStats.lineDf(
+        docs.where(col("doc_id") % 3 === r), "doc_id", "__t2"))
+    graft.operators.CorpusStats.mergeLineDf(parts)
+      .where(col("line_df") >= 2)
+      .orderBy("line_key")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -1067,6 +1102,7 @@ object ExtensionQueries {
     "x_text_gopher" -> (xTextGopher _),
     "x_text_c4" -> (xTextC4 _),
     "x_text_line_dedup" -> (xTextLineDedup _),
+    "x_linedf_incremental" -> (xLinedfIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -1399,6 +1435,28 @@ object ExtensionQueries {
         |  md5(COALESCE(rb.clean_text, '')) AS clean_md5
         |FROM ls LEFT JOIN rb USING (doc_id)
         |ORDER BY ls.doc_id""".stripMargin),
+
+    "x_linedf_incremental" -> (tokCte +
+      """, ln0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(toks), 8),
+        |      g -> array_to_string(list_slice(toks, g + 1, g + 8), ' ')) AS lines
+        |  FROM tk),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+        |    || array_to_string(lines, chr(10))
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN chr(10) || 'all rights reserved' ELSE '' END AS t2
+        |  FROM ln0),
+        |lx AS (
+        |  SELECT doc_id, trim(l) AS kk
+        |  FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM p1))
+        |SELECT kk AS line_key, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
+        |FROM lx WHERE kk <> ''
+        |GROUP BY kk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY line_key""".stripMargin),
 
     "x_text_stats" -> (tokCte +
       s"""SELECT doc_id,

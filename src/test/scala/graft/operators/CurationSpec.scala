@@ -85,6 +85,51 @@ class CurationSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 3L))
   }
 
+  test("incremental line-df: partial merge == full recompute, the merged " +
+    "table gates like the self-computed one, unseen lines pass") {
+    val boiler = "please subscribe to our newsletter now."
+    val docs = Seq(
+      (1L, mk("red") + "\n" + boiler),
+      (2L, mk("blue") + "\n" + boiler),
+      (3L, mk("green") + "\n" + boiler),
+      (4L, mk("plain")),
+      (5L, Seq(boiler, boiler, boiler).mkString("\n")), // in-doc repeats: df 1
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val full = CorpusStats.lineDf(docs, "doc_id", "text")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    // boiler in 4 distinct docs (in-doc repetition must not inflate)
+    assert(full.find(_._1 == boiler.trim).map(_._2).contains(4L))
+    // merge of disjoint batches == full recompute
+    val parts = Seq(0L, 1L, 2L).map(r =>
+      CorpusStats.lineDf(docs.where($"doc_id" % 3 === r), "doc_id", "text"))
+    val merged = CorpusStats.mergeLineDf(parts)
+    assert(merged.as[(String, Long)].collect().sortBy(_._1).toSeq == full)
+    // gating through the merged table == the self-computed gate
+    val direct = CorpusStats.dropDuplicateLines(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val viaStats = CorpusStats.dropDuplicateLinesWith(docs, "doc_id", "text",
+        merged, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaStats == direct)
+    // a NEW batch gated against the maintained table: its own fresh lines
+    // are absent from the stats (NULL df) and must survive; the known
+    // boilerplate must be stripped
+    val newDay = Seq((7L, "a fresh never-seen line\n" + boiler))
+      .toDF("doc_id", "text")
+    val gated = CorpusStats.dropDuplicateLinesWith(newDay, "doc_id", "text",
+        merged, 2)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(gated == ((7L, 2L, 1L, "a fresh never-seen line")))
+    // folding the new day in advances the stats additively
+    val day2 = CorpusStats.mergeLineDf(Seq(merged,
+      CorpusStats.lineDf(newDay, "doc_id", "text")))
+    assert(day2.where($"line_key" === boiler.trim).as[(String, Long)]
+      .collect().head._2 == 5L)
+    assert(day2.where($"line_key" === "a fresh never-seen line")
+      .as[(String, Long)].collect().head._2 == 1L)
+  }
+
   test("curate: out-of-domain doc ids fail loudly instead of silently " +
     "colliding instance ids") {
     val bad = Seq(

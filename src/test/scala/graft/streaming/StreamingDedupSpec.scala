@@ -188,6 +188,47 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental line-df maintenance: per-micro-batch partials folded " +
+    "into a stats table equal the full recompute; the maintained table " +
+    "gates a later batch") {
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      (1L, "unique alpha\nBOILER\nunique beta"),
+      (2L, "BOILER\nunique gamma"))
+    val batch2 = Seq(
+      (3L, "BOILER\nunique delta"),
+      (4L, "unique epsilon\nBOILER"))
+    val batch3 = Seq((5L, "solo content only"))
+    val input = MemoryStream[(Long, String)]
+    // the maintenance loop: fold each micro-batch's partial into the
+    // running stats table (materialized per batch to cut lineage —
+    // exactly the shape a daily parquet-backed stats table would take)
+    var stats = Seq.empty[(String, Long)].toDF("line_key", "line_df")
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        stats = CorpusStats.mergeLineDf(Seq(stats,
+          CorpusStats.lineDf(b, "doc_id", "text"))).localCheckpoint(true)
+      }.start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = stats.as[(String, Long)].collect().sortBy(_._1).toSeq
+    val full = CorpusStats.lineDf(
+        (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(maintained == full, "incremental maintenance drifted from recompute")
+    assert(maintained.find(_._1 == "BOILER").map(_._2).contains(4L))
+    // gate a NEW day against the maintained table without recounting
+    val day = Seq((9L, "fresh words today\nBOILER")).toDF("doc_id", "text")
+    val gated = CorpusStats.dropDuplicateLinesWith(day, "doc_id", "text",
+        stats, maxDocFreq = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(gated == ((9L, 2L, 1L, "fresh words today")))
+  }
+
   test("band-parameter footguns fail loudly, never silently zero-match") {
     val corpus = corpusDocs.toDF("doc_id", "text")
     // k not a multiple of rowsPerBand would silently drop trailing sigs
