@@ -40,13 +40,50 @@ object CorpusStats {
     *         idCol to re-attach them.
     */
   def meanTokenDf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    meanTokenDfWith(docs, idCol, textCol, tokenDf(docs, idCol, textCol))
+
+  /** The corpus-statistics half of [[meanTokenDf]], factored for
+    * INCREMENTAL maintenance (same contract as [[lineDf]]): the
+    * per-token distinct-document frequency table (token, token_df).
+    * Per-doc dedup happens before the explode, so in-doc spam
+    * repetition cannot inflate a batch's partial.
+    */
+  def tokenDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(array_distinct(T.tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("token_df"))
+
+  /** Additive merge of per-batch [[tokenDf]] partials — exact iff the
+    * batches partition the document space (each document counted in
+    * exactly one batch). Oracle-checked as `x_tokendf_incremental`
+    * (merge of disjoint batches ≡ one full-corpus recompute).
+    */
+  def mergeTokenDf(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeTokenDf: no partials")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("token"))
+      .agg(sum(col("token_df")).as("token_df"))
+  }
+
+  /** [[meanTokenDf]] against a PRECOMPUTED (e.g. incrementally
+    * maintained) (token, token_df) table: score any batch of
+    * documents for corpus-relative rarity against the WHOLE maintained
+    * corpus without recounting it. Tokens absent from the stats table
+    * contribute df 0 (maximally rare — they have never been seen),
+    * unlike the self-computed form where every present token counts
+    * itself at least once.
+    */
+  def meanTokenDfWith(docs: DataFrame, idCol: String, textCol: String,
+      stats: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"),
         explode(array_distinct(T.tokens(col(textCol)))).as("__tok"))
-    val dfs = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val perDoc = toks.join(dfs, "__tok")
+    val perDoc = toks.join(
+        stats.select(col("token").as("__tok"), col("token_df").as("__df")),
+        Seq("__tok"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_distinct_toks"), sum(col("__df")).as("df_sum"))
+      .agg(count(lit(1)).as("n_distinct_toks"),
+        sum(coalesce(col("__df"), lit(0L))).as("df_sum"))
     docs.select(col(idCol))
       .join(perDoc, col(idCol) === col("__id"), "left")
       .select(col(idCol),

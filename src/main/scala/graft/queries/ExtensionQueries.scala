@@ -283,6 +283,22 @@ object ExtensionQueries {
       .orderBy("line_key")
   }
 
+  /** Incremental token-df maintenance
+    * ([[graft.operators.CorpusStats.tokenDf]] /
+    * [[graft.operators.CorpusStats.mergeTokenDf]] — the rarity model's
+    * stats table, maintained the same way as the line-df table): four
+    * disjoint batches (doc_id % 4), per-batch partials, additive
+    * merge, against the oracle's one full-corpus distinct-doc count.
+    */
+  private def xTokendfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val parts = (0 to 3).map(r =>
+      graft.operators.CorpusStats.tokenDf(
+        docs.where(col("doc_id") % 4 === r), "doc_id", "text"))
+    graft.operators.CorpusStats.mergeTokenDf(parts)
+      .orderBy("token")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -1103,6 +1119,7 @@ object ExtensionQueries {
     "x_text_c4" -> (xTextC4 _),
     "x_text_line_dedup" -> (xTextLineDedup _),
     "x_linedf_incremental" -> (xLinedfIncremental _),
+    "x_tokendf_incremental" -> (xTokendfIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -1874,6 +1891,12 @@ object ExtensionQueries {
         |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared_spans
         |FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+
+    "x_tokendf_incremental" -> (tokCte +
+      """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk)
+        |SELECT token, CAST(count(*) AS BIGINT) AS token_df
+        |FROM dt GROUP BY token
+        |ORDER BY token""".stripMargin),
 
     "x_text_rarity" -> (tokCte +
       """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),

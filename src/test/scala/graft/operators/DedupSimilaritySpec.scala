@@ -939,6 +939,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3) == ((4L, 1L, Some(1L), Some(1.0))),
       "in-doc repetition must not inflate df or the score")
     assert(out(4) == ((5L, 0L, None, None)), "empty doc: zero tokens, null score")
+
+    // incremental token-df: disjoint-batch merge == full recompute, and
+    // scoring through the merged table == the self-computed form
+    val parts = Seq(0L, 1L).map(r => graft.operators.CorpusStats
+      .tokenDf(docs.where($"doc_id" % 2 === r), "doc_id", "text"))
+    val merged = graft.operators.CorpusStats.mergeTokenDf(parts)
+    val full = graft.operators.CorpusStats.tokenDf(docs, "doc_id", "text")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(merged.as[(String, Long)].collect().sortBy(_._1).toSeq == full)
+    val viaStats = graft.operators.CorpusStats
+      .meanTokenDfWith(docs, "doc_id", "text", merged)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    assert(viaStats.toSeq == out.toSeq)
+    // a NEW batch scored against the maintained table: never-seen tokens
+    // carry df 0 (maximally rare), known tokens their corpus df
+    val newDay = Seq((9L, "alpha newword")).toDF("doc_id", "text")
+    val scored = graft.operators.CorpusStats
+      .meanTokenDfWith(newDay, "doc_id", "text", merged)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().head
+    assert(scored == ((9L, 2L, Some(3L), Some(1.5))),
+      s"alpha df 3 + newword df 0 over 2 distinct: $scored")
   }
 
   test("bigramLm: ref-like docs score high, OOV text flagged, short/empty " +
