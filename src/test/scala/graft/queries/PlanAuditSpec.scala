@@ -416,6 +416,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian products")
   }
 
+  test("incremental stats merge: per-batch partials keep their two-phase " +
+    "count-distinct, the merge partial-sums, nothing single-partitions") {
+    for (name <- Seq("x_linedf_incremental", "x_tokendf_incremental")) {
+      val p = plan(name)
+      // each disjoint batch's df partial is two-phase with a map-side
+      // partial before the key exchange; lineDf dedups docs via
+      // count-distinct, tokenDf dedups IN-ROW (array_distinct before
+      // the explode) so its partial is a plain count
+      if (name == "x_linedf_incremental")
+        assert(p.contains("partial_count(distinct"),
+          s"$name: batch partial lost its two-phase count-distinct:\n$p")
+      else
+        assert(p.contains("partial_count(1)") && p.contains("array_distinct"),
+          s"$name: batch partial lost in-row dedup + two-phase count:\n$p")
+      // the additive merge is union + partial-summed aggregation
+      assert(p.contains("Union"), s"$name: merge lost its union:\n$p")
+      assert(p.contains("partial_sum"),
+        s"$name: merge must partial-aggregate map-side:\n$p")
+      // the output orderBy is a range exchange; nothing may serialize
+      // the stats table to one partition
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name: nothing in the merge may single-partition:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian products")
+    }
+  }
+
   test("bm25 search: the corpus never hash-shuffles — top-k via " +
     "TakeOrderedAndProject, stats as a 1-row broadcast") {
     val p = plan("x_search_bm25")
