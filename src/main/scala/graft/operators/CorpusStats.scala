@@ -162,20 +162,51 @@ object CorpusStats {
     *         join back on idCol to re-attach other columns.
     */
   def bigramLm(docs: DataFrame, idCol: String, textCol: String,
-      refPredicate: Column): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      refPredicate.as("__is_ref"), T.tokens(col(textCol)).as("__toks"))
-    val bg = toks
-      .select(col("__id"), col("__is_ref"),
-        explode(bigramPairs(col("__toks"))).as("__p"))
-      .select(col("__id"), col("__is_ref"),
-        col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
-    val c12 = bg.where(col("__is_ref"))
-      .groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
-    // context counts over bigram LEFT positions (reuses the bg explode:
-    // one fewer corpus pass than a separate unigram explode would cost)
-    val c1 = bg.where(col("__is_ref"))
-      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+      refPredicate: Column): DataFrame =
+    bigramLmWith(docs, idCol, textCol,
+      bigramCounts(docs.where(refPredicate), idCol, textCol))
+
+  /** The trained model of [[bigramLm]], factored for INCREMENTAL
+    * maintenance (same contract as [[lineDf]]/[[tokenDf]]): the
+    * bigram-occurrence count table (w1, bg, n) over a reference slice.
+    * ONE table is the whole model — the context denominator c(w1) is
+    * the w1-grouped sum of the same counts (every bigram left position
+    * is counted exactly once here), so maintaining bigram counts
+    * maintains both halves of the score.
+    */
+  def bigramCounts(refDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    refDocs.select(explode(bigramPairs(T.tokens(col(textCol)))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.bg").as("bg"))
+      .groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("n"))
+
+  /** Additive merge of per-batch [[bigramCounts]] partials — exact iff
+    * the batches partition the reference-document space. Plain
+    * occurrence counts (no distinct), so the merge is one union + sum.
+    */
+  def mergeBigramCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeBigramCounts: no partials")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("w1"), col("bg"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** [[bigramLm]] against a PRECOMPUTED (e.g. incrementally
+    * maintained) model table: score any batch of documents without
+    * re-training. The context counts c(w1) are derived from the model
+    * itself (a model-sized aggregate, never a corpus pass); bigrams
+    * absent from the model are OOV, exactly as in the self-trained
+    * form.
+    */
+  def bigramLmWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val c12 = model.select(col("bg").as("__bg"), col("n").as("__c12"))
+    val c1 = model.groupBy(col("w1").as("__w1"))
+      .agg(sum(col("n")).as("__c1"))
+    val bg = docs
+      .select(col(idCol).as("__id"),
+        explode(bigramPairs(T.tokens(col(textCol)))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
     val perDoc = bg
       .join(c12, Seq("__bg"), "left")
       .join(c1, Seq("__w1"), "left")

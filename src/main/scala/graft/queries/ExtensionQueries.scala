@@ -299,6 +299,28 @@ object ExtensionQueries {
       .orderBy("token")
   }
 
+  /** Incremental bigram-LM model maintenance
+    * ([[graft.operators.CorpusStats.bigramCounts]] /
+    * [[graft.operators.CorpusStats.mergeBigramCounts]] /
+    * [[graft.operators.CorpusStats.bigramLmWith]]): train the CCNet-
+    * shaped model from three DISJOINT reference batches, fold the
+    * partials additively, and score EVERY document against the merged
+    * model. The oracle is [[xQualityLm]]'s SQL verbatim (one
+    * full-corpus training pass) — equality proves incremental model ≡
+    * full model through the entire scoring path, not just the count
+    * table.
+    */
+  private def xBigramlmIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val parts = (0 to 2).map(r =>
+      graft.operators.CorpusStats.bigramCounts(
+        docs.where(col("lang") === "en" && col("doc_id") % 3 === r),
+        "doc_id", "text"))
+    graft.operators.CorpusStats.bigramLmWith(docs, "doc_id", "text",
+        graft.operators.CorpusStats.mergeBigramCounts(parts))
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (Gopher-style quality rules): distinct-token
     * ratio and the share of the single most frequent token — boilerplate
     * and degenerate generations score low ratio / high share. The
@@ -1112,6 +1134,43 @@ object ExtensionQueries {
       |""".stripMargin +
       s"    ${dotSql("v", "v")} AS nsq\n  FROM e)\n"
 
+  /** Full-corpus bigram-LM scoring SQL — shared by x_quality_lm
+    * (self-trained) and x_bigramlm_incremental (merged model: the
+    * incremental model must reproduce these scores EXACTLY).
+    */
+  private def qualityLmSql: String = tokCte +
+    """, bge AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)), i ->
+        |      struct_pack(w1 := toks[i],
+        |                  bg := toks[i] || chr(1) || toks[i + 1]))) AS p
+        |  FROM tk),
+        |bgf AS (SELECT doc_id, lang, p.w1 AS w1, p.bg AS bg FROM bge),
+        |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bgf WHERE lang = 'en' GROUP BY bg),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM bgf WHERE lang = 'en'
+        |  GROUP BY w1),
+        |pd AS (
+        |  SELECT bgf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(c12.c12) AS BIGINT) AS hits,
+        |    CAST(sum(COALESCE(c12.c12, 0)) AS BIGINT) AS c12_sum,
+        |    CAST(sum(COALESCE(c1.c1, 0)) AS BIGINT) AS c1_sum
+        |  FROM bgf LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)
+        |  GROUP BY bgf.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN pd.n_bigrams IS NULL THEN NULL
+        |    ELSE round(CAST(CAST(pd.n_bigrams - pd.hits AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(pd.n_bigrams AS VARCHAR) AS DOUBLE), 6)
+        |  END AS oov_bigram_frac,
+        |  CASE WHEN COALESCE(pd.c1_sum, 0) = 0 THEN NULL
+        |    ELSE round(CAST(CAST(pd.c12_sum AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(pd.c1_sum AS VARCHAR) AS DOUBLE), 6)
+        |  END AS lm_score
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x_text_stats" -> (xTextStats _),
     "x_text_repetition" -> (xTextRepetition _),
@@ -1120,6 +1179,7 @@ object ExtensionQueries {
     "x_text_line_dedup" -> (xTextLineDedup _),
     "x_linedf_incremental" -> (xLinedfIncremental _),
     "x_tokendf_incremental" -> (xTokendfIncremental _),
+    "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
@@ -1941,38 +2001,11 @@ object ExtensionQueries {
            |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
     },
 
-    "x_quality_lm" -> (tokCte +
-      """, bge AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(toks)), i ->
-        |      struct_pack(w1 := toks[i],
-        |                  bg := toks[i] || chr(1) || toks[i + 1]))) AS p
-        |  FROM tk),
-        |bgf AS (SELECT doc_id, lang, p.w1 AS w1, p.bg AS bg FROM bge),
-        |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
-        |  FROM bgf WHERE lang = 'en' GROUP BY bg),
-        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |  FROM bgf WHERE lang = 'en'
-        |  GROUP BY w1),
-        |pd AS (
-        |  SELECT bgf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(count(c12.c12) AS BIGINT) AS hits,
-        |    CAST(sum(COALESCE(c12.c12, 0)) AS BIGINT) AS c12_sum,
-        |    CAST(sum(COALESCE(c1.c1, 0)) AS BIGINT) AS c1_sum
-        |  FROM bgf LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)
-        |  GROUP BY bgf.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CASE WHEN pd.n_bigrams IS NULL THEN NULL
-        |    ELSE round(CAST(CAST(pd.n_bigrams - pd.hits AS VARCHAR) AS DOUBLE) /
-        |               CAST(CAST(pd.n_bigrams AS VARCHAR) AS DOUBLE), 6)
-        |  END AS oov_bigram_frac,
-        |  CASE WHEN COALESCE(pd.c1_sum, 0) = 0 THEN NULL
-        |    ELSE round(CAST(CAST(pd.c12_sum AS VARCHAR) AS DOUBLE) /
-        |               CAST(CAST(pd.c1_sum AS VARCHAR) AS DOUBLE), 6)
-        |  END AS lm_score
-        |FROM documents d LEFT JOIN pd USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin),
+    "x_quality_lm" -> qualityLmSql,
+
+    // the incremental model must reproduce the full-training scores
+    // EXACTLY, so its oracle is the same full-corpus SQL
+    "x_bigramlm_incremental" -> qualityLmSql,
 
     "x_sample_quality" -> (tokCte +
       s"""SELECT doc_id,

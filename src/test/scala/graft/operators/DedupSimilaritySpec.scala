@@ -1004,6 +1004,36 @@ class DedupSimilaritySpec extends SparkSpec {
     // -> 1.0 exactly; unigram would read 1/2 = 0.5)
     assert(scored(1) == ((2L, 1L, Some(0.0), Some(1.0))))
     assert(scored(2) == ((3L, 1L, Some(1.0), Some(0.0))))
+
+    // incremental model: disjoint-batch merge == full training, and
+    // scoring through the merged model == the self-trained form
+    val parts = Seq(0L, 1L, 2L).map(r => graft.operators.CorpusStats
+      .bigramCounts(docs.where(col("lang") === "en" && $"doc_id" % 3 === r),
+        "doc_id", "text"))
+    val merged = graft.operators.CorpusStats.mergeBigramCounts(parts)
+    val fullModel = graft.operators.CorpusStats
+      .bigramCounts(docs.where(col("lang") === "en"), "doc_id", "text")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(merged.as[(String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq == fullModel)
+    val viaModel = graft.operators.CorpusStats
+      .bigramLmWith(docs, "doc_id", "text", merged)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(viaModel.toSeq == out.toSeq)
+    // a NEW day scored against the maintained model, no retraining:
+    // "the cat" is in-model (c12=2, c_ctx(the)=2), "the dog" is OOV
+    // with an observed context -> (c12 0 + 2-of-2 hits... compute:
+    // doc "the cat": bigram (the,cat) c12 2, c1(the) 2 -> 1.0, oov 0
+    val day = Seq((10L, "en", "the cat"), (11L, "en", "the dog"))
+      .toDF("doc_id", "lang", "text")
+    val dayScored = graft.operators.CorpusStats
+      .bigramLmWith(day, "doc_id", "text", merged)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(dayScored(0) == ((10L, 1L, Some(0.0), Some(1.0))))
+    assert(dayScored(1) == ((11L, 1L, Some(1.0), Some(0.0))),
+      s"OOV bigram with known context: ${dayScored(1)}")
   }
 
   test("dropDuplicateLines: corpus-frequent lines stripped, order and original " +
