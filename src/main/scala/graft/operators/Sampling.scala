@@ -302,28 +302,67 @@ object Sampling {
     */
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, targetPredicate: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame =
+    dsirWeightsWith(docs, idCol, textCol,
+      dsirModel(docs, idCol, textCol, targetPredicate, buckets), buckets)
+
+  /** The trained model of [[dsirWeights]], factored for INCREMENTAL
+    * maintenance (same contract as the line-df / token-df / bigram-LM
+    * tables): per hashed-feature bucket, the target-slice and
+    * whole-corpus occurrence counts (bucket, tgt_n, raw_n). ONE
+    * aggregate pass computes both columns, the table is BOUNDED at
+    * `buckets` rows regardless of corpus size, and the totals both
+    * scores need are its own column sums — so the maintained model is
+    * a single broadcastable table.
+    */
+  def dsirModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetPredicate: Column,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
-    val toks = docs.select(col(idCol).as("__id"),
-      targetPredicate.as("__is_tgt"),
-      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-    val feats = toks.select(col("__id"), col("__is_tgt"),
-      explode(dsirFeatures(col("__toks"), buckets)).as("__b"))
-    val tgt = feats.where(col("__is_tgt"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val raw = feats.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val totals = feats.agg(
-      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("__nt"),
-      count(lit(1)).as("__nr"))
-    // a doc's own features are in the raw model, so the raw join is
-    // inner (never drops a row) and raw_mass > 0 whenever n_feats > 0
+    docs.select(targetPredicate.as("__is_tgt"),
+        explode(dsirFeatures(
+          graft.functions.TextFunctions.tokens(col(textCol)), buckets))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("tgt_n"),
+        count(lit(1)).as("raw_n"))
+  }
+
+  /** Additive merge of per-batch [[dsirModel]] partials — exact iff
+    * the batches partition the document space. Union + two sums over
+    * a ≤ `buckets`-row table.
+    */
+  def mergeDsirModel(parts: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    require(parts.nonEmpty, "mergeDsirModel: no partials")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("bucket"))
+      .agg(sum(col("tgt_n")).as("tgt_n"), sum(col("raw_n")).as("raw_n"))
+  }
+
+  /** [[dsirWeights]] against a PRECOMPUTED (e.g. incrementally
+    * maintained) model table: weight any batch of documents without
+    * refitting. Feature buckets absent from the model contribute zero
+    * mass to both sides (for the self-computed composition this never
+    * happens — a doc's own features are in the raw counts — so the
+    * composition is exactly the original operator).
+    */
+  def dsirWeightsWith(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: org.apache.spark.sql.DataFrame,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    val feats = docs.select(col(idCol).as("__id"),
+      explode(dsirFeatures(
+        graft.functions.TextFunctions.tokens(col(textCol)), buckets))
+        .as("bucket"))
+    val totals = model.agg(sum(col("tgt_n")).as("__nt"),
+      sum(col("raw_n")).as("__nr"))
     val perDoc = feats
-      .join(tgt, Seq("__b"), "left")
-      .join(raw, Seq("__b"))
+      .join(model, Seq("bucket"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("__ct"), lit(0L))).as("tgt_mass"),
-        sum(col("__cr")).as("raw_mass"))
+        sum(coalesce(col("tgt_n"), lit(0L))).as("tgt_mass"),
+        sum(coalesce(col("raw_n"), lit(0L))).as("raw_mass"))
     docs.select(col(idCol))
       .join(perDoc, col(idCol) === col("__id"), "left")
       .crossJoin(broadcast(totals))

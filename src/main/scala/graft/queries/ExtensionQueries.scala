@@ -686,6 +686,27 @@ object ExtensionQueries {
         col("lang") === "en", buckets = 4096)
       .orderBy("doc_id")
 
+  /** Incremental DSIR model maintenance
+    * ([[graft.operators.Sampling.dsirModel]] /
+    * [[graft.operators.Sampling.mergeDsirModel]] /
+    * [[graft.operators.Sampling.dsirWeightsWith]]): fit the bounded
+    * hashed-feature model from four DISJOINT batches, fold the
+    * partials additively, weight EVERY document against the merged
+    * model. Oracle = [[xSampleDsir]]'s full-fit SQL verbatim —
+    * equality proves incremental model ≡ full model through the whole
+    * weighting path.
+    */
+  private def xDsirIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val parts = (0 to 3).map(r =>
+      graft.operators.Sampling.dsirModel(
+        docs.where(col("doc_id") % 4 === r), "doc_id", "text",
+        col("lang") === "en", buckets = 4096))
+    graft.operators.Sampling.dsirWeightsWith(docs, "doc_id", "text",
+        graft.operators.Sampling.mergeDsirModel(parts), buckets = 4096)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination scan: every 100th doc plays the eval set;
     * report corpus docs sharing any 5-gram shingle with it.
     */
@@ -1171,6 +1192,47 @@ object ExtensionQueries {
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
 
+  /** Full-corpus DSIR weighting SQL — shared by x_sample_dsir
+    * (self-fitted) and x_dsir_incremental (merged model: the
+    * incremental model must reproduce these weights EXACTLY).
+    */
+  private def sampleDsirSql: String = tokCte +
+    """, uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM tk),
+        |bgr AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || chr(1) || toks[i + 1])) AS f
+        |  FROM tk),
+        |feats AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt,
+        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bgr)),
+        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |  FROM feats WHERE is_tgt GROUP BY b),
+        |rw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY b),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(count(*) AS BIGINT) AS nr FROM feats),
+        |pd AS (
+        |  SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(COALESCE(tgt.ct, 0)) AS BIGINT) AS tgt_mass,
+        |    CAST(sum(rw.cr) AS BIGINT) AS raw_mass
+        |  FROM feats LEFT JOIN tgt USING (b) JOIN rw USING (b)
+        |  GROUP BY feats.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(COALESCE(pd.tgt_mass, 0) AS BIGINT) AS tgt_mass,
+        |  CAST(COALESCE(pd.raw_mass, 0) AS BIGINT) AS raw_mass,
+        |  CASE WHEN COALESCE(pd.raw_mass, 0) = 0 OR tot.nt = 0 THEN NULL
+        |    ELSE round(
+        |      (CAST(CAST(pd.tgt_mass AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(tot.nr AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(pd.raw_mass AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(tot.nt AS VARCHAR) AS DOUBLE)), 6)
+        |  END AS dsir_weight
+        |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot
+        |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x_text_stats" -> (xTextStats _),
     "x_text_repetition" -> (xTextRepetition _),
@@ -1214,6 +1276,7 @@ object ExtensionQueries {
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
     "x_sample_dsir" -> (xSampleDsir _),
+    "x_dsir_incremental" -> (xDsirIncremental _),
     "x_select_budget" -> (xSelectBudget _),
     "x_text_rarity" -> (xTextRarity _),
     "x_quality_lm" -> (xQualityLm _),
@@ -2072,43 +2135,11 @@ object ExtensionQueries {
          |SELECT doc_id, q AS quality, nt AS n_tokens, cum AS cum_tokens
          |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin),
 
-    "x_sample_dsir" -> (tokCte +
-      """, uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM tk),
-        |bgr AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || chr(1) || toks[i + 1])) AS f
-        |  FROM tk),
-        |feats AS (
-        |  SELECT doc_id, lang = 'en' AS is_tgt,
-        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b
-        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bgr)),
-        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
-        |  FROM feats WHERE is_tgt GROUP BY b),
-        |rw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY b),
-        |tot AS (SELECT
-        |  CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-        |  CAST(count(*) AS BIGINT) AS nr FROM feats),
-        |pd AS (
-        |  SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(sum(COALESCE(tgt.ct, 0)) AS BIGINT) AS tgt_mass,
-        |    CAST(sum(rw.cr) AS BIGINT) AS raw_mass
-        |  FROM feats LEFT JOIN tgt USING (b) JOIN rw USING (b)
-        |  GROUP BY feats.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
-        |  CAST(COALESCE(pd.tgt_mass, 0) AS BIGINT) AS tgt_mass,
-        |  CAST(COALESCE(pd.raw_mass, 0) AS BIGINT) AS raw_mass,
-        |  CASE WHEN COALESCE(pd.raw_mass, 0) = 0 OR tot.nt = 0 THEN NULL
-        |    ELSE round(
-        |      (CAST(CAST(pd.tgt_mass AS VARCHAR) AS DOUBLE) *
-        |       CAST(CAST(tot.nr AS VARCHAR) AS DOUBLE)) /
-        |      (CAST(CAST(pd.raw_mass AS VARCHAR) AS DOUBLE) *
-        |       CAST(CAST(tot.nt AS VARCHAR) AS DOUBLE)), 6)
-        |  END AS dsir_weight
-        |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot
-        |ORDER BY d.doc_id""".stripMargin),
+    "x_sample_dsir" -> sampleDsirSql,
 
+    // the incremental model must reproduce the full-fit weights
+    // EXACTLY, so its oracle is the same full-corpus SQL
+    "x_dsir_incremental" -> sampleDsirSql,
     "x_multimodal_phash" ->
       """WITH h0 AS (
         |  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash

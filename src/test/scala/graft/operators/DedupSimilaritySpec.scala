@@ -609,6 +609,30 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.dsirWeights(docs, "id", "text", $"is_en", 0)
     }
+
+    // incremental model: disjoint-batch merge == full fit, and weighting
+    // through the merged model == the self-fitted form
+    val parts = Seq(0L, 1L).map(r => Sampling.dsirModel(
+      docs.where($"id" % 2 === r), "id", "text", $"is_en", 4096))
+    val merged = Sampling.mergeDsirModel(parts)
+    val fullModel = Sampling.dsirModel(docs, "id", "text", $"is_en", 4096)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      == fullModel)
+    val viaModel = Sampling.dsirWeightsWith(docs, "id", "text", merged, 4096)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(viaModel == out)
+    // a NEW day weighted against the maintained model without refitting:
+    // "a b" is fully in-model (weight 1.5, as doc 1); unseen text has
+    // zero raw mass -> NULL weight (never seen, no evidence either way)
+    val day = Seq((9L, "a b"), (10L, "zz qq")).toDF("id", "text")
+    val dayW = Sampling.dsirWeightsWith(day, "id", "text", merged, 4096)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(dayW == Seq(
+      (9L, 3L, 3L, 6L, Some(1.5)),
+      (10L, 3L, 0L, 0L, None)))
   }
 
   test("tokenBudgetSelect: matches the brute-force global prefix on seeded " +
