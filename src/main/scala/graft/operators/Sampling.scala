@@ -319,10 +319,13 @@ object Sampling {
       textCol: String, targetPredicate: Column,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
+    // tokens projected to a column FIRST: dsirFeatures references the
+    // array several times, and an inline split expression would re-run
+    // the regex per reference (measured 10× on the corpus pass)
     docs.select(targetPredicate.as("__is_tgt"),
-        explode(dsirFeatures(
-          graft.functions.TextFunctions.tokens(col(textCol)), buckets))
-          .as("bucket"))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__is_tgt"),
+        explode(dsirFeatures(col("__toks"), buckets)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("tgt_n"),
         count(lit(1)).as("raw_n"))
@@ -352,9 +355,9 @@ object Sampling {
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
     val feats = docs.select(col(idCol).as("__id"),
-      explode(dsirFeatures(
-        graft.functions.TextFunctions.tokens(col(textCol)), buckets))
-        .as("bucket"))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        explode(dsirFeatures(col("__toks"), buckets)).as("bucket"))
     val totals = model.agg(sum(col("tgt_n")).as("__nt"),
       sum(col("raw_n")).as("__nr"))
     val perDoc = feats
