@@ -95,6 +95,128 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Driver-local BPE merge loop — the Sennrich reference shape taken
+    * literally: BPE trains on the WORD-FREQUENCY TABLE, and that table
+    * is Heaps-law-sized (103k rows at the 500k-doc decade), so once it
+    * fits driver memory the classic in-memory learner with INCREMENTAL
+    * pair-count maintenance beats any per-merge Spark job by orders of
+    * magnitude — no job latency, no shuffle, counts updated only for
+    * the words a merge touches. Spark still does the one corpus-sized
+    * stage (the word count); the learned list is IDENTICAL to
+    * [[trainMerges]] (pinned in `BpeSpec`): raw adjacency counts
+    * weighted by word frequency (overlaps counted, as in
+    * [[pairCounts]]), greedy left-to-right non-overlapping merge
+    * application, argmax ties broken lexicographically on (a, b).
+    *
+    * Use this under `maxWords`; [[trainMergesBatched]] is the
+    * beyond-driver path (a 100 TB corpus's word table may not fit).
+    */
+  def trainMergesLocal(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 20000000): Seq[(Int, String, String)] = {
+    require(nMerges >= 1, s"nMerges=$nMerges")
+    val collected = wordTable(docs, textCol).limit(maxWords + 1).collect()
+    require(collected.length <= maxWords,
+      s"word table exceeds maxWords=$maxWords - use trainMergesBatched")
+    // split per CODE POINT, matching charSyms' substring(word, i, 1)
+    // semantics (a UTF-16-unit split would diverge on non-BMP chars)
+    def charsOf(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val cc = Character.charCount(s.codePointAt(i))
+        out += s.substring(i, i + cc)
+        i += cc
+      }
+      out.toArray
+    }
+    val syms: Array[Array[String]] = collected.map(r => charsOf(r.getString(0)))
+    val freq: Array[Long] = collected.map(_.getLong(1))
+
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String),
+      java.util.HashSet[Integer]]()
+    def addPair(p: (String, String), n: Long, wi: Int): Unit = {
+      val c = counts.getOrDefault(p, 0L) + n
+      if (c == 0L) counts.remove(p) else counts.put(p, c)
+      pairWords.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+        .add(Integer.valueOf(wi))
+    }
+    def dropWord(p: (String, String), n: Long, wi: Int): Unit = {
+      val c = counts.getOrDefault(p, 0L) - n
+      if (c == 0L) counts.remove(p) else counts.put(p, c)
+      val s = pairWords.get(p)
+      if (s != null) { s.remove(Integer.valueOf(wi)); if (s.isEmpty) pairWords.remove(p) }
+    }
+    def pairsOf(w: Array[String]): Seq[(String, String)] =
+      (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    var wi = 0
+    while (wi < syms.length) {
+      pairsOf(syms(wi)).groupBy(identity).foreach { case (p, occ) =>
+        val c = counts.getOrDefault(p, 0L) + occ.size * freq(wi)
+        counts.put(p, c)
+        pairWords.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+          .add(Integer.valueOf(wi))
+      }
+      wi += 1
+    }
+    // one greedy left-to-right non-overlapping pass (≡ MergeAdjacent)
+    def mergeOnce(w: Array[String], a: String, b: String,
+        ab: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+          out += ab; i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // argmax: count desc, then (a, b) lexicographically ascending
+      var best: (String, String) = null
+      var bestC = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val p = e.getKey
+        val c = e.getValue
+        if (best == null || c > bestC ||
+          (c == bestC && (p._1 < best._1 ||
+            (p._1 == best._1 && p._2 < best._2)))) { best = p; bestC = c }
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best
+        val ab = a + b
+        merges += ((r, a, b))
+        val touched = pairWords.get(best)
+        if (touched != null) {
+          val ids = touched.toArray(new Array[Integer](touched.size()))
+          var k = 0
+          while (k < ids.length) {
+            val w = ids(k).intValue()
+            val old = syms(w)
+            val neu = mergeOnce(old, a, b, ab)
+            val n = freq(w)
+            // full per-word delta: retract every old pair occurrence,
+            // admit every new one (exact, handles self-pairs/overlaps)
+            pairsOf(old).groupBy(identity).foreach { case (p, occ) =>
+              dropWord(p, occ.size * n, w) }
+            pairsOf(neu).groupBy(identity).foreach { case (p, occ) =>
+              addPair(p, occ.size * n, w) }
+            syms(w) = neu
+            k += 1
+          }
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Encode words with a learned merge list: apply every merge in
     * rank order (the standard encode — greedy in learned priority).
     * Map-only: the full ordered list rides inside ONE

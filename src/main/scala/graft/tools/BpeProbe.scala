@@ -60,18 +60,34 @@ object BpeProbe {
       seqList = Bpe.trainMerges(docs, "text", nMerges)
       report("trainMerges", (System.nanoTime() - t1) / 1e9, seqList)
     }
-    if (mode == "batched" || mode == "both") {
+    var batList: Seq[(Int, String, String)] = Seq()
+    if (mode == "batched" || mode == "both" || mode == "localvsbatched") {
       val t2 = System.nanoTime()
-      val bat = Bpe.trainMergesBatched(docs, "text", nMerges, maxBatch = maxBatch)
+      batList = Bpe.trainMergesBatched(docs, "text", nMerges, maxBatch = maxBatch)
       val wall = (System.nanoTime() - t2) / 1e9
-      report("trainMergesBatched", wall, bat)
+      report("trainMergesBatched", wall, batList)
       if (mode == "both") {
-        val same = bat == seqList
+        val same = batList == seqList
         println(s"[bpe-probe] batched == sequential: $same")
         if (!same) {
-          val d = bat.zip(seqList).indexWhere { case (x, y) => x != y }
+          val d = batList.zip(seqList).indexWhere { case (x, y) => x != y }
           println(s"[bpe-probe] FIRST DIVERGENCE at rank $d: " +
-            s"batched=${bat.lift(d)} seq=${seqList.lift(d)}")
+            s"batched=${batList.lift(d)} seq=${seqList.lift(d)}")
+          sys.exit(1)
+        }
+      }
+    }
+    if (mode == "local" || mode == "localvsbatched") {
+      val t3 = System.nanoTime()
+      val loc = Bpe.trainMergesLocal(docs, "text", nMerges)
+      report("trainMergesLocal", (System.nanoTime() - t3) / 1e9, loc)
+      if (mode == "localvsbatched") {
+        val same = loc == batList
+        println(s"[bpe-probe] local == batched: $same")
+        if (!same) {
+          val d = loc.zip(batList).indexWhere { case (x, y) => x != y }
+          println(s"[bpe-probe] FIRST DIVERGENCE at rank $d: " +
+            s"local=${loc.lift(d)} batched=${batList.lift(d)}")
           sys.exit(1)
         }
       }

@@ -106,6 +106,28 @@ class BpeSpec extends SparkSpec {
       seqList.take(25))
   }
 
+  test("trainMergesLocal learns the identical list to trainMerges, " +
+    "and the maxWords guard fires") {
+    val hand = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lowest").mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(hand, "text", 4) == Bpe.trainMerges(hand, "text", 4))
+    // exhaustion: more merges requested than pairs exist — both stop
+    assert(Bpe.trainMergesLocal(hand, "text", 50) == Bpe.trainMerges(hand, "text", 50))
+    val rnd = new scala.util.Random(42L)
+    val vocabChars = "abcde"
+    def word(): String =
+      (1 to (2 + rnd.nextInt(7))).map(_ => vocabChars(rnd.nextInt(5))).mkString
+    val docs = (0 until 120).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(10))).map(_ => word()).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(docs, "text", 40) ==
+      Bpe.trainMerges(docs, "text", 40))
+    intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(docs, "text", 4, maxWords = 3)
+    }
+  }
+
   test("pairCounts weights by word frequency and skips word boundaries") {
     val syms = Seq(
       (Seq("a", "b", "c"), 3L),
