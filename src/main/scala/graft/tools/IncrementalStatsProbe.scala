@@ -114,6 +114,38 @@ object IncrementalStatsProbe {
         .agg(sum("n_lines"), sum("n_kept")).as[(Long, Long)].head()
       println(s"[incr-probe]   day lines=${g._1} kept=${g._2}")
     }
+
+    // scoring-only decade legs: the maintained-model *With paths over
+    // the FULL history — what a daily re-score costs when the model is
+    // already maintained (the self-trained forms pay training too)
+    val histLang = spark.read.parquet(s"$histDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val lmModel = timed("bigram-LM: build + persist maintained model (en slice)") {
+      val m = graft.operators.CorpusStats.bigramCounts(
+          histLang.where(col("lang") === "en"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[incr-probe]   model rows=${m.count()}")
+      m
+    }
+    timed("bigram-LM: SCORE the full history against the maintained model") {
+      val s2 = graft.operators.CorpusStats
+        .bigramLmWith(histLang, "doc_id", "text", lmModel)
+        .agg(count(lit(1)), sum("n_bigrams")).as[(Long, Long)].head()
+      println(s"[incr-probe]   scored=${s2._1} bigrams=${s2._2}")
+    }
+    val dsModel = timed("DSIR: build + persist maintained model (en target)") {
+      val m = graft.operators.Sampling.dsirModel(histLang, "doc_id", "text",
+          col("lang") === "en", buckets = 4096)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[incr-probe]   model rows=${m.count()}")
+      m
+    }
+    timed("DSIR: WEIGHT the full history against the maintained model") {
+      val s3 = graft.operators.Sampling
+        .dsirWeightsWith(histLang, "doc_id", "text", dsModel, buckets = 4096)
+        .agg(count(lit(1)), sum("n_feats")).as[(Long, Long)].head()
+      println(s"[incr-probe]   weighted=${s3._1} feats=${s3._2}")
+    }
     println("[incr-probe] OK")
     spark.stop()
   }
