@@ -391,7 +391,7 @@ object CorpusStats {
     val guarded = counts.foldLeft(merged) { (df, c) =>
       df.withColumn(c, when(col(c) < 0, raise_error(concat(
           lit(s"retractStats: count '$c' went negative for key "),
-          concat_ws("", keys.map(k => col(k).cast("string")): _*),
+          concat_ws("/", keys.map(k => col(k).cast("string")): _*),
           lit(" - the retracted partial is not a constituent batch"))))
         .otherwise(col(c)))
     }
