@@ -95,6 +95,35 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Code-point comparison — the SAME total order as UTF-8 unsigned
+    * byte comparison, which is what Spark's UTF8String sort (and hence
+    * [[trainMerges]]/[[trainMergesBatched]]'s `orderBy` on strings)
+    * uses. Java's `String.compareTo` orders by UTF-16 code UNIT, which
+    * diverges for supplementary-plane symbols (a surrogate 0xD800-
+    * 0xDFFF sorts below BMP chars ≥ 0xE000 even though its code point
+    * is larger), so a local argmax tie-break built on `<` would pick a
+    * different merge than the Spark learners on a count tie involving
+    * non-BMP symbols (pinned with a real emoji tie in `BpeSpec`).
+    */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** True iff pair (a1, b1) precedes (a2, b2) in the Spark learners'
+    * tie-break order: (a, b) ascending under UTF-8 byte order.
+    */
+  private def pairLt(a1: String, b1: String, a2: String, b2: String): Boolean = {
+    val c = cmpCodePoints(a1, a2)
+    c < 0 || (c == 0 && cmpCodePoints(b1, b2) < 0)
+  }
+
   /** Driver-local BPE merge loop — the Sennrich reference shape taken
     * literally: BPE trains on the WORD-FREQUENCY TABLE, and that table
     * is Heaps-law-sized (103k rows at the 500k-doc decade), so once it
@@ -106,17 +135,59 @@ object Bpe {
     * [[trainMerges]] (pinned in `BpeSpec`): raw adjacency counts
     * weighted by word frequency (overlaps counted, as in
     * [[pairCounts]]), greedy left-to-right non-overlapping merge
-    * application, argmax ties broken lexicographically on (a, b).
+    * application, argmax ties broken on (a, b) in UTF-8 byte order
+    * (= code-point order — see [[cmpCodePoints]]).
     *
-    * Use this under `maxWords`; [[trainMergesBatched]] is the
+    * DRIVER-MEMORY GUARD, sized BEFORE the collect: the learner's
+    * resident cost is dominated by per-codepoint symbol Strings plus
+    * the pair-count/inverted-index maps — roughly 240 bytes per word
+    * CHARACTER and 200 per word row on a 64-bit JVM (String header +
+    * byte[] ≈ 48 B/char, array slot 8, map/set entries ≈ 150 per
+    * adjacent pair, of which there are ~chars per word). Both factors
+    * are measured from the word table itself with one vocab-sized
+    * aggregate (count + char sum) BEFORE anything is collected, so an
+    * oversized table fails loudly — or falls back — instead of OOMing
+    * the driver mid-collect. `maxWords` stays as a hard row cap
+    * (default 2M ≈ tens-of-MB of rows, ~3 GB estimated resident at
+    * avg 6 chars/word).
+    *
+    * Use this under the guard; [[trainMergesBatched]] is the
     * beyond-driver path (a 100 TB corpus's word table may not fit).
+    *
+    * @param maxWords hard cap on word-table rows collected
+    * @param maxBytes cap on the ESTIMATED resident bytes (default:
+    *                 40% of the driver's max heap)
+    * @param fallbackToBatched when true, an over-budget table trains
+    *                 via [[trainMergesBatched]] (identical list)
+    *                 instead of throwing
     */
   def trainMergesLocal(docs: DataFrame, textCol: String, nMerges: Int,
-      maxWords: Int = 20000000): Seq[(Int, String, String)] = {
+      maxWords: Int = 2000000,
+      maxBytes: Long = (Runtime.getRuntime.maxMemory * 0.4).toLong,
+      fallbackToBatched: Boolean = false): Seq[(Int, String, String)] = {
     require(nMerges >= 1, s"nMerges=$nMerges")
-    val collected = wordTable(docs, textCol).limit(maxWords + 1).collect()
-    require(collected.length <= maxWords,
-      s"word table exceeds maxWords=$maxWords - use trainMergesBatched")
+    val words = wordTable(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val collected = try {
+      // pre-collect sizing pass: one cheap aggregate over the (already
+      // computed, persisted) vocab-sized table — never a corpus pass
+      val sized = words.agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("word")).cast("long")), lit(0L)).as("chars"))
+        .collect()(0)
+      val (rows, chars) = (sized.getLong(0), sized.getLong(1))
+      val estBytes = chars * 240L + rows * 200L
+      val fits = rows <= maxWords && estBytes <= maxBytes
+      if (!fits && fallbackToBatched) {
+        words.unpersist(blocking = false)
+        return trainMergesBatched(docs, textCol, nMerges)
+      }
+      require(fits,
+        s"word table too large for the driver-local learner BEFORE " +
+          s"collect: rows=$rows (maxWords=$maxWords), estimated " +
+          s"resident bytes=$estBytes (maxBytes=$maxBytes, from $chars " +
+          s"chars x 240 + rows x 200) - use trainMergesBatched")
+      words.collect()
+    } finally words.unpersist(blocking = false)
     // split per CODE POINT, matching charSyms' substring(word, i, 1)
     // semantics (a UTF-16-unit split would diverge on non-BMP chars)
     def charsOf(s: String): Array[String] = {
@@ -175,7 +246,8 @@ object Bpe {
     var r = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
-      // argmax: count desc, then (a, b) lexicographically ascending
+      // argmax: count desc, then (a, b) ascending in UTF-8 byte order
+      // (= code-point order), matching the Spark learners' orderBy
       var best: (String, String) = null
       var bestC = 0L
       val it = counts.entrySet().iterator()
@@ -184,8 +256,9 @@ object Bpe {
         val p = e.getKey
         val c = e.getValue
         if (best == null || c > bestC ||
-          (c == bestC && (p._1 < best._1 ||
-            (p._1 == best._1 && p._2 < best._2)))) { best = p; bestC = c }
+          (c == bestC && pairLt(p._1, p._2, best._1, best._2))) {
+          best = p; bestC = c
+        }
       }
       if (best == null) exhausted = true
       else {

@@ -128,6 +128,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainMergesLocal tie-break matches Spark's UTF-8 order on " +
+    "non-BMP symbols (supplementary-plane collation)") {
+    // count TIE between a pair led by U+1F600 (😀, surrogate pair: its
+    // UTF-16 code units start 0xD83D) and one led by U+FFFD (�, a BMP
+    // char ABOVE the surrogate range). Java String '<' puts the emoji
+    // first (0xD83D < 0xFFFD); Spark's UTF8String sort — what
+    // trainMerges' orderBy uses — compares UTF-8 bytes (EF BF BD <
+    // F0 9F 98 80), so the � pair must win the tie in BOTH learners.
+    val emoji = new String(Character.toChars(0x1F600))
+    val fffd = "�"
+    val docs = Seq(
+      (1L, Seq.fill(3)(emoji + "z").mkString(" ")),
+      (2L, Seq.fill(3)(fffd + "z").mkString(" "))).toDF("doc_id", "text")
+    val sparkList = Bpe.trainMerges(docs, "text", 2)
+    assert(sparkList.head == ((0, fffd, "z")), s"spark order: $sparkList")
+    assert(Bpe.trainMergesLocal(docs, "text", 2) == sparkList)
+  }
+
+  test("trainMergesLocal driver guard fires from the PRE-COLLECT byte " +
+    "estimate, and fallbackToBatched trains the identical list") {
+    val docs = Seq(
+      (1L, "pack the rows pack the rows again"),
+      (2L, "rows again and again")).toDF("doc_id", "text")
+    // maxBytes below any plausible estimate: the require fires from the
+    // sizing aggregate (message carries the estimate), not from an OOM
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L)
+    }
+    assert(ex.getMessage.contains("BEFORE"), ex.getMessage)
+    assert(ex.getMessage.contains("trainMergesBatched"), ex.getMessage)
+    // same over-budget call with the fallback on: identical list
+    assert(Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L,
+      fallbackToBatched = true) == Bpe.trainMerges(docs, "text", 3))
+  }
+
   test("pairCounts weights by word frequency and skips word boundaries") {
     val syms = Seq(
       (Seq("a", "b", "c"), 3L),
