@@ -351,15 +351,39 @@ object CorpusStats {
     * batch — the natural shape of daily ingestion), so per-batch
     * distinct-doc counts add without overlap. Pinned
     * merge ≡ full recompute in `CurationSpec` and oracle-checked as
-    * `x_linedf_incremental`; the streaming maintenance loop (a
-    * foreachBatch folding each micro-batch's partial into a persisted
-    * stats table) is tested in `StreamingDedupSpec`.
+    * `x_linedf_incremental`. OPERATING the fold under streaming
+    * delivery needs replay protection — foreachBatch is at-least-once
+    * and a re-delivered batch would double-count — so the production
+    * loop is [[graft.streaming.StatsMaintenance]] (persisted batch-id
+    * watermark + atomic versioned publish), not a bare fold.
     */
   def mergeLineDf(parts: Seq[DataFrame]): DataFrame = {
     require(parts.nonEmpty, "mergeLineDf: no partials")
     parts.reduce(_.unionByName(_))
       .groupBy(col("line_key"))
       .agg(sum(col("line_df")).as("line_df"))
+  }
+
+  /** Additive merge, generic over the incremental family's shapes —
+    * the positive dual of [[retractStats]]: union the partials and sum
+    * every count column per key. [[mergeLineDf]]/[[mergeTokenDf]]/
+    * [[mergeBigramCounts]] (and [[Sampling.mergeDsirModel]]) are this
+    * with their columns spelled out; the generic form exists so the
+    * replay-safe maintenance store
+    * ([[graft.streaming.StatsMaintenance]]) can fold ANY of the four
+    * table shapes through one code path. Same exactness precondition
+    * as the named merges: the partials' underlying document sets must
+    * be disjoint.
+    */
+  def mergeStats(parts: Seq[DataFrame], keys: Seq[String],
+      counts: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeStats: no partials")
+    require(keys.nonEmpty && counts.nonEmpty, "mergeStats: empty spec")
+    val cols = (keys ++ counts).map(col)
+    val aggs = counts.map(c => sum(col(c)).as(c))
+    parts.map(_.select(cols: _*)).reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** RETRACT a batch's partial from a maintained additive stats table

@@ -201,9 +201,12 @@ class StreamingDedupSpec extends SparkSpec {
       (4L, "unique epsilon\nBOILER"))
     val batch3 = Seq((5L, "solo content only"))
     val input = MemoryStream[(Long, String)]
-    // the maintenance loop: fold each micro-batch's partial into the
-    // running stats table (materialized per batch to cut lineage —
-    // exactly the shape a daily parquet-backed stats table would take)
+    // the maintenance MERGE MATH: fold each micro-batch's partial into
+    // the running stats table (materialized per batch to cut lineage).
+    // NOTE this bare fold ignores batchId and is NOT replay-safe under
+    // at-least-once delivery — the production loop is StatsMaintenance
+    // (watermark + atomic publish, its own spec); this test pins only
+    // that folded partials equal the recompute
     var stats = Seq.empty[(String, Long)].toDF("line_key", "line_df")
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
