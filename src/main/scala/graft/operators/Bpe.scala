@@ -414,6 +414,95 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Deterministic symbol → id vocabulary assembly — the artifact a
+    * tokenizer ships: ids 0..A-1 are the corpus ALPHABET (every
+    * distinct single-code-point symbol of the word table) in UTF-8
+    * byte order, followed by one id per merge in learned rank order
+    * (the merge's concatenated symbol a+b). This is the standard BPE
+    * vocab layout (Sennrich ACL'16): alphabet first so encode can
+    * never produce an out-of-vocabulary id on training-corpus text,
+    * merge symbols in rank order so vocab ids are stable under vocab
+    * GROWTH (training 40k merges after shipping 32k only APPENDS ids).
+    *
+    * A later merge can re-create a symbol string an earlier merge
+    * already produced (("a","bc") after ("ab","c") both make "abc");
+    * ids stay DENSE and the first producer keeps the id — later
+    * duplicates are skipped, exactly like the encode side where one
+    * symbol string is one vocabulary entry.
+    *
+    * Driver-side by design: the vocabulary is alphabet + merges —
+    * tens of thousands of entries, the size a tokenizer file has to
+    * be anyway. The one corpus-sized stage is [[wordTable]]; the
+    * alphabet distinct runs over the vocab-sized word table.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)]): Seq[(Int, String)] = {
+    val alphabet = wordTable(docs, textCol)
+      .select(explode(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("s"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith(cmpCodePoints(_, _) < 0)
+    val ordered = alphabet.toSeq ++ merges.sortBy(_._1).map(m => m._2 + m._3)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    ordered.foreach { s =>
+      if (!seen.contains(s)) { out += ((out.size, s)); seen += s }
+    }
+    out.toSeq
+  }
+
+  /** Doc → token-id sequences: the tokenizer's LAST MILE — what a
+    * training run actually consumes. Encodes every document under the
+    * learned merges and maps each subword symbol to its [[vocab]] id,
+    * preserving token order.
+    *
+    * Same scale shape as [[subwordCounts]]: the encode (char split +
+    * one [[graft.expressions.MergeList]] kernel + the symbol→id map
+    * lookup) runs on the DISTINCT-word table, and documents join back
+    * on the word — the corpus pays one ordered explode and one
+    * equi-join, never a per-occurrence encode. The id map rides as ONE
+    * map literal (vocabulary-sized — the same tens-of-KB..MB a
+    * tokenizer file costs every worker in any engine).
+    *
+    * Per-doc reassembly collects (word position, ids) structs and
+    * sorts INSIDE the row, so output is deterministic under any
+    * partitioning. Docs with no words survive with an empty sequence.
+    * A symbol absent from the vocabulary (possible only when encoding
+    * NEW text whose alphabet exceeds the training corpus's) maps to
+    * id -1 — the caller's UNK policy hook, chosen over silent drops.
+    *
+    * @return ONLY (idCol, n_ids, ids: array<int>) — join back on
+    *         idCol for other columns; compose with
+    *         [[Packing.packPlacement]] on `n_ids` to lay the id
+    *         streams into context bins (pinned in `BpeSpec`).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)],
+      vocabIds: Seq[(Int, String)]): DataFrame = {
+    require(vocabIds.nonEmpty, "empty vocabulary")
+    require(vocabIds.map(_._2).distinct.size == vocabIds.size,
+      "duplicate symbol in vocabulary")
+    val vmap = typedLit(vocabIds.map { case (i, s) => (s, i) }.toMap)
+    val docWords = docs.select(col(idCol),
+        posexplode(T.tokens(col(textCol))).as(Seq("__wpos", "word")))
+      .where(length(col("word")) > 0)
+    val wordIds = applySyms(docWords.select("word").distinct(), merges)
+      .select(col("word"),
+        transform(col("syms"),
+          s => coalesce(element_at(vmap, s), lit(-1))).as("__ids"))
+    val agg = docWords.join(wordIds, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wpos"), col("__ids")))),
+        s => s.getField("__ids"))).as("ids"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
+      .select(col(idCol), size(col("ids")).cast("long").as("n_ids"),
+        col("ids"))
+  }
+
   /** Per-document subword token counts under a learned merge list —
     * the "how many BPE tokens is my corpus" accounting every training
     * run needs, with the REAL learned merges instead of a heuristic.

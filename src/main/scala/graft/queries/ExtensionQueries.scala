@@ -617,6 +617,39 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary carried from [[xBpeIds]]'s query build to [[oracles]]
+    * (same mechanism as [[bpeTokenMerges]]).
+    */
+  @volatile private var bpeIdMerges: Seq[(Int, String, String)] = Seq()
+  @volatile private var bpeIdVocab: Seq[(Int, String)] = Seq()
+
+  /** Doc → token-id sequences: the tokenizer's last mile. Trains 10
+    * merges (batched learner), assembles the deterministic vocabulary
+    * (alphabet in UTF-8 order, then merge symbols in rank order), and
+    * emits every document's id sequence in token order
+    * ([[graft.operators.Bpe.encodeIds]]). The oracle replays the
+    * encode with [[xBpeTokens]]'s length-prefixed chr(1)-anchored
+    * replace chain, then rewrites each anchored symbol to its vocab id
+    * with a second replace chain — the length prefix makes every
+    * pattern collision-free in ANY order (chr(1)||'1:a' cannot match
+    * inside chr(1)||'2:ab'), and replacements carry no chr(1), so no
+    * replace can create a later match. Output ids joined to a string
+    * (portable across engines; the Spark operator itself returns the
+    * real array<int>).
+    */
+  private def xBpeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocab(docs, "text", merges)
+    bpeIdMerges = merges
+    bpeIdVocab = voc
+    graft.operators.Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+      .select(col("doc_id"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup by perceptual hash: the stub 60-bit hash over the
     * text stand-in payload ([[graft.operators.Multimodal.StubPHasher]]
     * ≡ md5-prefix60 — the real `javax.imageio` average-hash path is
@@ -1302,6 +1335,7 @@ object ExtensionQueries {
     "x_mix_temperature" -> (xMixTemperature _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
+    "x_bpe_ids" -> (xBpeIds _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
     "x_sample_dsir" -> (xSampleDsir _),
@@ -2255,6 +2289,40 @@ object ExtensionQueries {
            |  CAST(coalesce(d.n_words, 0) AS BIGINT) AS n_words,
            |  CAST(coalesce(d.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
            |FROM tk t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "x_bpe_ids" -> {
+      // x_bpe_tokens' anchored encode replay, extended to ids: after
+      // the merge chain, every surviving symbol is rewritten to
+      // ' <vocab id>' by a second replace chain. The length-prefixed
+      // chr(1) anchor makes each symbol pattern collision-free in any
+      // order, and id replacements introduce no chr(1), so replaces
+      // cannot feed each other. Per-token encode inside a lambda keeps
+      // the doc's token ORDER from the toks list itself.
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      def encSym(x: String) = s"chr(1) || ${q(s"${x.length}:$x")}"
+      val charJoin =
+        "array_to_string(list_transform(range(1, length(word) + 1), " +
+          "i -> chr(1) || '1:' || substr(word, CAST(i AS INT), 1)), '')"
+      val merged = bpeIdMerges.sortBy(_._1).foldLeft(charJoin) {
+        case (acc, (_, a, b)) =>
+          s"replace($acc, ${encSym(a)} || ${encSym(b)}, ${encSym(a + b)})"
+      }
+      val idChain = bpeIdVocab.foldLeft(merged) {
+        case (acc, (id, sym)) =>
+          s"replace($acc, ${encSym(sym)}, ${q(s" $id")})"
+      }
+      tokCte +
+        s""", d AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(
+           |      list_filter(toks, w -> length(w) > 0),
+           |      word -> trim($idChain)), ' ') AS ids_str
+           |  FROM tk)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN ids_str = '' THEN 0
+           |       ELSE len(string_split(ids_str, ' ')) END AS BIGINT) AS n_ids,
+           |  ids_str
+           |FROM d ORDER BY doc_id""".stripMargin
     },
 
     "x_bpe_pairs" -> (tokCte +

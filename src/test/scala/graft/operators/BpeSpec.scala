@@ -163,6 +163,88 @@ class BpeSpec extends SparkSpec {
       fallbackToBatched = true) == Bpe.trainMerges(docs, "text", 3))
   }
 
+  test("vocab: alphabet in UTF-8 order then merges in rank order; " +
+    "encodeIds emits ordered id sequences with empty docs surviving") {
+    val docs = Seq(
+      (1L, "low low low lowest"),
+      (2L, "lowest low"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+    val voc = Bpe.vocab(docs, "text", merges)
+    // alphabet of {low, lowest}: e,l,o,s,t,w — ids 0..5 sorted; merges
+    // appended at 6.. in rank order
+    assert(voc.take(6).map(_._2) == Seq("e", "l", "o", "s", "t", "w"))
+    assert(voc.map(_._1) == voc.indices.toSeq, "ids must be dense")
+    assert(voc.drop(6).map(_._2) ==
+      merges.sortBy(_._1).map(m => m._2 + m._3))
+    val vmap = voc.map { case (i, s) => (s, i) }.toMap
+    val got = Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    // reference encode: per word, apply merges in rank order locally
+    def encodeWord(w: String): Seq[Int] = {
+      var syms = w.map(_.toString)
+      merges.sortBy(_._1).foreach { case (_, a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq.toIndexedSeq
+      }
+      syms.map(vmap)
+    }
+    val want = Seq(
+      (1L, Seq("low", "low", "low", "lowest").flatMap(encodeWord)),
+      (2L, Seq("lowest", "low").flatMap(encodeWord)),
+      (3L, Seq.empty[Int]))
+    assert(got == want.map { case (id, ids) => (id, ids.size.toLong, ids) })
+    // unknown symbol (vocab trained elsewhere) maps to -1, never drops
+    val tiny = Seq((7L, "lox")).toDF("doc_id", "text")
+    val gx = Bpe.encodeIds(tiny, "doc_id", "text", merges, voc)
+      .as[(Long, Long, Seq[Int])].collect().head
+    assert(gx._3.contains(-1) && gx._2 == gx._3.size.toLong)
+  }
+
+  test("encodeIds composes with packPlacement: every bin of the packed " +
+    "shard stream is materializable as a slice of concatenated ids") {
+    val docs = Seq(
+      (1L, "low low lowest"),
+      (2L, "lowest lowest low low"),
+      (3L, "low"),
+      (4L, ""),
+      (5L, "lowest low lowest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    val voc = Bpe.vocab(docs, "text", merges)
+    val enc = Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+    val budget = 5
+    val placed = Packing.packPlacement(enc, "doc_id", col("n_ids"),
+      budget, nShards = 2)
+    val rows = placed.join(enc, Seq("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_ids"),
+        col("token_offset"), col("bin_first"), col("bin_last"), col("ids"))
+      .as[(Long, Long, Long, Long, Long, Long, Seq[Int])]
+      .collect().toSeq
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      // the shard's id stream: member ids concatenated in doc-id order
+      val stream = docs.sortBy(_._2).flatMap(_._7)
+      docs.foreach { case (_, _, n, off, binF, binL, ids) =>
+        // placement slice reproduces the doc's own ids exactly
+        assert(stream.slice(off.toInt, off.toInt + n.toInt) == ids)
+        if (n > 0) {
+          assert(binF == off / budget)
+          assert(binL == (off + n - 1) / budget)
+        }
+      }
+      // every bin materializes as a budget-sized slice of the stream
+      (0L to docs.map(d => d._4 + d._3).max / budget).foreach { b =>
+        val bin = stream.slice((b * budget).toInt, ((b + 1) * budget).toInt)
+        assert(bin.size <= budget)
+      }
+    }
+  }
+
   test("pairCounts weights by word frequency and skips word boundaries") {
     val syms = Seq(
       (Seq("a", "b", "c"), 3L),
