@@ -233,6 +233,102 @@ object CorpusStats {
           .as("lm_score"))
   }
 
+  /** TRAINED character-n-gram language identification — the
+    * Cavnar–Trenkle (1994) profile idea re-expressed in the
+    * incremental-model trio pattern ([[lineDf]]/[[tokenDf]]/
+    * [[bigramCounts]]): per-(language, char-n-gram) occurrence counts
+    * over a LABELED reference slice are the whole model. This replaces
+    * the heuristic stop-word scorer
+    * ([[graft.functions.TextFunctions.langGuess]]) with a model that
+    * learns from the corpus itself and is maintainable day-over-day
+    * (additive merge, [[retractStats]] deletion, the
+    * [[graft.streaming.StatsMaintenance]] store — keys (lang, gram),
+    * count n).
+    *
+    * One map-only gram explode over the labeled slice + one
+    * map-combined groupBy to a bounded table (charset^n grams ×
+    * languages). Docs shorter than `n` characters contribute nothing
+    * (the `length >= n` filter also guards the descending-sequence
+    * hazard noted at [[bigramPairs]]).
+    */
+  def langProfiles(docs: DataFrame, langCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n")
+    docs.select(col(langCol).as("lang"), col(textCol).as("__t"))
+      .where(col("lang").isNotNull && length(col("__t")) >= n)
+      .select(col("lang"), explode(expr(
+        s"transform(sequence(1, length(__t) - ${n - 1}), " +
+          s"i -> substring(__t, i, $n))")).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Additive merge of per-batch [[langProfiles]] partials — exact iff
+    * the batches partition the labeled-document space (plain
+    * occurrence counts, same contract as [[mergeBigramCounts]]).
+    */
+  def mergeLangProfiles(parts: Seq[DataFrame]): DataFrame =
+    mergeStats(parts, Seq("lang", "gram"), Seq("n"))
+
+  /** Classify every document against a (possibly incrementally
+    * maintained) [[langProfiles]] model: the predicted language is the
+    * one maximizing Σ_g c(lang, g) / total(lang) over the doc's gram
+    * occurrences — hit mass normalized by language profile size, the
+    * integer-exact stand-in for the Cavnar–Trenkle rank-distance
+    * (both sides of the ratio are BIGINT sums; the one division is
+    * IEEE-exact-rounded, so scores and hence the argmax are
+    * bit-identical across engines and partitionings — same
+    * portability adjudication as [[bigramLm]]'s lm_score). Ties break
+    * on language code ascending. A document with no gram in any
+    * profile (or shorter than `n`) predicts 'und' with a NULL score.
+    *
+    * Shape at scale: one map-only gram explode, one equi-join against
+    * the bounded model table (planner-chosen broadcast), one (doc,
+    * lang) aggregate (fan-out ≤ languages with ≥1 shared gram), one
+    * per-doc row_number window (bounded partitions — ≤ |languages|
+    * rows per doc). The corpus never shuffles on a skewed key.
+    *
+    * @return ONLY (idCol, n_grams, lang_pred, lang_score) — join back
+    *         on idCol to re-attach other columns.
+    */
+  def langClassifyWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(length(col("__t")) >= n)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(1, length(__t) - ${n - 1}), " +
+          s"i -> substring(__t, i, $n))")).as("gram"))
+    val ng = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val tot = model.groupBy(col("lang")).agg(sum(col("n")).as("__total"))
+    val hits = grams.join(model, Seq("gram"))
+      .groupBy(col("__id"), col("lang")).agg(sum(col("n")).as("__h"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("lang"))
+    val best = hits.join(tot, Seq("lang"))
+      .withColumn("__score",
+        col("__h").cast("double") / col("__total").cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id"), col("lang"), col("__score"))
+    val perDoc = ng.join(best, Seq("__id"), "left")
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("lang"), lit("und")).as("lang_pred"),
+        round(col("__score"), 6).as("lang_score"))
+  }
+
+  /** [[langClassifyWith]] against profiles trained on the input's own
+    * labels — the self-contained form; the factored pair exists for
+    * incremental maintenance.
+    */
+  def langClassify(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    langClassifyWith(docs, idCol, textCol,
+      langProfiles(docs, langCol, textCol, n), n)
+
   /** BM25-shaped lexical scoring of a fixed keyword query against every
     * document — the exact-term complement to the embedding ANN family.
     * Deviation from textbook BM25, on purpose: the IDF is the RATIO

@@ -378,6 +378,26 @@ object ExtensionQueries {
       col("lang").as("lang_declared"))
       .orderBy("doc_id")
 
+  /** TRAINED language-ID as an incremental model
+    * ([[graft.operators.CorpusStats.langProfiles]] — Cavnar–Trenkle
+    * char-trigram profiles in the round-11 trio pattern): the model is
+    * trained as four DISJOINT per-batch partials (doc_id % 4, the
+    * daily-ingestion stand-in) folded with the additive merge, then
+    * every document is scored against the maintained model. The
+    * oracle trains in ONE full-corpus pass — hash equality IS the
+    * incremental ≡ recompute proof through the whole classify path
+    * (same contract as [[xLinedfIncremental]]).
+    */
+  private def xLangidTrained(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val parts = (0 to 3).map(r =>
+      graft.operators.CorpusStats.langProfiles(
+        docs.where(col("doc_id") % 4 === r), "lang", "text"))
+    graft.operators.CorpusStats.langClassifyWith(docs, "doc_id", "text",
+        graft.operators.CorpusStats.mergeLangProfiles(parts))
+      .orderBy("doc_id")
+  }
+
   private def xTextFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -1305,6 +1325,7 @@ object ExtensionQueries {
     "x_tokendf_incremental" -> (xTokendfIncremental _),
     "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
+    "x_langid_trained" -> (xLangidTrained _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_dedup_exact" -> (xDedupExact _),
     "x_dedup_source_overlap" -> (xDedupSourceOverlap _),
@@ -1717,6 +1738,45 @@ object ExtensionQueries {
            |  lang AS lang_declared
            |FROM h ORDER BY doc_id""".stripMargin
     },
+    "x_langid_trained" ->
+      // FULL-corpus recompute of the profile model + classify — the
+      // Spark side trains four disjoint batch partials and merges, so
+      // a hash match proves incremental ≡ recompute end-to-end. Score
+      // = hit mass / profile total: BIGINT sums, one IEEE division —
+      // bit-identical across engines; argmax tie-break on lang asc.
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS gram
+        |  FROM documents WHERE length(text) >= 3),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |m AS (
+        |  SELECT lang, gram, count(*) AS n FROM (
+        |    SELECT lang,
+        |      unnest(list_transform(range(1, length(text) - 1),
+        |        i -> substr(text, CAST(i AS INT), 3))) AS gram
+        |    FROM documents
+        |    WHERE lang IS NOT NULL AND length(text) >= 3)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM m GROUP BY 1),
+        |hits AS (
+        |  SELECT g.doc_id, m.lang, CAST(sum(m.n) AS BIGINT) AS h
+        |  FROM g JOIN m USING (gram) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang,
+        |    CAST(h AS DOUBLE) / CAST(total AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(h AS DOUBLE) / CAST(total AS DOUBLE) DESC,
+        |        lang) AS rn
+        |  FROM hits JOIN tot USING (lang))
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |  coalesce(b.lang, 'und') AS lang_pred,
+        |  round(b.score, 6) AS lang_score
+        |FROM documents d
+        |LEFT JOIN ng USING (doc_id)
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "x_text_fingerprint" ->
       s"""WITH n AS (

@@ -130,6 +130,57 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().head._2 == 1L)
   }
 
+  test("trained lang-id trio: profile merge == full recompute, the " +
+    "maintained model classifies like the self-trained one, retraction " +
+    "deletes a batch, und/UNK paths hold") {
+    val docs = Seq(
+      (0L, "en", "the cat and the dog and the fish"),
+      (1L, "en", "the bird and the cat and the dog"),
+      (2L, "fr", "le chat et le chien et le poisson"),
+      (3L, "fr", "le oiseau et le chat et le chien"),
+      (4L, "en", "the fish and the bird and the cat"),
+      (5L, "fr", "le poisson et le oiseau et le chat"))
+      .toDF("doc_id", "lang", "text")
+    val full = CorpusStats.langProfiles(docs, "lang", "text")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // trio leg 1: disjoint partials fold to the full recompute
+    val parts = Seq(0L, 1L).map(r =>
+      CorpusStats.langProfiles(docs.where($"doc_id" % 2 === r), "lang", "text"))
+    val merged = CorpusStats.mergeLangProfiles(parts)
+    assert(merged.as[(String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq == full)
+    // trio leg 2: scoring against the maintained model == self-trained
+    val self = CorpusStats.langClassify(docs, "doc_id", "lang", "text")
+      .orderBy("doc_id").as[(Long, Long, String, Option[Double])]
+      .collect().toSeq
+    val via = CorpusStats.langClassifyWith(docs, "doc_id", "text", merged)
+      .orderBy("doc_id").as[(Long, Long, String, Option[Double])]
+      .collect().toSeq
+    assert(via == self)
+    // the separable hand corpus classifies to its declared labels
+    val declared = docs.orderBy("doc_id").as[(Long, String, String)]
+      .collect().map(_._2).toSeq
+    assert(self.map(_._3) == declared, s"misclassified: $self")
+    // und paths: shorter than n → no grams; grams but zero model hits
+    val odd = Seq((9L, "zz"), (10L, "qqqqq")).toDF("doc_id", "text")
+    val got = CorpusStats.langClassifyWith(odd, "doc_id", "text", merged)
+      .orderBy("doc_id").as[(Long, Long, String, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((9L, 0L, "und", None), (10L, 3L, "und", None)))
+    // trio leg 3: retraction — subtract batch 0's recomputed partial,
+    // remainder == profiles over batch 1 alone (generic retractStats
+    // on the (lang, gram) → n shape)
+    val retracted = CorpusStats.retractStats(
+        CorpusStats.mergeLangProfiles(Seq(full
+          .toDF("lang", "gram", "n"))), parts(0),
+        Seq("lang", "gram"), Seq("n"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val survivors = CorpusStats.langProfiles(
+        docs.where($"doc_id" % 2 === 1L), "lang", "text")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(retracted == survivors)
+  }
+
   test("retractStats: subtract == recompute, emptied keys drop, " +
     "non-constituent partials fail loudly, multi-count shape works") {
     val boiler = "please subscribe to our newsletter now."
