@@ -432,4 +432,79 @@ object Similarity {
         col("__qn"), col("recon_nsq")))
     ranked(pairs, k)
   }
+
+  // ---- persistable model artifacts ---------------------------------------
+  //
+  // [[trainCentroids]]/[[pqTrainCodebooks]] are k-means fits a daily
+  // 100 TB deployment runs ONCE (on a sample) and reuses across every
+  // search/encode job — refitting per invocation re-pays the training
+  // scans and, because avg() partial-merge order varies with partition
+  // layout, yields round-off-different quantizers whose cell routing
+  // can differ between runs. Persisting the fit makes the quantizer a
+  // versioned artifact: parquet round-trips IEEE doubles bit-exactly,
+  // so a loaded model reproduces the original's topk RESULTS
+  // bit-for-bit (pinned in `DedupSimilaritySpec`). Layout is one row
+  // per centroid with its index — deterministic, engine-portable, and
+  // diffable — written as a single file (models are nlist×dim /
+  // m×ksub×dsub doubles: KBs).
+
+  /** Persist an IVF centroid model (layout: (cell, vec), cell =
+    * 0..nlist-1). Overwrites.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    require(centroids.nonEmpty, "empty centroid model")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] model; fails loudly on a table that is
+    * not a dense 0..nlist-1 cell range (a partial overwrite or a
+    * wrong-path read must never route vectors silently).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(path).select(col("cell"), col("vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    require(rows.map(_._1) == rows.indices,
+      s"corrupt centroid model at $path: cells ${rows.map(_._1)}")
+    rows.map(_._2)
+  }
+
+  /** Persist a PQ codebook model (layout: (sub, code, vec), dense in
+    * both dimensions). Overwrites.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    require(books.map(_.size).distinct.size == 1,
+      "ragged codebooks: every subspace needs the same ksub")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
+    }.toDF("sub", "code", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebooks]] model; fails loudly unless both the
+    * subspace and code dimensions are dense.
+    */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    val bySub = rows.groupBy(_._1)
+    require(bySub.keySet == (0 until bySub.size).toSet,
+      s"corrupt codebook model at $path: subs ${bySub.keySet.toSeq.sorted}")
+    (0 until bySub.size).map { sub =>
+      val cb = bySub(sub).sortBy(_._2)
+      require(cb.map(_._2) == cb.indices,
+        s"corrupt codebook model at $path: sub $sub codes ${cb.map(_._2)}")
+      cb.map(_._3).toSeq
+    }
+  }
 }

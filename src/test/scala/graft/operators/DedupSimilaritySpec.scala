@@ -431,6 +431,45 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN model artifacts: save/load round-trips centroids and PQ " +
+    "codebooks bit-exactly and the loaded model reproduces topk exactly") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annmodel").toString
+    // IVF centroids: train once, persist, reuse — no refit
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nlist = 4, iters = 2)
+    Similarity.saveCentroids(spark, cents, s"$dir/cents")
+    val loadedC = Similarity.loadCentroids(spark, s"$dir/cents")
+    assert(loadedC == cents, "parquet round-trip must be bit-exact")
+    val q = e.where($"vec_id" < 3)
+    def ivf(c: Seq[Seq[Double]]) =
+      Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5, nlist = 4,
+          nprobe = 2, centroids = Some(c))
+        .orderBy($"query_id", $"score".desc, $"neighbor_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(ivf(loadedC) == ivf(cents),
+      "loaded centroid model must reproduce the exact topk")
+    // PQ codebooks: same contract through the trained books
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 2)
+    Similarity.saveCodebooks(spark, books, s"$dir/books")
+    val loadedB = Similarity.loadCodebooks(spark, s"$dir/books")
+    assert(loadedB == books, "parquet round-trip must be bit-exact")
+    def pq(b: Seq[Seq[Seq[Double]]]) =
+      Similarity.pqTopK(q, e, "vec_id", "embedding", k = 5,
+          codebooks = Some(b))
+        .orderBy($"query_id", $"score".desc, $"neighbor_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(pq(loadedB) == pq(books),
+      "loaded codebook model must reproduce the exact topk")
+    // corruption fails loudly: a non-dense cell range must never route
+    spark.read.parquet(s"$dir/cents").where($"cell" =!= 2)
+      .write.mode("overwrite").parquet(s"$dir/torn")
+    intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(spark, s"$dir/torn")
+    }
+  }
+
   test("trainCentroids reads the base data once, not once per Lloyd iteration (W5)") {
     val acc = spark.sparkContext.longAccumulator("baseRowReads")
     val n = 200
