@@ -186,12 +186,17 @@ object Bench {
     val sweeps = sweepTotals.toSeq
     val boxState =
       if (runs < 2) "unknown"
-      else {
-        val later = if (runs >= 3) sweeps.tail else sweeps
+      else if (runs == 2) {
+        // two sweeps cannot separate first-touch IO warmup from real
+        // noise (the spread necessarily includes sweep 1), so a quiet
+        // box with cold caches must not read as "noisy"
+        val spread = (sweeps.max - sweeps.min) / math.max(sweeps.min, 1e-9)
+        if (spread > 0.15) "warmup_or_noisy" else "quiet"
+      } else {
+        val later = sweeps.tail
         val spread = (later.max - later.min) / math.max(later.min, 1e-9)
         if (spread > 0.15) "noisy"
-        else if (runs >= 3 &&
-          (sweeps.head - later.min) / math.max(later.min, 1e-9) > 0.15)
+        else if ((sweeps.head - later.min) / math.max(later.min, 1e-9) > 0.15)
           "warmup_only"
         else "quiet"
       }

@@ -54,8 +54,11 @@ object Curation {
     *   measured 1.77× end-to-end at the 500k-doc decade
     *   (`bench_evidence/r11_curation_e2e_sf10z.txt`). Off by default
     *   because persisted blocks outlive the returned frame (Spark has
-    *   no scope-exit unpersist); callers owning the session lifecycle
-    *   should turn it on.
+    *   no scope-exit unpersist) — a caller invoking `curate`
+    *   repeatedly in one session would accumulate leaked cached
+    *   blocks. Use [[curateStaged]] for deterministic ownership: it
+    *   returns the pinned frames in an AutoCloseable handle to
+    *   unpersist once the outputs are materialized.
     * @return one row per packed document INSTANCE:
     *   (instance_id, idCol, copy, sourceCol, clean_text, shard,
     *   n_tokens, token_offset, bin_first, bin_last, straddles)
@@ -67,13 +70,51 @@ object Curation {
       lineDedupMaxDf: Option[Int] = None,
       tokenBudget: Option[Long] = None,
       quality: Column = lit(0L),
-      persistStages: Boolean = false): DataFrame = {
+      persistStages: Boolean = false): DataFrame =
+    curateStaged(docs, idCol, textCol, sourceCol, mixPerMille, budget,
+      nShards, shingleN, jaccardThreshold, lineDedupMaxDf, tokenBudget,
+      quality, persistStages).result
+
+  /** The staged frames [[curateStaged]] pinned, with deterministic
+    * release: `close()` (or `unpersistStages()`) after the result's
+    * consumers have run. Closing before materializing is CORRECT but
+    * slow (downstream re-derives the stages — same as
+    * persistStages=false); closing twice is a no-op.
+    */
+  final class StagedCuration(val result: DataFrame,
+      stagedFrames: Seq[DataFrame]) extends AutoCloseable {
+    def unpersistStages(): Unit =
+      stagedFrames.foreach(_.unpersist(blocking = false))
+    override def close(): Unit = unpersistStages()
+  }
+
+  /** [[curate]] with cache OWNERSHIP: returns the packed result plus
+    * an [[StagedCuration]] handle over every frame `persistStages`
+    * pinned, so repeated curate runs in one session (the
+    * `CurationE2EProbe` shape, which previously had to
+    * `cacheManager.clearCache()` around each call) release their
+    * blocks deterministically instead of leaking them until session
+    * end. With persistStages=false the handle is empty and close() is
+    * a no-op.
+    */
+  def curateStaged(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, mixPerMille: Map[String, Int],
+      budget: Int, nShards: Int,
+      shingleN: Int = 5, jaccardThreshold: Double = 0.7,
+      lineDedupMaxDf: Option[Int] = None,
+      tokenBudget: Option[Long] = None,
+      quality: Column = lit(0L),
+      persistStages: Boolean = false): StagedCuration = {
     require(mixPerMille.values.forall(_ < 100000),
       "mix weights above 100x break the instance-id encoding")
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def staged(df: DataFrame): DataFrame =
-      if (persistStages)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (persistStages) {
+        val p =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += p
+        p
+      } else df
 
     // 1. C4 clean: drop rule-violating lines, then rule-violating docs
     val cleaned = docs
@@ -101,9 +142,13 @@ object Curation {
       Seq(idCol), "left_semi")
 
     // 3. near-dedup: LSH pairs, then quality-aware survivor selection
-    // (longest doc wins its cluster); unclustered docs all survive
+    // (longest doc wins its cluster); unclustered docs all survive.
+    // minhashDupPairs returns a PERSISTED pair set (its contract: the
+    // caller owns the release) — tracked in the handle regardless of
+    // persistStages, closing the one block plain curate() always leaked
     val pairs = Dedup.minhashDupPairs(exact, idCol, "clean_text",
       n = shingleN, threshold = jaccardThreshold)
+    pinned += pairs
     val losers = Dedup.survivors(pairs.select(col("i"), col("j")), exact,
         idCol, T.tokenCount(col("clean_text")))
       .where(!col("kept")).select(col(idCol))
@@ -144,9 +189,11 @@ object Curation {
     // the pipeline's one corpus-sized equi-join
     val placed = Packing.packPlacement(mixed, "instance_id",
       T.tokenCount(col("clean_text")), budget, nShards)
-    placed.join(
-      mixed.select(col("instance_id"), col(idCol), col("copy"),
-        col(sourceCol), col("clean_text")),
-      Seq("instance_id"))
+    new StagedCuration(
+      placed.join(
+        mixed.select(col("instance_id"), col(idCol), col("copy"),
+          col(sourceCol), col("clean_text")),
+        Seq("instance_id")),
+      pinned.toSeq)
   }
 }

@@ -164,10 +164,19 @@ object Sampling {
     *                safe ONLY because that table is bounded — a
     *                fine-grained (e.g. per-doc) quality would
     *                silently hand one executor a corpus-sized sort.
-    *                The guard rides the window that is already there
-    *                (a row_number over the same single-partition
-    *                strata table — no extra job, no extra shuffle)
-    *                and fails the job loudly past the bound.
+    *                Enforced EAGERLY at call time with an exact
+    *                distributed count-distinct over the quality column
+    *                (two-phase aggregate — spill-safe at any
+    *                cardinality), so the violation fails loudly BEFORE
+    *                the unpartitioned sort ever runs; the earlier
+    *                in-plan row_number guard would only have fired
+    *                after that sort survived — i.e. possibly never,
+    *                the job dying in the sort first. It stays in the
+    *                plan as a free backstop. Cost of the pre-check:
+    *                one extra map-combined aggregate pass over the
+    *                input (the operator already scans it three times),
+    *                and the operator now runs one Spark job at CALL
+    *                time rather than being fully lazy.
     * @return (idCol, quality, n_tokens, cum_tokens) for SELECTED docs
     *         only — cum_tokens is the doc's global running sum, so
     *         max(cum_tokens) ≤ budget reads directly off the output.
@@ -183,6 +192,14 @@ object Sampling {
       quality.cast("long").as("__q"), tokensCol.cast("long").as("__nt"),
       pmod(Md5Prefix60(col(idCol).cast("string")),
         lit(buckets.toLong)).as("__h"))
+    // eager pre-flight guard: exact distributed count-distinct fails
+    // BEFORE the unpartitioned stratum sort (see @param maxStrata)
+    val nStrata = d.select(
+      countDistinct(col("__q")).as("n")).head().getLong(0)
+    require(nStrata <= maxStrata,
+      s"tokenBudgetSelect: quality produced $nStrata strata " +
+        s"(maxStrata=$maxStrata) - pass a coarser (e.g. per-mille) " +
+        "quality or raise maxStrata")
     // stratum sums, cumulated over strictly-better strata (bounded rows)
     val wq = Window.orderBy(col("__q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -130,6 +130,29 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().head._2 == 1L)
   }
 
+  test("curateStaged: persistStages blocks are released by close(), " +
+    "and the handle result equals curate's") {
+    val docs = Seq(
+      (1L, mk("red"), "web"),
+      (2L, mk("blue"), "web"),
+      (3L, mk("green"), "books")).toDF("doc_id", "text", "source")
+    def cachedCount() = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount()
+    val run = Curation.curateStaged(docs, "doc_id", "text", "source",
+      Map("books" -> 2000), budget = 12, nShards = 2, persistStages = true)
+    val viaHandle = run.result.orderBy("instance_id")
+      .select("instance_id").as[Long].collect().toSeq
+    assert(cachedCount() > before, "persistStages pinned nothing?")
+    run.close()
+    assert(cachedCount() == before,
+      "close() must release every stage block the run pinned")
+    run.close() // idempotent
+    val direct = Curation.curate(docs, "doc_id", "text", "source",
+        Map("books" -> 2000), budget = 12, nShards = 2)
+      .orderBy("instance_id").select("instance_id").as[Long].collect().toSeq
+    assert(viaHandle == direct)
+  }
+
   test("trained lang-id trio: profile merge == full recompute, the " +
     "maintained model classifies like the self-trained one, retraction " +
     "deletes a batch, und/UNK paths hold") {
