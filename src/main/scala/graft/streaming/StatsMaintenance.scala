@@ -22,29 +22,37 @@ import graft.operators.CorpusStats
   * progress WITH the write, absorb replays by idempotence), applied to
   * the stats store:
   *
-  *  - the last-folded micro-batch id is persisted WITH the table — the
-  *    published version directory is NAMED by it (`v=<batchId>`), so
-  *    table and watermark can never drift apart;
+  *  - the last-folded micro-batch id (the WATERMARK) is persisted
+  *    INSIDE the commit marker of every published table version, so
+  *    table and watermark commit atomically and can never drift apart;
   *  - a delivered batch with id ≤ the watermark is a replay and is
   *    SKIPPED — the fold is idempotent per batch id;
   *  - each fold publishes a complete new table version and only then
   *    retires the old one, so readers always see exactly one fully
   *    committed table.
   *
-  * ATOMIC PUBLISH, rename-free: a fold writes the merged table to its
-  * own fresh directory `v=<batchId>` and then creates a commit marker
-  * file inside it (leading underscore — invisible to Spark's parquet
-  * reader). "Current table" is defined as THE HIGHEST-id directory
-  * THAT HAS A MARKER. A crash mid-write leaves a marker-less (torn)
-  * directory that readers ignore and the batch's re-delivery simply
-  * overwrites; a crash after the marker but before old-version cleanup
-  * leaves two committed versions, of which readers use the newer and
-  * the next fold prunes the older. This is the same commit discipline
-  * as [[LakeIngest.compactDay]]'s staging-swap, with the version-id
+  * ATOMIC PUBLISH, rename-free: a write goes to its own fresh
+  * directory `v=<n>` (n = a monotonic VERSION counter, independent of
+  * batch ids) and then creates a commit marker file inside it (leading
+  * underscore — invisible to Spark's parquet reader) carrying the
+  * watermark. "Current table" is THE HIGHEST-n DIRECTORY THAT HAS A
+  * MARKER. A crash mid-write leaves a marker-less (torn) directory
+  * that readers ignore and the next write overwrites; a crash after
+  * the marker but before old-version cleanup leaves two committed
+  * versions, of which readers use the newer and the next write prunes
+  * the older. This is the same commit discipline as
+  * [[LakeIngest.compactDay]]'s staging-swap, with the version-counter
   * namespace replacing the rename — deliberate: directory renames are
   * not atomic on object stores, while "create a marker file, pick the
-  * max committed id" is correct on any store with atomic single-file
-  * creation.
+  * max committed version" is correct on any store with atomic
+  * single-file creation.
+  *
+  * The version counter is SEPARATE from the batch watermark so that
+  * OFFLINE maintenance — [[retractBatch]] deleting a day
+  * ([[graft.operators.CorpusStats.retractStats]]), or any future
+  * rewrite/compaction — can publish new versions without advancing the
+  * watermark: a retraction must never cause a genuinely new micro-batch
+  * to be skipped as a replay.
   *
   * Works for all four maintained shapes through one code path (the
   * generic [[graft.operators.CorpusStats.mergeStats]]):
@@ -71,8 +79,9 @@ import graft.operators.CorpusStats
 object StatsMaintenance {
 
   /** Commit marker created inside a version directory AFTER its
-    * parquet write completes; its presence defines "committed". Our
-    * own file rather than Spark's `_SUCCESS`, which can be disabled by
+    * parquet write completes; its presence defines "committed" and its
+    * content is the batch watermark at publish time. Our own file
+    * rather than Spark's `_SUCCESS`, which can be disabled by
     * committer configuration.
     */
   val Marker = "_GRAFT_COMMITTED"
@@ -82,51 +91,81 @@ object StatsMaintenance {
   private def fileSystem(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** All version ids present under `path`, committed or torn. */
-  private def versionIds(spark: SparkSession, path: String,
-      committedOnly: Boolean): Seq[Long] = {
+  /** (version, dir, committed watermark) for committed versions;
+    * watermark None for torn ones.
+    */
+  private def versions(spark: SparkSession, path: String)
+      : Seq[(Long, Path, Option[Long])] = {
     val root = new Path(path)
     val fs = fileSystem(spark, path)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(_.getName.startsWith(VersionPrefix))
       .flatMap(p => p.getName.stripPrefix(VersionPrefix).toLongOption
-        .map(id => (id, p)))
-      .filter { case (_, p) =>
-        !committedOnly || fs.exists(new Path(p, Marker)) }
-      .map(_._1)
+        .filter(_ => p.getName.startsWith(VersionPrefix))
+        .map(n => (n, p)))
+      .map { case (n, p) =>
+        val m = new Path(p, Marker)
+        val wm = if (!fs.exists(m)) None
+        else {
+          val in = fs.open(m)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong)
+          finally in.close()
+        }
+        (n, p, wm)
+      }
   }
+
+  private def current(spark: SparkSession, path: String)
+      : Option[(Long, Path, Long)] =
+    versions(spark, path).collect { case (n, p, Some(wm)) => (n, p, wm) }
+      .sortBy(_._1).lastOption
 
   /** The persisted watermark: the highest micro-batch id whose fold is
     * fully committed, or None for an empty store. A batch with id ≤
     * this has already been absorbed — re-delivery must be skipped.
     */
   def lastFolded(spark: SparkSession, path: String): Option[Long] =
-    versionIds(spark, path, committedOnly = true).maxOption
+    current(spark, path).map(_._3).filter(_ >= 0)
 
   /** The current maintained table — the highest COMMITTED version; a
-    * torn directory from a crashed fold is never visible here. None if
-    * nothing has been committed yet.
+    * torn directory from a crashed write is never visible here. None
+    * if nothing has been committed yet.
     */
   def readStats(spark: SparkSession, path: String): Option[DataFrame] =
-    lastFolded(spark, path).map(id =>
-      spark.read.parquet(s"$path/$VersionPrefix$id"))
+    current(spark, path).map { case (_, p, _) =>
+      spark.read.parquet(p.toString) }
+
+  /** Publish `table` as the next committed version carrying
+    * `watermark`, then prune every other version directory (committed
+    * predecessors and torn debris). Commit order: parquet write to the
+    * fresh dir → marker (THE commit point — table and watermark become
+    * visible together) → prune; a crash before the prune only defers
+    * cleanup to the next publish.
+    */
+  private def publish(spark: SparkSession, path: String, table: DataFrame,
+      watermark: Long): Unit = {
+    val fs = fileSystem(spark, path)
+    val existing = versions(spark, path)
+    val next = existing.map(_._1).maxOption.getOrElse(-1L) + 1L
+    val versionDir = new Path(path, s"$VersionPrefix$next")
+    table.write.mode("overwrite").parquet(versionDir.toString)
+    val out = fs.create(new Path(versionDir, Marker), true)
+    try out.write(watermark.toString.getBytes("UTF-8")) finally out.close()
+    existing.foreach { case (_, p, _) =>
+      require(fs.delete(p, true),
+        s"delete of superseded stats version $p failed - leaving it " +
+          "cannot double-count (readers take the max committed version) " +
+          "but the store would grow without bound")
+    }
+  }
 
   /** Fold one delivered micro-batch into the maintained store.
     * Idempotent per batch id: a replay (id ≤ the persisted watermark)
     * returns false and leaves the store untouched — this is what makes
     * the loop safe under foreachBatch's at-least-once delivery.
-    *
-    * Commit order within a successful fold:
-    *  1. merged table written to the fresh `v=<batchId>` directory
-    *     (reads the previous version's files; never writes where it
-    *     reads, so a torn write cannot damage the current table);
-    *  2. marker created — THE commit point: the watermark and the new
-    *     table become visible together, atomically;
-    *  3. older version directories (and any torn debris) deleted; a
-    *     crash before this step only defers cleanup to the next fold.
     *
     * @param partialOf batch → aggregated partial with exactly the
     *                  (keys ++ counts) columns (e.g.
@@ -138,30 +177,36 @@ object StatsMaintenance {
       partialOf: DataFrame => DataFrame): Boolean = {
     require(batchId >= 0, s"negative batchId: $batchId")
     val spark = batch.sparkSession
-    val watermark = lastFolded(spark, path)
-    if (watermark.exists(batchId <= _)) return false
+    if (lastFolded(spark, path).exists(batchId <= _)) return false
     val partial = partialOf(batch)
     val merged = readStats(spark, path) match {
-      case Some(current) =>
-        CorpusStats.mergeStats(Seq(current, partial), keys, counts)
+      case Some(cur) => CorpusStats.mergeStats(Seq(cur, partial), keys, counts)
       case None =>
-        partial.select((keys ++ counts).map(org.apache.spark.sql.functions.col): _*)
+        partial.select(
+          (keys ++ counts).map(org.apache.spark.sql.functions.col): _*)
     }
-    val fs = fileSystem(spark, path)
-    val versionDir = new Path(path, s"$VersionPrefix$batchId")
-    // overwrite clears any torn debris this same batch id left behind
-    merged.write.mode("overwrite").parquet(versionDir.toString)
-    fs.create(new Path(versionDir, Marker), true).close() // commit point
-    versionIds(spark, path, committedOnly = false)
-      .filter(_ != batchId)
-      .foreach { id =>
-        val stale = new Path(path, s"$VersionPrefix$id")
-        require(fs.delete(stale, true),
-          s"delete of superseded stats version $stale failed - leaving " +
-            "it cannot double-count (readers take the max committed id) " +
-            "but the store would grow without bound")
-      }
+    publish(spark, path, merged, batchId)
     true
+  }
+
+  /** OFFLINE deletion maintenance: subtract a constituent batch's
+    * recomputed partial from the maintained table
+    * ([[graft.operators.CorpusStats.retractStats]] — emptied keys
+    * vanish, a non-constituent partial fails loudly on negative
+    * counts) and publish the result as a new committed version WITHOUT
+    * advancing the batch watermark — deleting yesterday's data must
+    * never cause tomorrow's genuinely new micro-batch to be skipped as
+    * a replay. Same crash safety as a fold (torn writes invisible,
+    * prune deferred at worst).
+    */
+  def retractBatch(spark: SparkSession, path: String, partial: DataFrame,
+      keys: Seq[String], counts: Seq[String]): Unit = {
+    val cur = current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"retractBatch: no committed stats table at $path"))
+    val table = spark.read.parquet(cur._2.toString)
+    publish(spark, path,
+      CorpusStats.retractStats(table, partial, keys, counts), cur._3)
   }
 
   /** Start the maintenance loop: every delivered micro-batch is folded

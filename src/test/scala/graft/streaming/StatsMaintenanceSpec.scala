@@ -43,6 +43,14 @@ class StatsMaintenanceSpec extends SparkSpec {
     StatsMaintenance.readStats(spark, path).get
       .as[(String, Long)].collect().sortBy(_._1).toSeq
 
+  private def dirs(path: String): Seq[String] =
+    new java.io.File(path).listFiles().map(_.getName).sorted.toSeq
+
+  private def writeMarker(dir: String, watermark: Long): Unit = {
+    val w = new java.io.FileWriter(s"$dir/${StatsMaintenance.Marker}")
+    try w.write(watermark.toString) finally w.close()
+  }
+
   test("folds match the full recompute, and a re-delivered batch id is " +
     "skipped without touching the table (the double-count hazard)") {
     val path = tmpDir()
@@ -67,8 +75,8 @@ class StatsMaintenanceSpec extends SparkSpec {
     val path = tmpDir()
     assert(foldLines(batch1, 0L, path))
     val before = stored(path)
-    // simulate the crash: batch 1's merged table fully written but the
-    // process died BEFORE the commit marker was created
+    // simulate the crash: batch 1's merged table fully written to the
+    // next version dir but the process died BEFORE the commit marker
     CorpusStats.mergeStats(Seq(
         CorpusStats.lineDf(batch1.toDF("doc_id", "text"), "doc_id", "text"),
         CorpusStats.lineDf(batch2.toDF("doc_id", "text"), "doc_id", "text")),
@@ -78,31 +86,65 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(StatsMaintenance.lastFolded(spark, path).contains(0L))
     assert(stored(path) == before, "torn staging leaked into a read")
     // the engine re-delivers batch 1 (its offsets were never committed):
-    // the fold overwrites the debris and commits normally
+    // the fold publishes past the debris and prunes it
     assert(foldLines(batch2, 1L, path), "redelivery after a torn fold must fold")
     assert(stored(path) == lineDfOf(batch1 ++ batch2))
-    val dirs = new java.io.File(path).listFiles().map(_.getName).sorted.toSeq
-    assert(dirs == Seq("v=1"), s"superseded/torn versions not pruned: $dirs")
-    assert(new java.io.File(s"$path/v=1/${StatsMaintenance.Marker}").exists())
+    assert(dirs(path) == Seq("v=2"), s"torn/superseded versions not pruned: ${dirs(path)}")
+    assert(new java.io.File(
+      s"$path/v=2/${StatsMaintenance.Marker}").exists())
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
   }
 
   test("crash after publish before prune: readers take the newest " +
     "committed version and the next fold prunes the stale one") {
     val path = tmpDir()
-    assert(foldLines(batch1, 3L, path))
-    val current = stored(path)
-    // simulate the stale survivor: an older committed version whose
-    // prune was interrupted (marker present, id below the watermark)
+    // hand-build the post-crash layout: the superseded version v=0
+    // (watermark 0) survived an interrupted prune next to the newly
+    // committed v=1 (watermark 3)
     batch3.toDF("doc_id", "text")
       .select(trim(col("text")).as("line_key"), lit(1L).as("line_df"))
       .write.mode("overwrite").parquet(s"$path/v=0")
-    new java.io.File(s"$path/v=0/${StatsMaintenance.Marker}").createNewFile()
-    assert(StatsMaintenance.lastFolded(spark, path).contains(3L))
-    assert(stored(path) == current, "reader picked a stale version")
+    writeMarker(s"$path/v=0", 0L)
+    CorpusStats.lineDf(batch1.toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$path/v=1")
+    writeMarker(s"$path/v=1", 3L)
+    assert(StatsMaintenance.lastFolded(spark, path).contains(3L),
+      "watermark must come from the NEWEST committed version")
+    assert(stored(path) == lineDfOf(batch1), "reader picked a stale version")
+    // replay below the recovered watermark still skips
+    assert(!foldLines(batch3, 2L, path))
     assert(foldLines(batch2, 4L, path))
-    val dirs = new java.io.File(path).listFiles().map(_.getName).sorted.toSeq
-    assert(dirs == Seq("v=4"), s"stale committed version survived: $dirs")
+    assert(dirs(path) == Seq("v=2"), s"stale committed version survived: ${dirs(path)}")
     assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(4L))
+  }
+
+  test("retractBatch deletes a constituent day exactly and does NOT " +
+    "advance the watermark (a later real batch must not be skipped)") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    assert(foldLines(batch2, 1L, path))
+    // delete batch1's documents: subtract its recomputed partial
+    StatsMaintenance.retractBatch(spark, path,
+      CorpusStats.lineDf(batch1.toDF("doc_id", "text"), "doc_id", "text"),
+      Seq("line_key"), Seq("line_df"))
+    assert(stored(path) == lineDfOf(batch2),
+      "retraction drifted from the survivors' recompute")
+    // watermark preserved: old ids still replay-skip, new ids fold
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
+    assert(!foldLines(batch1, 1L, path))
+    assert(foldLines(batch3, 2L, path))
+    assert(stored(path) == lineDfOf(batch2 ++ batch3))
+    // a second identical retraction is NOT idempotent by design — the
+    // negative-count guard fails it loudly (non-constituent partial)
+    intercept[Exception] {
+      StatsMaintenance.retractBatch(spark, path,
+        CorpusStats.lineDf(batch1.toDF("doc_id", "text"), "doc_id", "text"),
+        Seq("line_key"), Seq("line_df"))
+    }
+    // the failed publish never committed: table and watermark unchanged
+    assert(stored(path) == lineDfOf(batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
   }
 
   test("streaming e2e: the maintained store equals the recompute and " +
