@@ -56,8 +56,8 @@ object CurationE2EProbe {
     val tokenBudget = n * 30L
     println(s"[curate-e2e] dir=$dir docs=$n tokenBudget=$tokenBudget")
 
-    def runCurate(in: DataFrame, persist: Boolean): DataFrame =
-      Curation.curate(in, "doc_id", "text", "source",
+    def runCurate(in: DataFrame, persist: Boolean): Curation.StagedCuration =
+      Curation.curateStaged(in, "doc_id", "text", "source",
         mixPerMille = Map("src3" -> 2500, "src7" -> 300, "src11" -> 0),
         budget = 2048, nShards = 64,
         lineDedupMaxDf = Some(10),
@@ -67,10 +67,11 @@ object CurationE2EProbe {
 
     def summarize(label: String, in: DataFrame, persist: Boolean)
         : (Double, Seq[Long]) = {
-      spark.sharedState.cacheManager.clearCache()
+      // deterministic per-run cache ownership via the round-12 handle
+      // (replaces the session-wide clearCache workaround)
       val t0 = System.nanoTime()
-      val out = runCurate(in, persist)
-      val s = out.agg(
+      val run = runCurate(in, persist)
+      val s = run.result.agg(
         count(lit(1)),
         countDistinct(col("instance_id")),
         sum(conv(md5(concat_ws("|", col("instance_id"), col("doc_id"),
@@ -85,6 +86,7 @@ object CurationE2EProbe {
         sum(col("n_tokens"))).as[(Long, Long, Long, Long, Long, Long, Long)]
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
+      run.close()
       println(f"[curate-e2e] $label: wall=$wall%.1f s instances=${s._1} " +
         f"docs=${s._6} tokens=${s._7} boilerplate_survivors=${s._5}")
       require(s._1 == s._2, "duplicate instance ids")
@@ -103,7 +105,8 @@ object CurationE2EProbe {
       f"(cold $wCold%.1f s -> staged $wWarm%.1f s; reordered $wShuf%.1f s)")
 
     // packing reconciliation: per shard, max(offset)+its n_tokens == sum(n_tokens)
-    val out = runCurate(docs0, persist = true)
+    val lastRun = runCurate(docs0, persist = true)
+    val out = lastRun.result
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
     val bad = out.select(col("shard"), col("n_tokens"), col("token_offset"),
         max(col("token_offset") + col("n_tokens")).over(w).as("__end"),
@@ -116,6 +119,7 @@ object CurationE2EProbe {
     require(docTok <= tokenBudget,
       s"distinct-doc tokens $docTok exceed budget $tokenBudget")
     println(f"[curate-e2e] packing reconciled; distinct-doc tokens $docTok%d <= budget")
+    lastRun.close()
     println("[curate-e2e] OK")
     spark.stop()
   }
