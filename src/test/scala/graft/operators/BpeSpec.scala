@@ -207,6 +207,24 @@ class BpeSpec extends SparkSpec {
     assert(gx._3.contains(-1) && gx._2 == gx._3.size.toLong)
   }
 
+  test("vocab growth only appends: a k-merge vocab is a strict prefix " +
+    "of a k'-merge vocab (the id-stability contract a training run " +
+    "needs to grow its tokenizer)") {
+    val docs = Seq(
+      (1L, "low low low lowest lower lowest"),
+      (2L, "newest newer new low lowest"),
+      (3L, "wide wider widest new low")).toDF("doc_id", "text")
+    // greedy BPE is anytime: the first k merges of a longer run ARE
+    // the k-merge run, so the assembled vocab can only append
+    val m5 = Bpe.trainMerges(docs, "text", 5)
+    val m9 = Bpe.trainMerges(docs, "text", 9)
+    assert(m9.take(5) == m5)
+    val v5 = Bpe.vocab(docs, "text", m5)
+    val v9 = Bpe.vocab(docs, "text", m9)
+    assert(v9.take(v5.size) == v5,
+      "growing the merge list must not move any existing id")
+  }
+
   test("encodeIds composes with packPlacement: every bin of the packed " +
     "shard stream is materializable as a slice of concatenated ids") {
     val docs = Seq(
