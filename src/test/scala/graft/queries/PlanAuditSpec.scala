@@ -477,4 +477,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "feature-count models must partial-aggregate map-side")
   }
+
+  test("trained lang-id: profile training partial-aggregates map-side, " +
+    "model joins are equi-joins, the argmax window is doc-partitioned " +
+    "(bounded rows), no cartesian product") {
+    val p = plan("x_langid_trained")
+    assert(p.contains("partial_count"),
+      s"profile counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram/model joins must be equi-joins:\n$p")
+    // the row_number argmax must be partitioned by doc id — an
+    // unpartitioned window would single-partition-sort the corpus
+    assert("Window .*row_number".r.findFirstIn(p).isDefined ||
+      p.contains("RunningWindowFunction") || p.contains("row_number"),
+      s"expected the argmax window in the plan:\n$p")
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      s"argmax window must not be unpartitioned:\n$p")
+  }
+
+  test("BPE id encode: the corpus side pays one equi-join against the " +
+    "vocab-sized word table, never a per-occurrence encode or a cross " +
+    "product; per-doc reassembly partial-aggregates") {
+    val p = plan("x_bpe_ids")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"word join must be an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"expected the docWords->wordIds equi-join:\n$p")
+    // the MergeList encode kernel must sit ABOVE the distinct (vocab
+    // side), so the expensive encode runs once per distinct word — the
+    // physical toString truncates deep Project expression lists, so
+    // probe the analyzed plan's expression tree for the kernel
+    val analyzed = graft.SparkEntry.queries("x_bpe_ids")(spark, dir)
+      .queryExecution.analyzed
+    val hasKernel = analyzed.collect {
+      case n if n.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.MergeList])) => n
+    }.nonEmpty
+    assert(hasKernel, "expected the MergeList kernel in the analyzed plan")
+    assert(p.contains("partial_collect_list") || p.contains("objHashAggregate") ||
+      p.contains("partial_"),
+      s"per-doc reassembly should partial-aggregate:\n$p")
+  }
 }
