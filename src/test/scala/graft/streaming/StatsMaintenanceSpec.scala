@@ -177,6 +177,52 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(gated == ((9L, 2L, 1L, "fresh words today")))
   }
 
+  test("REAL engine redelivery: crash after the fold committed but " +
+    "before the engine's commit log — Spark re-runs the batch on " +
+    "restart and the watermark absorbs it") {
+    val path = tmpDir()
+    val ckpt = tmpDir()
+    val src = tmpDir()
+    val schema = batch1.toDF("doc_id", "text").schema
+    def addFile(rows: Seq[(Long, String)], name: String): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/$name")
+    def startQ() = StatsMaintenance.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*"),
+      path, Seq("line_key"), Seq("line_df"),
+      b => CorpusStats.lineDf(b, "doc_id", "text"), ckpt)
+    addFile(batch1, "d1")
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      addFile(batch2, "d2")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
+    // the crash window: the fold's publish committed (above), but the
+    // engine died before writing its own commit log for batch 1 — on
+    // restart Structured Streaming REDELIVERS batch 1 for real
+    val lastCommit = new java.io.File(s"$ckpt/commits/1")
+    assert(lastCommit.exists, "test setup: expected commit log entry 1")
+    assert(lastCommit.delete())
+    // the local ChecksumFileSystem keeps a hidden .crc sibling; left
+    // behind it makes the re-run's commit write look like a concurrent
+    // writer (HDFSMetadataLog's already-exists detection)
+    new java.io.File(s"$ckpt/commits/.1.crc").delete(): Unit
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable() // engine re-runs batch 1 -> must skip
+      assert(stored(path) == lineDfOf(batch1 ++ batch2),
+        "engine-redelivered batch was double-counted")
+      addFile(batch3, "d3") // and genuinely new data still folds
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+  }
+
   test("the other maintained shapes fold through the same store: " +
     "token-df (one count) and the DSIR model (two counts)") {
     val path1 = tmpDir()
