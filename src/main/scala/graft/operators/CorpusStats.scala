@@ -251,14 +251,32 @@ object CorpusStats {
     * (the `length >= n` filter also guards the descending-sequence
     * hazard noted at [[bigramPairs]]).
     */
+  /** Char n-gram occurrences of a projected CHAR-ARRAY column — the
+    * O(len) build: `split(t, "")` walks the string once into a
+    * code-point array, and `element_at` on an array is O(1), where the
+    * obvious `substring(t, i, n)` transform is O(len²) per document
+    * (UTF8String code-point indexing rescans the prefix on every
+    * call — measured 184 s → see `r12_scale_probe_sf10z.txt` for the
+    * 500k-doc before/after). Output is IDENTICAL to the substring form
+    * (both index code points), which is what the DuckDB oracle
+    * replays. `cs` must be a PROJECTED column, never an inline
+    * `split(...)` — the lambda references it n times per element and
+    * an inline expression re-evaluates per reference (the round-11
+    * 10× pitfall, SCALING.md).
+    */
+  private def charGramsOf(cs: Column, len: Column, n: Int): Column =
+    transform(sequence(lit(1), len - (n - 1)),
+      i => concat((0 until n).map(k => element_at(cs, i + k)): _*))
+
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n=$n")
     docs.select(col(langCol).as("lang"), col(textCol).as("__t"))
       .where(col("lang").isNotNull && length(col("__t")) >= n)
-      .select(col("lang"), explode(expr(
-        s"transform(sequence(1, length(__t) - ${n - 1}), " +
-          s"i -> substring(__t, i, $n))")).as("gram"))
+      .select(col("lang"), split(col("__t"), "").as("__cs"),
+        length(col("__t")).as("__len"))
+      .select(col("lang"),
+        explode(charGramsOf(col("__cs"), col("__len"), n)).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
   }
 
@@ -296,9 +314,10 @@ object CorpusStats {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .where(length(col("__t")) >= n)
-      .select(col("__id"), explode(expr(
-        s"transform(sequence(1, length(__t) - ${n - 1}), " +
-          s"i -> substring(__t, i, $n))")).as("gram"))
+      .select(col("__id"), split(col("__t"), "").as("__cs"),
+        length(col("__t")).as("__len"))
+      .select(col("__id"),
+        explode(charGramsOf(col("__cs"), col("__len"), n)).as("gram"))
     val ng = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
     val tot = model.groupBy(col("lang")).agg(sum(col("n")).as("__total"))
     val hits = grams.join(model, Seq("gram"))
