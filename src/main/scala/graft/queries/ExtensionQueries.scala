@@ -381,8 +381,9 @@ object ExtensionQueries {
   /** TRAINED language-ID as an incremental model
     * ([[graft.operators.CorpusStats.langProfiles]] — Cavnar–Trenkle
     * char-trigram profiles in the round-11 trio pattern): the model is
-    * trained as four DISJOINT per-batch partials (doc_id % 4, the
-    * daily-ingestion stand-in) folded with the additive merge, then
+    * trained as three DISJOINT per-batch partials (doc_id % 3, the
+    * daily-ingestion stand-in, same split as [[xLinedfIncremental]])
+    * folded with the additive merge, then
     * every document is scored against the maintained model. The
     * oracle trains in ONE full-corpus pass — hash equality IS the
     * incremental ≡ recompute proof through the whole classify path
@@ -390,9 +391,9 @@ object ExtensionQueries {
     */
   private def xLangidTrained(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val parts = (0 to 3).map(r =>
+    val parts = (0 to 2).map(r =>
       graft.operators.CorpusStats.langProfiles(
-        docs.where(col("doc_id") % 4 === r), "lang", "text"))
+        docs.where(col("doc_id") % 3 === r), "lang", "text"))
     graft.operators.CorpusStats.langClassifyWith(docs, "doc_id", "text",
         graft.operators.CorpusStats.mergeLangProfiles(parts))
       .orderBy("doc_id")
@@ -1740,7 +1741,7 @@ object ExtensionQueries {
     },
     "x_langid_trained" ->
       // FULL-corpus recompute of the profile model + classify — the
-      // Spark side trains four disjoint batch partials and merges, so
+      // Spark side trains three disjoint batch partials and merges, so
       // a hash match proves incremental ≡ recompute end-to-end. Score
       // = hit mass / profile total: BIGINT sums, one IEEE division —
       // bit-identical across engines; argmax tie-break on lang asc.
