@@ -139,14 +139,21 @@ object StatsMaintenance {
       spark.read.parquet(p.toString) }
 
   /** Publish `table` as the next committed version carrying
-    * `watermark`, then prune every other version directory (committed
-    * predecessors and torn debris). Commit order: parquet write to the
-    * fresh dir → marker (THE commit point — table and watermark become
-    * visible together) → prune; a crash before the prune only defers
-    * cleanup to the next publish.
+    * `watermark`, then prune older versions and torn debris. Commit
+    * order: parquet write to the fresh dir → marker (THE commit
+    * point — table and watermark become visible together) → prune; a
+    * crash before the prune only defers cleanup to the next publish.
+    *
+    * `retain` committed versions survive the prune (counting the one
+    * just published): retain = 1 keeps only the new table; a larger
+    * value is the concurrent-reader lever — a scoring job that opened
+    * version N stays valid while folds publish N+1..N+retain-1, the
+    * same grace window a lakehouse table's retention gives. Torn
+    * directories are always deleted.
     */
   private def publish(spark: SparkSession, path: String, table: DataFrame,
-      watermark: Long): Unit = {
+      watermark: Long, retain: Int): Unit = {
+    require(retain >= 1, s"retain=$retain")
     val fs = fileSystem(spark, path)
     val existing = versions(spark, path)
     val next = existing.map(_._1).maxOption.getOrElse(-1L) + 1L
@@ -154,11 +161,15 @@ object StatsMaintenance {
     table.write.mode("overwrite").parquet(versionDir.toString)
     val out = fs.create(new Path(versionDir, Marker), true)
     try out.write(watermark.toString.getBytes("UTF-8")) finally out.close()
-    existing.foreach { case (_, p, _) =>
-      require(fs.delete(p, true),
-        s"delete of superseded stats version $p failed - leaving it " +
-          "cannot double-count (readers take the max committed version) " +
-          "but the store would grow without bound")
+    val keep = (existing.collect { case (n, _, Some(_)) => n }
+      :+ next).sorted.takeRight(retain).toSet
+    existing.foreach { case (n, p, wm) =>
+      val torn = wm.isEmpty
+      if (torn || !keep.contains(n))
+        require(fs.delete(p, true),
+          s"delete of superseded stats version $p failed - leaving it " +
+            "cannot double-count (readers take the max committed version) " +
+            "but the store would grow without bound")
     }
   }
 
@@ -170,11 +181,13 @@ object StatsMaintenance {
     * @param partialOf batch → aggregated partial with exactly the
     *                  (keys ++ counts) columns (e.g.
     *                  `CorpusStats.lineDf(_, "doc_id", "text")`)
+    * @param retain committed versions kept after the publish (≥ 1, the
+    *               concurrent-reader grace window — see `publish`)
     * @return true if the batch was folded, false if skipped as a replay
     */
   def foldBatch(batch: DataFrame, batchId: Long, path: String,
       keys: Seq[String], counts: Seq[String],
-      partialOf: DataFrame => DataFrame): Boolean = {
+      partialOf: DataFrame => DataFrame, retain: Int = 1): Boolean = {
     require(batchId >= 0, s"negative batchId: $batchId")
     val spark = batch.sparkSession
     if (lastFolded(spark, path).exists(batchId <= _)) return false
@@ -185,7 +198,7 @@ object StatsMaintenance {
         partial.select(
           (keys ++ counts).map(org.apache.spark.sql.functions.col): _*)
     }
-    publish(spark, path, merged, batchId)
+    publish(spark, path, merged, batchId, retain)
     true
   }
 
@@ -200,13 +213,14 @@ object StatsMaintenance {
     * prune deferred at worst).
     */
   def retractBatch(spark: SparkSession, path: String, partial: DataFrame,
-      keys: Seq[String], counts: Seq[String]): Unit = {
+      keys: Seq[String], counts: Seq[String], retain: Int = 1): Unit = {
     val cur = current(spark, path).getOrElse(
       throw new IllegalStateException(
         s"retractBatch: no committed stats table at $path"))
     val table = spark.read.parquet(cur._2.toString)
     publish(spark, path,
-      CorpusStats.retractStats(table, partial, keys, counts), cur._3)
+      CorpusStats.retractStats(table, partial, keys, counts), cur._3,
+      retain)
   }
 
   /** Start the maintenance loop: every delivered micro-batch is folded
@@ -218,11 +232,12 @@ object StatsMaintenance {
     */
   def start(stream: DataFrame, path: String, keys: Seq[String],
       counts: Seq[String], partialOf: DataFrame => DataFrame,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, retain: Int = 1): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, keys, counts, partialOf): Unit
+        foldBatch(batch, batchId, path, keys, counts, partialOf,
+          retain): Unit
       }
       .start()
 }

@@ -177,6 +177,29 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(gated == ((9L, 2L, 1L, "fresh words today")))
   }
 
+  test("retain > 1 keeps a concurrent-reader grace window of committed " +
+    "versions; readers still take the newest") {
+    val path = tmpDir()
+    def fold(rows: Seq[(Long, String)], id: Long): Boolean =
+      StatsMaintenance.foldBatch(rows.toDF("doc_id", "text"), id, path,
+        Seq("line_key"), Seq("line_df"),
+        b => CorpusStats.lineDf(b, "doc_id", "text"), retain = 2)
+    assert(fold(batch1, 0L))
+    // a reader opens the current version NOW...
+    val openReader = StatsMaintenance.readStats(spark, path).get
+    assert(fold(batch2, 1L))
+    // ...and stays valid across the next publish (retain=2 grace)
+    assert(dirs(path) == Seq("v=0", "v=1"), s"grace window lost: ${dirs(path)}")
+    assert(openReader.as[(String, Long)].collect().sortBy(_._1).toSeq ==
+      lineDfOf(batch1), "in-flight reader broken by the prune")
+    // new readers take the newest committed version
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    // the window slides: a third fold drops v=0
+    assert(fold(batch3, 2L))
+    assert(dirs(path) == Seq("v=1", "v=2"), s"window did not slide: ${dirs(path)}")
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+  }
+
   test("REAL engine redelivery: crash after the fold committed but " +
     "before the engine's commit log — Spark re-runs the batch on " +
     "restart and the watermark absorbs it") {
