@@ -304,6 +304,12 @@ object CorpusStats {
     * lang) aggregate (fan-out ≤ languages with ≥1 shared gram), one
     * per-doc row_number window (bounded partitions — ≤ |languages|
     * rows per doc). The corpus never shuffles on a skewed key.
+    * `model` is referenced TWICE (the per-language totals and the hit
+    * join), so pass a MATERIALIZED table — the maintained store
+    * ([[graft.streaming.StatsMaintenance.readStats]]) or a
+    * checkpointed frame; an expensive lazy training plan would be
+    * derived twice (measured 2× at the 500k-doc decade —
+    * [[langClassify]] materializes for exactly this reason).
     *
     * @return ONLY (idCol, n_grams, lang_pred, lang_score) — join back
     *         on idCol to re-attach other columns.
@@ -318,7 +324,14 @@ object CorpusStats {
         length(col("__t")).as("__len"))
       .select(col("__id"),
         explode(charGramsOf(col("__cs"), col("__len"), n)).as("gram"))
-    val ng = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    // n_grams is pure arithmetic — len - (n-1) for len ≥ n, else 0 —
+    // so the doc-count leg needs NO gram explode (removes one full
+    // corpus pass from every scoring run; the model-hit leg below is
+    // the only explode)
+    val ng = docs.select(col(idCol).as("__id"),
+      when(length(col(textCol)) >= n,
+        (length(col(textCol)) - (n - 1)).cast("long"))
+        .otherwise(lit(0L)).as("n_grams"))
     val tot = model.groupBy(col("lang")).agg(sum(col("n")).as("__total"))
     val hits = grams.join(model, Seq("gram"))
       .groupBy(col("__id"), col("lang")).agg(sum(col("n")).as("__h"))
@@ -346,7 +359,10 @@ object CorpusStats {
   def langClassify(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, n: Int = 3): DataFrame =
     langClassifyWith(docs, idCol, textCol,
-      langProfiles(docs, langCol, textCol, n), n)
+      // materialized: the model is vocab-bounded and classifyWith
+      // references it twice — lazy, the whole training explode would
+      // run twice
+      langProfiles(docs, langCol, textCol, n).localCheckpoint(true), n)
 
   /** BM25-shaped lexical scoring of a fixed keyword query against every
     * document — the exact-term complement to the embedding ANN family.

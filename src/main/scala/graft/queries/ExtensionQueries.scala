@@ -395,7 +395,10 @@ object ExtensionQueries {
       graft.operators.CorpusStats.langProfiles(
         docs.where(col("doc_id") % 3 === r), "lang", "text"))
     graft.operators.CorpusStats.langClassifyWith(docs, "doc_id", "text",
-        graft.operators.CorpusStats.mergeLangProfiles(parts))
+        // materialized (vocab-bounded): classifyWith references the
+        // model twice and a lazy merge plan would re-train per reference
+        graft.operators.CorpusStats.mergeLangProfiles(parts)
+          .localCheckpoint(true))
       .orderBy("doc_id")
   }
 

@@ -34,9 +34,12 @@ object LangIdCostProbe {
         CorpusStats.langProfiles(
           docs.where(col("doc_id") % 3 === r), "lang", "text"))).count()
     }
+    // materialized, per langClassifyWith's contract (the model is
+    // referenced twice; a lazy plan re-trains per reference)
     val model = CorpusStats.mergeLangProfiles((0 to 2).map(r =>
       CorpusStats.langProfiles(
         docs.where(col("doc_id") % 3 === r), "lang", "text")))
+      .localCheckpoint(true)
     t("classifyWith cold (collect)") {
       CorpusStats.langClassifyWith(docs, "doc_id", "text", model)
         .orderBy("doc_id").collect()
