@@ -481,9 +481,15 @@ class PlanAuditSpec extends SparkSpec {
   test("trained lang-id: profile training partial-aggregates map-side, " +
     "model joins are equi-joins, the argmax window is doc-partitioned " +
     "(bounded rows), no cartesian product") {
+    // the query materializes its model (classifyWith references it
+    // twice — a lazy plan would re-train per reference), so training
+    // is audited on its own plan
+    val train = graft.operators.CorpusStats.langProfiles(
+        graft.core.Tables.documents(spark, dir), "lang", "text")
+      .queryExecution.executedPlan.toString
+    assert(train.contains("partial_count"),
+      s"profile counts must partial-aggregate map-side:\n$train")
     val p = plan("x_langid_trained")
-    assert(p.contains("partial_count"),
-      s"profile counts must partial-aggregate map-side:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"gram/model joins must be equi-joins:\n$p")
