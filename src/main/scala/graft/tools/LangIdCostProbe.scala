@@ -57,6 +57,56 @@ object LangIdCostProbe {
             element_at(col("__cs"), i + 2)))).as("g"))
         .count()
     }
+
+    // ALTERNATE classify: pre-aggregate (doc, gram) occurrence counts
+    // before the model join — trades one extra shuffle for a join
+    // probe (and a (doc, lang) aggregate input) cut by the per-doc
+    // gram repetition factor. Candidate for round 13; measured here
+    // first, output checksum-compared against the shipped path.
+    import org.apache.spark.sql.expressions.Window
+    def classifyPreAgg(): Array[org.apache.spark.sql.Row] = {
+      val n = 3
+      val grams = docs.select(col("doc_id").as("__id"), col("text").as("__t"))
+        .where(length(col("__t")) >= n)
+        .select(col("__id"), split(col("__t"), "").as("__cs"),
+          length(col("__t")).as("__len"))
+        .select(col("__id"), explode(transform(
+          sequence(lit(1), col("__len") - 2),
+          i => concat(element_at(col("__cs"), i),
+            element_at(col("__cs"), i + 1),
+            element_at(col("__cs"), i + 2)))).as("gram"))
+      val ng = docs.select(col("doc_id").as("__id"),
+        when(length(col("text")) >= n,
+          (length(col("text")) - (n - 1)).cast("long"))
+          .otherwise(lit(0L)).as("n_grams"))
+      val tot = model.groupBy(col("lang")).agg(sum(col("n")).as("__total"))
+      val hits = grams.groupBy(col("__id"), col("gram"))
+        .agg(count(lit(1)).as("__c"))
+        .join(model, Seq("gram"))
+        .groupBy(col("__id"), col("lang"))
+        .agg(sum(col("__c") * col("n")).as("__h"))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__score").desc, col("lang"))
+      val best = hits.join(tot, Seq("lang"))
+        .withColumn("__score",
+          col("__h").cast("double") / col("__total").cast("double"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__id"), col("lang"), col("__score"))
+      val perDoc = ng.join(best, Seq("__id"), "left")
+      docs.select(col("doc_id"))
+        .join(perDoc, col("doc_id") === col("__id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("lang"), lit("und")).as("lang_pred"),
+          round(col("__score"), 6).as("lang_score"))
+        .orderBy("doc_id").collect()
+    }
+    val alt = t("ALTERNATE pre-agg classify cold (collect)")(classifyPreAgg())
+    t("ALTERNATE pre-agg classify warm (collect)")(classifyPreAgg())
+    val shipped = CorpusStats.langClassifyWith(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    println(s"[lg] alternate == shipped: ${alt.toSeq == shipped.toSeq}")
     spark.stop()
   }
 }
