@@ -82,4 +82,44 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok_in_bin")).as("n_tokens"))
   }
+
+  /** MATERIALIZE the packed layout as training-ready token-id
+    * sequences: one row per (shard, bin) carrying the bin's ids in
+    * stream order — the artifact a training run memory-maps, built
+    * from [[graft.operators.Bpe.encodeIds]] output (idCol, n_ids,
+    * ids). The last bin of a shard may be short; every other bin holds
+    * exactly `budget` ids (the packing contract — pinned in
+    * `PackingSpec` along with slice-equality against the per-doc
+    * sequences).
+    *
+    * Scale shape: the placement join is the one corpus-sized equi-join
+    * ([[packPlacement]]'s single shard shuffle happens inside it);
+    * then a map-only posexplode assigns every token its GLOBAL
+    * position (token_offset + index — no window, the offset is already
+    * per-doc data), and one (shard, bin) shuffle of the token mass
+    * assembles bins. Shuffling the token mass once is inherent to
+    * materialization — it IS the output. Each output row is bounded at
+    * `budget` ids, so reducers see bounded rows regardless of corpus
+    * size; `nShards` spreads bin keys exactly as in [[packPlacement]].
+    * In-row `array_sort` on (position, id) structs makes bin assembly
+    * deterministic under any partitioning (same trick as the line-
+    * dedup rebuild).
+    */
+  def binIdSequences(enc: DataFrame, idCol: String, budget: Int,
+      nShards: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    require(nShards > 0, s"nShards=$nShards")
+    val placed = packPlacement(enc, idCol, col("n_ids"), budget, nShards)
+    placed.join(enc.select(col(idCol), col("ids")), Seq(idCol))
+      .where(col("n_tokens") > 0)
+      .select(col("shard"), col("token_offset"),
+        posexplode(col("ids")).as(Seq("__p", "__tid")))
+      .select(col("shard"), (col("token_offset") + col("__p")).as("__g"),
+        col("__tid"))
+      .withColumn("bin", expr(s"__g div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_ids"),
+        transform(array_sort(collect_list(struct(col("__g"), col("__tid")))),
+          s => s.getField("__tid")).as("ids"))
+  }
 }

@@ -674,6 +674,39 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Carried from [[xBpeBinIds]]'s build to [[oracles]] (same
+    * mechanism as [[bpeTokenMerges]]).
+    */
+  @volatile private var bpeBinMerges: Seq[(Int, String, String)] = Seq()
+  @volatile private var bpeBinVocab: Seq[(Int, String)] = Seq()
+
+  /** Packed context bins MATERIALIZED as token-id sequences — the
+    * full tokenizer-to-training-artifact path: train 10 real merges,
+    * assemble the vocab, encode every doc to ids
+    * ([[graft.operators.Bpe.encodeIds]]), lay the id streams into
+    * budget-64 bins across 4 shards
+    * ([[graft.operators.Packing.binIdSequences]]). The oracle rebuilds
+    * each shard's id STREAM with plain string ops — per-doc ids via the
+    * anchored replace chains, concatenated in doc order with a
+    * FILTERed ordered string_agg — and slices it per bin with
+    * list_slice, so bin boundaries, short final bins, and straddling
+    * docs are all checked against an independent construction.
+    */
+  private def xBpeBinIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocab(docs, "text", merges)
+    bpeBinMerges = merges
+    bpeBinVocab = voc
+    val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+    graft.operators.Packing.binIdSequences(enc, "doc_id",
+        budget = 64, nShards = 4)
+      .select(col("shard"), col("bin"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("shard", "bin")
+  }
+
   /** Image near-dup by perceptual hash: the stub 60-bit hash over the
     * text stand-in payload ([[graft.operators.Multimodal.StubPHasher]]
     * ≡ md5-prefix60 — the real `javax.imageio` average-hash path is
@@ -1361,6 +1394,7 @@ object ExtensionQueries {
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
+    "x_bpe_bin_ids" -> (xBpeBinIds _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
     "x_sample_dsir" -> (xSampleDsir _),
@@ -2387,6 +2421,54 @@ object ExtensionQueries {
            |       ELSE len(string_split(ids_str, ' ')) END AS BIGINT) AS n_ids,
            |  ids_str
            |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "x_bpe_bin_ids" -> {
+      // independent bin construction: per-doc ids via the anchored
+      // replace chains (x_bpe_ids' trick), each shard's whole id
+      // stream assembled with one ordered FILTERed string_agg, bins =
+      // list_slice windows of the stream. Straddles, short last bins
+      // and empty docs all fall out of plain string/list ops.
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      def encSym(x: String) = s"chr(1) || ${q(s"${x.length}:$x")}"
+      val charJoin =
+        "array_to_string(list_transform(range(1, length(word) + 1), " +
+          "i -> chr(1) || '1:' || substr(word, CAST(i AS INT), 1)), '')"
+      val merged = bpeBinMerges.sortBy(_._1).foldLeft(charJoin) {
+        case (acc, (_, a, b)) =>
+          s"replace($acc, ${encSym(a)} || ${encSym(b)}, ${encSym(a + b)})"
+      }
+      val idChain = bpeBinVocab.foldLeft(merged) {
+        case (acc, (id, sym)) =>
+          s"replace($acc, ${encSym(sym)}, ${q(s" $id")})"
+      }
+      tokCte +
+        s""", d AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(
+           |      list_filter(toks, w -> length(w) > 0),
+           |      word -> trim($idChain)), ' ') AS ids_str
+           |  FROM tk),
+           |t AS (
+           |  SELECT doc_id, ids_str,
+           |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+           |      AS BIGINT) % 4 AS shard
+           |  FROM d),
+           |s AS (
+           |  SELECT shard,
+           |    string_split(string_agg(ids_str, ' ' ORDER BY doc_id)
+           |      FILTER (WHERE ids_str <> ''), ' ') AS stream
+           |  FROM t GROUP BY 1),
+           |s2 AS (SELECT shard, stream, len(stream) AS total
+           |  FROM s WHERE stream IS NOT NULL),
+           |b AS (SELECT shard, stream, total,
+           |    unnest(range(0, (total + 63) // 64)) AS bin
+           |  FROM s2)
+           |SELECT shard, CAST(bin AS BIGINT) AS bin,
+           |  CAST(least((bin + 1) * 64, total) - bin * 64 AS BIGINT) AS n_ids,
+           |  array_to_string(
+           |    list_slice(stream, bin * 64 + 1, least((bin + 1) * 64, total)),
+           |    ' ') AS ids_str
+           |FROM b ORDER BY shard, bin""".stripMargin
     },
 
     "x_bpe_pairs" -> (tokCte +

@@ -99,4 +99,40 @@ class PackingSpec extends SparkSpec {
       .agg(sum("n_docs")).as[Long].head()
     assert(spanSum == fillDocSum)
   }
+
+  test("binIdSequences materializes every bin as the exact stream " +
+    "slice: full bins at budget, short last bin, straddles intact, " +
+    "empty docs invisible") {
+    // ids stand in for encodeIds output: doc d has ids [d*100 .. d*100+n)
+    val enc = Seq(
+      (1L, 5L, (0 until 5).map(100 + _)),
+      (2L, 7L, (0 until 7).map(200 + _)),
+      (3L, 0L, Seq.empty[Int]), // empty doc: no tokens, no bins
+      (4L, 9L, (0 until 9).map(400 + _)),
+      (5L, 4L, (0 until 4).map(500 + _)),
+      (6L, 11L, (0 until 11).map(600 + _))).toDF("doc_id", "n_ids", "ids")
+    val budget = 6
+    val got = Packing.binIdSequences(enc, "doc_id", budget, nShards = 2)
+      .orderBy("shard", "bin")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+    // reference: per shard, concatenate member ids in doc-id order and
+    // slice every `budget` tokens
+    val rows = enc.as[(Long, Long, Seq[Int])].collect().toSeq
+    val shardOf = Packing.packPlacement(enc, "doc_id", col("n_ids"),
+        budget, 2).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    val want = rows.filter(_._2 > 0).groupBy(r => shardOf(r._1)).toSeq
+      .flatMap { case (shard, docs) =>
+        val stream = docs.sortBy(_._1).flatMap(_._3)
+        stream.grouped(budget).zipWithIndex.map { case (bin, ix) =>
+          (shard, ix.toLong, bin.size.toLong, bin)
+        }
+      }.sortBy(r => (r._1, r._2))
+    assert(got == want, s"got $got\nwant $want")
+    // every non-final bin is exactly full
+    got.groupBy(_._1).foreach { case (_, bins) =>
+      bins.init.foreach { b =>
+        assert(b._3 == budget, s"non-final bin not full: $b") }
+    }
+  }
 }
