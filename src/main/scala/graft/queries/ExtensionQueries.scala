@@ -698,7 +698,11 @@ object ExtensionQueries {
     val voc = graft.operators.Bpe.vocab(docs, "text", merges)
     bpeBinMerges = merges
     bpeBinVocab = voc
+    // materialized: binIdSequences references enc twice (placement +
+    // ids join); a lazy encode DAG would run twice. A real pipeline
+    // stores the encoded corpus; the oracle harness checkpoints it.
     val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+      .localCheckpoint(true)
     graft.operators.Packing.binIdSequences(enc, "doc_id",
         budget = 64, nShards = 4)
       .select(col("shard"), col("bin"), col("n_ids"),
