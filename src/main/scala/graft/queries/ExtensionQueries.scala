@@ -2428,10 +2428,15 @@ object ExtensionQueries {
     },
     "x_bpe_bin_ids" -> {
       // independent bin construction: per-doc ids via the anchored
-      // replace chains (x_bpe_ids' trick), each shard's whole id
-      // stream assembled with one ordered FILTERed string_agg, bins =
-      // list_slice windows of the stream. Straddles, short last bins
-      // and empty docs all fall out of plain string/list ops.
+      // replace chains (x_bpe_ids' trick), placement offsets via the
+      // x_text_pack window, then PER-DOC bin fragments (a doc row per
+      // bin it touches, carrying only ITS OWN ids list) assembled per
+      // bin with an offset-ordered string_agg. The first cut built
+      // each shard's whole stream once and sliced it per bin — but the
+      // bin-generating unnest duplicates the parent row, so every bin
+      // row carried the full multi-million-element stream list and
+      // DuckDB hit allocation failure at sf1; fragments keep the
+      // memory linear in the token mass.
       def q(x: String) = "'" + x.replace("'", "''") + "'"
       def encSym(x: String) = s"chr(1) || ${q(s"${x.length}:$x")}"
       val charJoin =
@@ -2453,26 +2458,33 @@ object ExtensionQueries {
            |      word -> trim($idChain)), ' ') AS ids_str
            |  FROM tk),
            |t AS (
-           |  SELECT doc_id, ids_str,
+           |  SELECT doc_id,
+           |    CASE WHEN ids_str = '' THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(ids_str, ' ') END AS ids,
            |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
            |      AS BIGINT) % 4 AS shard
            |  FROM d),
-           |s AS (
-           |  SELECT shard,
-           |    string_split(string_agg(ids_str, ' ' ORDER BY doc_id)
-           |      FILTER (WHERE ids_str <> ''), ' ') AS stream
-           |  FROM t GROUP BY 1),
-           |s2 AS (SELECT shard, stream, len(stream) AS total
-           |  FROM s WHERE stream IS NOT NULL),
-           |b AS (SELECT shard, stream, total,
-           |    unnest(range(0, (total + 63) // 64)) AS bin
-           |  FROM s2)
+           |o AS (
+           |  SELECT doc_id, shard, ids, len(ids) AS n,
+           |    CAST(COALESCE(SUM(len(ids)) OVER (PARTITION BY shard
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS off
+           |  FROM t),
+           |spans AS (
+           |  SELECT shard, ids, n, off,
+           |    unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS bin
+           |  FROM o WHERE n > 0),
+           |frag AS (
+           |  SELECT shard, bin, off,
+           |    list_slice(ids,
+           |      CAST(greatest(1, bin * 64 - off + 1) AS BIGINT),
+           |      CAST(least(n, (bin + 1) * 64 - off) AS BIGINT)) AS f
+           |  FROM spans)
            |SELECT shard, CAST(bin AS BIGINT) AS bin,
-           |  CAST(least((bin + 1) * 64, total) - bin * 64 AS BIGINT) AS n_ids,
-           |  array_to_string(
-           |    list_slice(stream, bin * 64 + 1, least((bin + 1) * 64, total)),
-           |    ' ') AS ids_str
-           |FROM b ORDER BY shard, bin""".stripMargin
+           |  CAST(sum(len(f)) AS BIGINT) AS n_ids,
+           |  string_agg(array_to_string(f, ' '), ' ' ORDER BY off) AS ids_str
+           |FROM frag GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
     },
 
     "x_bpe_pairs" -> (tokCte +
