@@ -35,10 +35,13 @@ import graft.operators.CorpusStats
   * directory `v=<n>` (n = a monotonic VERSION counter, independent of
   * batch ids) and then creates a commit marker file inside it (leading
   * underscore — invisible to Spark's parquet reader) carrying the
-  * watermark. "Current table" is THE HIGHEST-n DIRECTORY THAT HAS A
-  * MARKER. A crash mid-write leaves a marker-less (torn) directory
-  * that readers ignore and the next write overwrites; a crash after
-  * the marker but before old-version cleanup leaves two committed
+  * watermark. "Current table" is THE HIGHEST-n DIRECTORY WHOSE MARKER
+  * PARSES — marker creation and content write are two steps on
+  * HDFS/local FS, so an empty or partial marker (crash between them)
+  * counts as torn, not as committed. A crash mid-write leaves a torn
+  * directory that readers ignore and the next write prunes; a crash
+  * after the marker's content lands but before old-version cleanup
+  * leaves two committed
   * versions, of which readers use the newer and the next write prunes
   * the older. This is the same commit discipline as
   * [[LakeIngest.compactDay]]'s staging-swap, with the version-counter
@@ -53,6 +56,26 @@ import graft.operators.CorpusStats
   * rewrite/compaction — can publish new versions without advancing the
   * watermark: a retraction must never cause a genuinely new micro-batch
   * to be skipped as a replay.
+  *
+  * SINGLE-WRITER CONTRACT: at most one publisher (the streaming fold
+  * OR an offline [[retractBatch]]) may run against a store at a time —
+  * exactly the contract a lakehouse table's transaction log enforces.
+  * The store does not serialize concurrent writers; it makes a
+  * violation LOSE LOUDLY instead of losing an update silently, with
+  * three cheap mechanisms that need nothing beyond atomic single-file
+  * creation: (1) a version directory is MINTED by exclusively creating
+  * a `_GRAFT_RESERVED` file inside it, so two writers can never write
+  * parquet into the same directory; (2) every publish re-lists the
+  * store after its parquet write and ABORTS (deleting its own torn
+  * directory) unless the newest committed version is still the one its
+  * table was derived from — the lost-update check; (3) the commit
+  * marker is created exclusively. The residual window — another writer
+  * committing in the milliseconds between a publisher's re-validate
+  * and its marker creation — is documented, not closed: closing it
+  * needs a compare-and-swap primitive generic filesystems don't have
+  * (Delta's log-entry-create trick buys it only by making data files
+  * immutable-append, a different store design). Under the documented
+  * single-writer operation none of this triggers at all.
   *
   * Works for all four maintained shapes through one code path (the
   * generic [[graft.operators.CorpusStats.mergeStats]]):
@@ -86,7 +109,22 @@ object StatsMaintenance {
     */
   val Marker = "_GRAFT_COMMITTED"
 
+  /** Reservation file created EXCLUSIVELY (overwrite=false) to mint a
+    * version directory before anything is written into it — two
+    * concurrent publishers can therefore never write parquet into the
+    * same directory. Leading underscore: invisible to Spark's parquet
+    * reader, like [[Marker]].
+    */
+  private[graft] val Reserved = "_GRAFT_RESERVED"
+
   private val VersionPrefix = "v="
+
+  /** Test seam: invoked with a named point inside [[publish]] so crash
+    * tests can kill a write at the REAL code-path windows
+    * ("post-reserve", "post-parquet", "marker-open", "post-marker")
+    * instead of hand-building post-crash layouts. No-op in production.
+    */
+  private[graft] var testCrashPoint: String => Unit = _ => ()
 
   private def fileSystem(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,9 +148,18 @@ object StatsMaintenance {
         val wm = if (!fs.exists(m)) None
         else {
           val in = fs.open(m)
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toLong)
-          finally in.close()
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          // an empty/unparsable marker IS a torn version: marker
+          // creation and content write are two steps on HDFS/local FS
+          // (not one atomic PUT), so a crash in between leaves an empty
+          // marker. Safe to discard — the commit point is the CONTENT
+          // landing, and a crash before it means the engine never
+          // committed the batch's offsets, so re-delivery refolds.
+          // (toLong here once bricked the store with
+          // NumberFormatException on every subsequent read.)
+          content.trim.toLongOption
         }
         (n, p, wm)
       }
@@ -138,11 +185,41 @@ object StatsMaintenance {
     current(spark, path).map { case (_, p, _) =>
       spark.read.parquet(p.toString) }
 
+  /** Mint the next free version directory by EXCLUSIVELY creating its
+    * [[Reserved]] file, starting the probe at `from` (max listed + 1).
+    * A lost race (another writer reserved the same n first) moves to
+    * n+1; the bound only trips on a pathological storm of writers, all
+    * of which are already contract violations.
+    */
+  private def reserve(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      from: Long): (Long, Path) = {
+    var n = from
+    var attempts = 0
+    while (attempts < 64) {
+      val dir = new Path(path, s"$VersionPrefix$n")
+      try {
+        fs.create(new Path(dir, Reserved), false).close()
+        return (n, dir)
+      } catch {
+        case _: java.io.IOException => attempts += 1; n += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not reserve a stats version under $path after 64 attempts " +
+        "- a writer storm, which the single-writer contract forbids")
+  }
+
   /** Publish `table` as the next committed version carrying
     * `watermark`, then prune older versions and torn debris. Commit
-    * order: parquet write to the fresh dir → marker (THE commit
-    * point — table and watermark become visible together) → prune; a
-    * crash before the prune only defers cleanup to the next publish.
+    * order: reserve a fresh dir (exclusive [[Reserved]] create) →
+    * parquet write into it → re-validate that `base` is still the
+    * newest committed version (the lost-update guard — see the
+    * single-writer contract above) → marker content write+close (THE
+    * commit point — table and watermark become visible together) →
+    * prune. A crash anywhere before the marker's content lands leaves
+    * a torn version readers ignore and the next publish prunes
+    * (including a created-but-empty marker — parsed as torn); a crash
+    * after it only defers cleanup to the next publish.
     *
     * `retain` committed versions survive the prune (counting the one
     * just published): retain = 1 keeps only the new table; a larger
@@ -150,22 +227,44 @@ object StatsMaintenance {
     * version N stays valid while folds publish N+1..N+retain-1, the
     * same grace window a lakehouse table's retention gives. Torn
     * directories are always deleted.
+    *
+    * @param base the committed version `table` was derived from (None
+    *             when the store was empty); publishing against any
+    *             other newest-committed version is a lost update and
+    *             fails loudly
     */
   private def publish(spark: SparkSession, path: String, table: DataFrame,
-      watermark: Long, retain: Int): Unit = {
+      watermark: Long, retain: Int, base: Option[Long]): Unit = {
     require(retain >= 1, s"retain=$retain")
     val fs = fileSystem(spark, path)
     val existing = versions(spark, path)
-    val next = existing.map(_._1).maxOption.getOrElse(-1L) + 1L
-    val versionDir = new Path(path, s"$VersionPrefix$next")
-    table.write.mode("overwrite").parquet(versionDir.toString)
-    val out = fs.create(new Path(versionDir, Marker), true)
-    try out.write(watermark.toString.getBytes("UTF-8")) finally out.close()
-    val keep = (existing.collect { case (n, _, Some(_)) => n }
-      :+ next).sorted.takeRight(retain).toSet
-    existing.foreach { case (n, p, wm) =>
+    val (next, versionDir) =
+      reserve(fs, path, existing.map(_._1).maxOption.getOrElse(-1L) + 1L)
+    testCrashPoint("post-reserve")
+    // append: the reserved dir already exists holding only the
+    // (underscore-invisible) reservation file; overwrite would delete it
+    table.write.mode("append").parquet(versionDir.toString)
+    testCrashPoint("post-parquet")
+    val now = versions(spark, path)
+    val committedNow = now.collect { case (n, _, Some(_)) => n }
+    if (committedNow.maxOption != base) {
+      fs.delete(versionDir, true)
+      throw new IllegalStateException(
+        s"concurrent writer on stats store $path: derived from " +
+          s"base version $base but newest committed is now " +
+          s"${committedNow.maxOption} - this publish is a lost update " +
+          "and was aborted (single-writer contract violated)")
+    }
+    val out = fs.create(new Path(versionDir, Marker), false)
+    try {
+      testCrashPoint("marker-open")
+      out.write(watermark.toString.getBytes("UTF-8"))
+    } finally out.close()
+    testCrashPoint("post-marker")
+    val keep = (committedNow :+ next).sorted.takeRight(retain).toSet
+    now.foreach { case (n, p, wm) =>
       val torn = wm.isEmpty
-      if (torn || !keep.contains(n))
+      if (n != next && (torn || !keep.contains(n)))
         require(fs.delete(p, true),
           s"delete of superseded stats version $p failed - leaving it " +
             "cannot double-count (readers take the max committed version) " +
@@ -190,15 +289,17 @@ object StatsMaintenance {
       partialOf: DataFrame => DataFrame, retain: Int = 1): Boolean = {
     require(batchId >= 0, s"negative batchId: $batchId")
     val spark = batch.sparkSession
-    if (lastFolded(spark, path).exists(batchId <= _)) return false
+    val cur = current(spark, path)
+    if (cur.map(_._3).filter(_ >= 0).exists(batchId <= _)) return false
     val partial = partialOf(batch)
-    val merged = readStats(spark, path) match {
-      case Some(cur) => CorpusStats.mergeStats(Seq(cur, partial), keys, counts)
+    val merged = cur match {
+      case Some((_, p, _)) => CorpusStats.mergeStats(
+        Seq(spark.read.parquet(p.toString), partial), keys, counts)
       case None =>
         partial.select(
           (keys ++ counts).map(org.apache.spark.sql.functions.col): _*)
     }
-    publish(spark, path, merged, batchId, retain)
+    publish(spark, path, merged, batchId, retain, cur.map(_._1))
     true
   }
 
@@ -210,7 +311,11 @@ object StatsMaintenance {
     * advancing the batch watermark — deleting yesterday's data must
     * never cause tomorrow's genuinely new micro-batch to be skipped as
     * a replay. Same crash safety as a fold (torn writes invisible,
-    * prune deferred at worst).
+    * prune deferred at worst). OFFLINE means the single-writer
+    * contract applies: run it with the streaming fold STOPPED — racing
+    * the two is detected by the publish guard and exactly one wins
+    * (the other fails loudly, nothing double-counts; pinned in
+    * `StatsMaintenanceSpec`).
     */
   def retractBatch(spark: SparkSession, path: String, partial: DataFrame,
       keys: Seq[String], counts: Seq[String], retain: Int = 1): Unit = {
@@ -220,7 +325,7 @@ object StatsMaintenance {
     val table = spark.read.parquet(cur._2.toString)
     publish(spark, path,
       CorpusStats.retractStats(table, partial, keys, counts), cur._3,
-      retain)
+      retain, Some(cur._1))
   }
 
   /** Start the maintenance loop: every delivered micro-batch is folded
