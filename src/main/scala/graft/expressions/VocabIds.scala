@@ -1,0 +1,95 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vocabulary id lookup for a whole symbol array in one kernel pass:
+  * array<string> subword symbols → array<int> ids under a FIXED
+  * vocabulary, unknown symbol → -1 (the caller's UNK hook).
+  *
+  * Why an expression and not `element_at` on a `typedLit` map:
+  * Catalyst's `GetMapValue` on a literal map is a LINEAR SCAN of the
+  * key array per lookup, so encoding through a map literal costs
+  * O(|vocab|) per symbol — invisible at the 10–200-merge gate scale,
+  * effectively quadratic for a production 32k–64k-entry tokenizer
+  * vocabulary (measured 236× slower at 32k entries on the 500k-doc
+  * decade encode, `bench_evidence/r13_encode_scale_probe.txt`). Here
+  * the vocabulary is hashed ONCE per expression instance into a
+  * java.util.HashMap shared by every row, making each lookup O(1) —
+  * the same shape a tokenizer runtime uses. Rides the distinct-word
+  * table (Heaps-law-sized), never the corpus, exactly like
+  * [[MergeList]].
+  */
+case class VocabIds(child: Expression, vocab: Seq[(Int, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vocab_ids expects array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val table: VocabIds.Table = VocabIds.Table(vocab)
+
+  override def nullSafeEval(v: Any): Any =
+    VocabIds.compute(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("vocabTable", table,
+      "graft.expressions.VocabIds.Table")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VocabIds$$.MODULE$$.compute($v, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VocabIds {
+
+  /** Symbol → id hash table pre-lifted to UTF8String keys. The
+    * (id, symbol) pairs ship with the plan; the hash map itself is
+    * transient and rebuilt lazily on each executor — built once per
+    * expression instance, shared by every row.
+    */
+  final class Table(entries: Seq[(Int, String)]) extends Serializable {
+    @transient lazy val map: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](entries.size * 2)
+      entries.foreach { case (i, s) =>
+        m.put(UTF8String.fromString(s), Integer.valueOf(i))
+      }
+      m
+    }
+  }
+
+  object Table {
+    def apply(entries: Seq[(Int, String)]): Table = new Table(entries)
+  }
+
+  def compute(xs: ArrayData, t: Table): GenericArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Int](n)
+    val m = t.map
+    var i = 0
+    while (i < n) {
+      val id = m.get(xs.getUTF8String(i))
+      out(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ids(symbols: Column, vocab: Seq[(Int, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VocabIds(
+      GraftColumnBridge.expression(symbols), vocab))
+  }
+}

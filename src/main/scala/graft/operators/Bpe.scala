@@ -157,14 +157,18 @@ object Bpe {
     * @param maxWords hard cap on word-table rows collected
     * @param maxBytes cap on the ESTIMATED resident bytes (default:
     *                 40% of the driver's max heap)
-    * @param fallbackToBatched when true, an over-budget table trains
-    *                 via [[trainMergesBatched]] (identical list)
-    *                 instead of throwing
+    * @param fallbackToBatched when true (the default), an over-budget
+    *                 table trains via [[trainMergesBatched]]
+    *                 (contract-identical list) instead of throwing —
+    *                 so callers whose word tables outgrow the driver
+    *                 keep training rather than regressing to an
+    *                 exception; pass false to make the budget a hard
+    *                 assertion
     */
   def trainMergesLocal(docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int = 2000000,
       maxBytes: Long = (Runtime.getRuntime.maxMemory * 0.4).toLong,
-      fallbackToBatched: Boolean = false): Seq[(Int, String, String)] = {
+      fallbackToBatched: Boolean = true): Seq[(Int, String, String)] = {
     require(nMerges >= 1, s"nMerges=$nMerges")
     val words = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -462,8 +466,12 @@ object Bpe {
     * lookup) runs on the DISTINCT-word table, and documents join back
     * on the word — the corpus pays one ordered explode and one
     * equi-join, never a per-occurrence encode. The id map rides as ONE
-    * map literal (vocabulary-sized — the same tens-of-KB..MB a
-    * tokenizer file costs every worker in any engine).
+    * [[graft.expressions.VocabIds]] hash table (vocabulary-sized — the
+    * same tens-of-KB..MB a tokenizer file costs every worker in any
+    * engine) with O(1) lookups; a `typedLit` map literal here was a
+    * linear scan per symbol (Catalyst's GetMapValue on a literal map),
+    * O(|vocab|) per lookup — measured 236× slower at a production
+    * 32k-merge vocabulary (`bench_evidence/r13_encode_scale_probe.txt`).
     *
     * Per-doc reassembly collects (word position, ids) structs and
     * sorts INSIDE the row, so output is deterministic under any
@@ -483,14 +491,12 @@ object Bpe {
     require(vocabIds.nonEmpty, "empty vocabulary")
     require(vocabIds.map(_._2).distinct.size == vocabIds.size,
       "duplicate symbol in vocabulary")
-    val vmap = typedLit(vocabIds.map { case (i, s) => (s, i) }.toMap)
     val docWords = docs.select(col(idCol),
         posexplode(T.tokens(col(textCol))).as(Seq("__wpos", "word")))
       .where(length(col("word")) > 0)
     val wordIds = applySyms(docWords.select("word").distinct(), merges)
       .select(col("word"),
-        transform(col("syms"),
-          s => coalesce(element_at(vmap, s), lit(-1))).as("__ids"))
+        graft.expressions.VocabIds.ids(col("syms"), vocabIds).as("__ids"))
     val agg = docWords.join(wordIds, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

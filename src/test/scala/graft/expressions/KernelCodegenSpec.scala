@@ -56,6 +56,29 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(e, InternalRow(toks))
   }
 
+  test("VocabIds compiles, matches interpreted, maps unknowns to -1, " +
+    "and the table survives plan serialization") {
+    val vocab = Seq((0, "l"), (1, "o"), (2, "w"), (3, "lo"), (4, "low"))
+    val e = VocabIds(
+      BoundReference(0, ArrayType(StringType, containsNull = false),
+        nullable = true), vocab)
+    val syms = ArrayData.toArrayData(
+      Array("low", "l", "o", "ZZZ", "lo").map(UTF8String.fromString))
+    compiledVsInterpreted(e, InternalRow(syms))
+    assert(e.eval(InternalRow(syms)).asInstanceOf[ArrayData]
+      .toIntArray().toSeq == Seq(4, 0, 1, -1, 3))
+    // the hash table is transient: a serialized Table (what plan
+    // shipping does) must rebuild it executor-side
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(VocabIds.Table(vocab)); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[VocabIds.Table]
+    assert(back.map.get(UTF8String.fromString("low")) == 4)
+    assert(back.map.get(UTF8String.fromString("ZZZ")) == null)
+  }
+
   test("WordShingleHashes rejects n outside [1,256]; wide-n path compiles") {
     val child = BoundReference(0, ArrayType(StringType, containsNull = false),
       nullable = true)

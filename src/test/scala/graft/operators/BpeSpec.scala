@@ -123,9 +123,16 @@ class BpeSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     assert(Bpe.trainMergesLocal(docs, "text", 40) ==
       Bpe.trainMerges(docs, "text", 40))
+    // the fallback default would train via the batched learner; pin the
+    // hard-assertion mode explicitly
     intercept[IllegalArgumentException] {
-      Bpe.trainMergesLocal(docs, "text", 4, maxWords = 3)
+      Bpe.trainMergesLocal(docs, "text", 4, maxWords = 3,
+        fallbackToBatched = false)
     }
+    // and the DEFAULT (fallbackToBatched=true) keeps an over-cap table
+    // training instead of throwing — same list
+    assert(Bpe.trainMergesLocal(docs, "text", 4, maxWords = 3) ==
+      Bpe.trainMerges(docs, "text", 4))
   }
 
   test("trainMergesLocal tie-break matches Spark's UTF-8 order on " +
@@ -154,13 +161,14 @@ class BpeSpec extends SparkSpec {
     // maxBytes below any plausible estimate: the require fires from the
     // sizing aggregate (message carries the estimate), not from an OOM
     val ex = intercept[IllegalArgumentException] {
-      Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L)
+      Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L,
+        fallbackToBatched = false)
     }
     assert(ex.getMessage.contains("BEFORE"), ex.getMessage)
     assert(ex.getMessage.contains("trainMergesBatched"), ex.getMessage)
-    // same over-budget call with the fallback on: identical list
-    assert(Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L,
-      fallbackToBatched = true) == Bpe.trainMerges(docs, "text", 3))
+    // same over-budget call with the DEFAULT fallback: identical list
+    assert(Bpe.trainMergesLocal(docs, "text", 3, maxBytes = 64L)
+      == Bpe.trainMerges(docs, "text", 3))
   }
 
   test("vocab: alphabet in UTF-8 order then merges in rank order; " +
