@@ -448,37 +448,24 @@ object Similarity {
   // diffable — written as a single file (models are nlist×dim /
   // m×ksub×dsub doubles: KBs).
 
-  /** Persist an IVF centroid model (layout: (cell, vec), cell =
-    * 0..nlist-1). Overwrites.
-    */
-  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
-      centroids: Seq[Seq[Double]], path: String): Unit = {
+  private def centroidsTable(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "empty centroid model")
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a [[saveCentroids]] model; fails loudly on a table that is
-    * not a dense 0..nlist-1 cell range (a partial overwrite or a
-    * wrong-path read must never route vectors silently).
-    */
-  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Double]] = {
-    val rows = spark.read.parquet(path).select(col("cell"), col("vec"))
-      .collect()
+  private def parseCentroids(df: DataFrame, path: String): Seq[Seq[Double]] = {
+    val rows = df.select(col("cell"), col("vec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
     require(rows.map(_._1) == rows.indices,
       s"corrupt centroid model at $path: cells ${rows.map(_._1)}")
     rows.map(_._2)
   }
 
-  /** Persist a PQ codebook model (layout: (sub, code, vec), dense in
-    * both dimensions). Overwrites.
-    */
-  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
-      books: Seq[Seq[Seq[Double]]], path: String): Unit = {
+  private def codebooksTable(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
     require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
     require(books.map(_.size).distinct.size == 1,
       "ragged codebooks: every subspace needs the same ksub")
@@ -486,16 +473,11 @@ object Similarity {
     books.zipWithIndex.flatMap { case (cb, sub) =>
       cb.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
     }.toDF("sub", "code", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a [[saveCodebooks]] model; fails loudly unless both the
-    * subspace and code dimensions are dense.
-    */
-  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Seq[Double]]] = {
-    val rows = spark.read.parquet(path)
-      .select(col("sub"), col("code"), col("vec")).collect()
+  private def parseCodebooks(df: DataFrame, path: String)
+      : Seq[Seq[Seq[Double]]] = {
+    val rows = df.select(col("sub"), col("code"), col("vec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
     val bySub = rows.groupBy(_._1)
     require(bySub.keySet == (0 until bySub.size).toSet,
@@ -507,4 +489,82 @@ object Similarity {
       cb.map(_._3).toSeq
     }
   }
+
+  /** Persist an IVF centroid model (layout: (cell, vec), cell =
+    * 0..nlist-1). Overwrites IN PLACE — a crash mid-overwrite leaves a
+    * torn table the loader rejects AND no previous model to fall back
+    * to; the deployment path is [[saveCentroidsVersioned]], which
+    * keeps the old model servable through the publish.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]], path: String): Unit =
+    centroidsTable(spark, centroids).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveCentroids]] model; fails loudly on a table that is
+    * not a dense 0..nlist-1 cell range (a partial overwrite or a
+    * wrong-path read must never route vectors silently).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    parseCentroids(spark.read.parquet(path), path)
+
+  /** Publish an IVF centroid model through the crash-safe
+    * versioned-marker store
+    * ([[graft.streaming.StatsMaintenance.publishArtifact]]): the new
+    * model becomes visible atomically with its commit marker, a crash
+    * anywhere mid-publish leaves the PREVIOUS model servable (torn
+    * versions are invisible and pruned), and retain=2 keeps the
+    * superseded model one publish longer for jobs that loaded it just
+    * before the refresh. This is the daily-deployment path — train
+    * once on a sample, publish, reuse across every search/encode job.
+    */
+  def saveCentroidsVersioned(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]], path: String, retain: Int = 2): Unit =
+    graft.streaming.StatsMaintenance.publishArtifact(spark, path,
+      centroidsTable(spark, centroids), retain)
+
+  /** Load the newest committed [[saveCentroidsVersioned]] model, with
+    * the same density validation as [[loadCentroids]]. Fails loudly if
+    * nothing has ever been committed (a store holding only torn
+    * publishes included).
+    */
+  def loadCentroidsVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    parseCentroids(
+      graft.streaming.StatsMaintenance.readArtifact(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed centroid model at $path")), path)
+
+  /** Persist a PQ codebook model (layout: (sub, code, vec), dense in
+    * both dimensions). Overwrites in place — deployment path is
+    * [[saveCodebooksVersioned]], see [[saveCentroids]]' caveat.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Seq[Double]]], path: String): Unit =
+    codebooksTable(spark, books).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveCodebooks]] model; fails loudly unless both the
+    * subspace and code dimensions are dense.
+    */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] =
+    parseCodebooks(spark.read.parquet(path), path)
+
+  /** Publish a PQ codebook model through the versioned-marker store —
+    * same contract as [[saveCentroidsVersioned]].
+    */
+  def saveCodebooksVersioned(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Seq[Double]]], path: String, retain: Int = 2): Unit =
+    graft.streaming.StatsMaintenance.publishArtifact(spark, path,
+      codebooksTable(spark, books), retain)
+
+  /** Load the newest committed [[saveCodebooksVersioned]] model —
+    * same contract as [[loadCentroidsVersioned]].
+    */
+  def loadCodebooksVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] =
+    parseCodebooks(
+      graft.streaming.StatsMaintenance.readArtifact(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed codebook model at $path")), path)
 }

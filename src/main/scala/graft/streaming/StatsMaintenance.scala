@@ -303,6 +303,33 @@ object StatsMaintenance {
     true
   }
 
+  /** Publish an arbitrary table as the next committed version of a
+    * versioned ARTIFACT store — the same marker discipline as the
+    * stats tables with the watermark slot unused (-1): a torn write is
+    * invisible, readers always see the last fully committed version,
+    * and a crash mid-publish leaves the PREVIOUS artifact servable
+    * instead of no artifact at all. This is the publish path for model
+    * artifacts (ANN centroids/codebooks —
+    * [[graft.operators.Similarity.saveCentroidsVersioned]]), where the
+    * alternative `mode("overwrite")` in place has a crash window that
+    * destroys the old model before the new one lands, leaving a daily
+    * deployment with NO quantizer until a retrain.
+    *
+    * Default retain=2: the superseded artifact survives one publish —
+    * the grace window for jobs that loaded the model just before the
+    * refresh. Single-writer contract and guards as above.
+    */
+  def publishArtifact(spark: SparkSession, path: String, table: DataFrame,
+      retain: Int = 2): Unit =
+    publish(spark, path, table, watermark = -1L, retain,
+      current(spark, path).map(_._1))
+
+  /** The current committed artifact version, or None before the first
+    * publish (and after any number of torn ones).
+    */
+  def readArtifact(spark: SparkSession, path: String): Option[DataFrame] =
+    readStats(spark, path)
+
   /** OFFLINE deletion maintenance: subtract a constituent batch's
     * recomputed partial from the maintained table
     * ([[graft.operators.CorpusStats.retractStats]] — emptied keys

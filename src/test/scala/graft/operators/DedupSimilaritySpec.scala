@@ -470,6 +470,45 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("versioned ANN model publish: a crash mid-refresh leaves the " +
+    "PREVIOUS model servable, and the new model lands atomically") {
+    import graft.streaming.StatsMaintenance
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annver").toString
+    val m1 = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    val m2 = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nlist = 4, iters = 3)
+    assert(m1 != m2, "test needs two distinguishable models")
+    intercept[IllegalStateException] {
+      Similarity.loadCentroidsVersioned(spark, s"$dir/c")
+    }
+    Similarity.saveCentroidsVersioned(spark, m1, s"$dir/c")
+    assert(Similarity.loadCentroidsVersioned(spark, s"$dir/c") == m1)
+    // the daily refresh crashes mid-publish (after parquet, before the
+    // marker's content lands) — the in-place overwrite path would now
+    // serve NOTHING until a retrain; the versioned store serves m1
+    final class Killed extends RuntimeException("injected crash")
+    StatsMaintenance.testCrashPoint =
+      p => if (p == "marker-open") throw new Killed
+    try intercept[Killed] {
+      Similarity.saveCentroidsVersioned(spark, m2, s"$dir/c")
+    } finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(Similarity.loadCentroidsVersioned(spark, s"$dir/c") == m1,
+      "crash mid-refresh must leave the previous model servable")
+    // the retried refresh lands atomically; retain=2 keeps m1's version
+    Similarity.saveCentroidsVersioned(spark, m2, s"$dir/c")
+    assert(Similarity.loadCentroidsVersioned(spark, s"$dir/c") == m2)
+    val vers = new java.io.File(s"$dir/c").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(vers.size == 2, s"retain=2 grace window lost: $vers")
+    // codebooks ride the same store
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 1)
+    Similarity.saveCodebooksVersioned(spark, books, s"$dir/b")
+    assert(Similarity.loadCodebooksVersioned(spark, s"$dir/b") == books)
+  }
+
   test("trainCentroids reads the base data once, not once per Lloyd iteration (W5)") {
     val acc = spark.sparkContext.longAccumulator("baseRowReads")
     val n = 200
