@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Catalyst's `GetMapValue` on a literal map is a LINEAR SCAN of the
   * key array per lookup, so encoding through a map literal costs
   * O(|vocab|) per symbol — invisible at the 10–200-merge gate scale,
-  * effectively quadratic for a production 32k–64k-entry tokenizer
-  * vocabulary (measured 236× slower at 32k entries on the 500k-doc
-  * decade encode, `bench_evidence/r13_encode_scale_probe.txt`). Here
+  * linear-in-vocab for a production tokenizer vocabulary (measured on
+  * the 500k-doc decade's word table at a REAL 32k-merge vocab: 10.4 s
+  * vs 2.0 s here, and the gap widens with vocab size — 3.5× at a 4k
+  * prefix, 5× at 32k; `bench_evidence/r13_encode_scale_probe.txt`). Here
   * the vocabulary is hashed ONCE per expression instance into a
   * java.util.HashMap shared by every row, making each lookup O(1) —
   * the same shape a tokenizer runtime uses. Rides the distinct-word

@@ -470,8 +470,9 @@ object Bpe {
     * same tens-of-KB..MB a tokenizer file costs every worker in any
     * engine) with O(1) lookups; a `typedLit` map literal here was a
     * linear scan per symbol (Catalyst's GetMapValue on a literal map),
-    * O(|vocab|) per lookup — measured 236× slower at a production
-    * 32k-merge vocabulary (`bench_evidence/r13_encode_scale_probe.txt`).
+    * O(|vocab|) per lookup — measured 5× slower at a REAL 32k-merge
+    * vocabulary and widening with vocab size
+    * (`bench_evidence/r13_encode_scale_probe.txt`).
     *
     * Per-doc reassembly collects (word position, ids) structs and
     * sorts INSIDE the row, so output is deterministic under any
