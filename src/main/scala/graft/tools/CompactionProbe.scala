@@ -103,7 +103,7 @@ object CompactionProbe {
     // consumer shape 1: full-scan aggregate
     def scanAgg(t: DataFrame): Unit =
       t.agg(count(lit(1)), sum(col("line_df")),
-        sum(xxhash64(col("line_key")))).collect(): Unit
+        bit_xor(xxhash64(col("line_key")))).collect(): Unit
     val sScan = time3("scan-agg scattered", () => scanAgg(scattered))
     val oScan = time3("scan-agg sorted   ", () => scanAgg(sorted))
 

@@ -51,8 +51,22 @@ object DailyCycleProbe {
     println(s"[daily-cycle] dir=$dir merges=$nMerges budget=$budget " +
       s"work=$work")
 
+    // lined rendition (the corpora ship one text blob per doc — C4's
+    // line rules need sentences) + planted cross-doc boilerplate for
+    // the line-dedup stage, same shaping as CurationE2EProbe
+    val lines0 = transform(
+      graft.functions.TextFunctions.tokenChunks(col("text"), 8, 8),
+      c => concat(array_join(c.getField("toks"), " "), lit(".")))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter today for offers.\n"))
+            .otherwise(lit("")),
+          array_join(lines0, "\n"),
+          when(col("doc_id") % 5 === 0,
+            lit("\nall rights reserved by the site owner."))
+            .otherwise(lit(""))).as("text"))
     def rawDay(d: Int): DataFrame =
       docs.where(pmod(col("doc_id"), lit(2L)) === (d - 1).toLong)
 
@@ -84,7 +98,7 @@ object DailyCycleProbe {
       // 1. curate the raw day
       val staged = Curation.curateStaged(rawDay(d), "doc_id", "text",
         "source", Map.empty, budget = budget, nShards = 16,
-        lineDedupMaxDf = Some(50), persistStages = true)
+        lineDedupMaxDf = Some(10), persistStages = true)
       try {
         val curated = staged.result
           .select(col("doc_id"), col("clean_text"))
