@@ -534,4 +534,57 @@ object Bpe {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
   }
+
+  /** Publish the TOKENIZER ARTIFACT — the learned merge list and its
+    * [[vocab]] — through the crash-safe versioned-marker store
+    * ([[graft.streaming.StatsMaintenance.publishArtifact]]), as ONE
+    * committed table so the two halves can never drift apart: an
+    * encode under merges from one training run and ids from another
+    * would silently renumber the corpus. Layout is one row per entry,
+    * `kind` ∈ {merge, vocab}: merge rows carry (idx = rank, a, b),
+    * vocab rows carry (idx = id, a = symbol, b = null). Same crash
+    * contract as the ANN models: a kill mid-refresh leaves the
+    * previous tokenizer servable, retain=2 keeps it one publish
+    * longer for in-flight encodes.
+    */
+  def saveTokenizerVersioned(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String)], vocabIds: Seq[(Int, String)],
+      path: String, retain: Int = 2): Unit = {
+    require(merges.nonEmpty, "empty merge list")
+    require(vocabIds.nonEmpty, "empty vocabulary")
+    import spark.implicits._
+    val rows =
+      merges.map { case (r, a, b) => ("merge", r, a, Option(b)) } ++
+        vocabIds.map { case (i, s) => ("vocab", i, s, None: Option[String]) }
+    graft.streaming.StatsMaintenance.publishArtifact(spark, path,
+      rows.toDF("kind", "idx", "a", "b").coalesce(1), retain)
+  }
+
+  /** Load the newest committed tokenizer artifact. Fails loudly if
+    * nothing has been committed or either half is not a dense
+    * 0..n-1 index range (a torn or foreign table must never silently
+    * renumber an encode).
+    */
+  def loadTokenizerVersioned(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(Int, String, String)], Seq[(Int, String)]) = {
+    val table = graft.streaming.StatsMaintenance.readArtifact(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed tokenizer artifact at $path"))
+      .select(col("kind"), col("idx"), col("a"), col("b")).collect()
+    val merges = table.filter(_.getString(0) == "merge")
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val vocabIds = table.filter(_.getString(0) == "vocab")
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    require(merges.nonEmpty && vocabIds.nonEmpty,
+      s"corrupt tokenizer at $path: ${merges.size} merges, " +
+        s"${vocabIds.size} vocab entries")
+    require(merges.map(_._1) == merges.indices,
+      s"corrupt tokenizer at $path: merge ranks ${merges.map(_._1).take(10)}...")
+    require(vocabIds.map(_._1) == vocabIds.indices,
+      s"corrupt tokenizer at $path: vocab ids ${vocabIds.map(_._1).take(10)}...")
+    require(merges.forall(_._3 != null),
+      s"corrupt tokenizer at $path: merge row with null b")
+    (merges, vocabIds)
+  }
 }

@@ -118,21 +118,17 @@ object DailyCycleProbe {
         vocabArtifact = Bpe.vocab(
           curatedDay.withColumnRenamed("clean_text", "text"), "text",
           mergesArtifact)
-        mergesArtifact.toDF("rank", "a", "b").coalesce(1)
-          .write.mode("overwrite").parquet(s"$work/tokenizer/merges")
-        vocabArtifact.toDF("id", "symbol").coalesce(1)
-          .write.mode("overwrite").parquet(s"$work/tokenizer/vocab")
-        println(f"[daily-cycle] tokenizer trained+persisted: " +
+        // merges + vocab commit as ONE table: they can never drift apart
+        Bpe.saveTokenizerVersioned(spark, mergesArtifact, vocabArtifact,
+          s"$work/tokenizer")
+        println(f"[daily-cycle] tokenizer trained+published: " +
           f"${mergesArtifact.size} merges, ${vocabArtifact.size} vocab, " +
           f"${(System.nanoTime() - t) / 1e9}%.0fs")
       } else {
         // a fresh daily process loads the artifact, never retrains
-        mergesArtifact = spark.read.parquet(s"$work/tokenizer/merges")
-          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-          .sortBy(_._1).toSeq
-        vocabArtifact = spark.read.parquet(s"$work/tokenizer/vocab")
-          .collect().map(r => (r.getInt(0), r.getString(1)))
-          .sortBy(_._1).toSeq
+        val (m, v) = Bpe.loadTokenizerVersioned(spark, s"$work/tokenizer")
+        mergesArtifact = m
+        vocabArtifact = v
         println(s"[daily-cycle] tokenizer loaded: " +
           s"${mergesArtifact.size} merges, ${vocabArtifact.size} vocab")
       }

@@ -171,6 +171,46 @@ class BpeSpec extends SparkSpec {
       == Bpe.trainMerges(docs, "text", 3))
   }
 
+  test("tokenizer artifact: merges + vocab publish as ONE committed " +
+    "table; a crash mid-refresh leaves the previous tokenizer servable") {
+    import graft.streaming.StatsMaintenance
+    val docs = Seq(
+      (1L, "low low low lowest"),
+      (2L, "lowest low")).toDF("doc_id", "text")
+    val m1 = Bpe.trainMerges(docs, "text", 2)
+    val v1 = Bpe.vocab(docs, "text", m1)
+    val m2 = Bpe.trainMerges(docs, "text", 4)
+    val v2 = Bpe.vocab(docs, "text", m2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-tokenizer").toString + "/tok"
+    intercept[IllegalStateException] {
+      Bpe.loadTokenizerVersioned(spark, path)
+    }
+    Bpe.saveTokenizerVersioned(spark, m1, v1, path)
+    assert(Bpe.loadTokenizerVersioned(spark, path) == ((m1, v1)))
+    // growth refresh crashes mid-publish: the old tokenizer must stay
+    // servable — an encode under HALF a refresh would renumber corpora
+    final class Killed extends RuntimeException("injected crash")
+    StatsMaintenance.testCrashPoint =
+      p => if (p == "marker-open") throw new Killed
+    try intercept[Killed] {
+      Bpe.saveTokenizerVersioned(spark, m2, v2, path)
+    } finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(Bpe.loadTokenizerVersioned(spark, path) == ((m1, v1)))
+    // retried refresh lands; growth-appends contract holds through the
+    // artifact round-trip
+    Bpe.saveTokenizerVersioned(spark, m2, v2, path)
+    val (lm, lv) = Bpe.loadTokenizerVersioned(spark, path)
+    assert((lm, lv) == ((m2, v2)))
+    assert(lv.take(v1.size) == v1, "vocab growth must only append")
+    // an encode under the loaded tokenizer is identical
+    val a = Bpe.encodeIds(docs, "doc_id", "text", m2, v2)
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val b = Bpe.encodeIds(docs, "doc_id", "text", lm, lv)
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("vocab: alphabet in UTF-8 order then merges in rank order; " +
     "encodeIds emits ordered id sequences with empty docs surviving") {
     val docs = Seq(
