@@ -102,10 +102,12 @@ import graft.operators.CorpusStats
 object StatsMaintenance {
 
   /** Commit marker created inside a version directory AFTER its
-    * parquet write completes; its presence defines "committed" and its
-    * content is the batch watermark at publish time. Our own file
-    * rather than Spark's `_SUCCESS`, which can be disabled by
-    * committer configuration.
+    * parquet write completes; its PARSABLE content (the batch
+    * watermark at publish time) defines "committed" — a present but
+    * empty/garbled marker is a torn version, because creation and
+    * content write are separate steps on stores without atomic PUT.
+    * Our own file rather than Spark's `_SUCCESS`, which can be
+    * disabled by committer configuration.
     */
   val Marker = "_GRAFT_COMMITTED"
 
