@@ -62,20 +62,24 @@ import graft.operators.CorpusStats
   * exactly the contract a lakehouse table's transaction log enforces.
   * The store does not serialize concurrent writers; it makes a
   * violation LOSE LOUDLY instead of losing an update silently, with
-  * three cheap mechanisms that need nothing beyond atomic single-file
+  * four cheap mechanisms that need nothing beyond atomic single-file
   * creation: (1) a version directory is MINTED by exclusively creating
   * a `_GRAFT_RESERVED` file inside it, so two writers can never write
   * parquet into the same directory; (2) every publish re-lists the
   * store after its parquet write and ABORTS (deleting its own torn
   * directory) unless the newest committed version is still the one its
   * table was derived from — the lost-update check; (3) the commit
-  * marker is created exclusively. The residual window — another writer
-  * committing in the milliseconds between a publisher's re-validate
-  * and its marker creation — is documented, not closed: closing it
-  * needs a compare-and-swap primitive generic filesystems don't have
-  * (Delta's log-entry-create trick buys it only by making data files
-  * immutable-append, a different store design). Under the documented
-  * single-writer operation none of this triggers at all.
+  * marker is created exclusively; and (4) after its own marker lands,
+  * a publish re-lists once more and RAISES if a foreign version
+  * committed in the milliseconds between the re-validate and the
+  * marker — the post-commit detector. That last window cannot be
+  * CLOSED without a compare-and-swap primitive generic filesystems
+  * don't have (Delta's log-entry-create trick buys it only by making
+  * data files immutable-append, a different store design), but a race
+  * landing inside it is now detected, not merely documented: the
+  * operator is told both committed versions and repairs by
+  * retracting/refolding one delta. Under the documented single-writer
+  * operation none of this triggers at all.
   *
   * Works for all four maintained shapes through one code path (the
   * generic [[graft.operators.CorpusStats.mergeStats]]):
@@ -218,7 +222,9 @@ object StatsMaintenance {
     * newest committed version (the lost-update guard — see the
     * single-writer contract above) → marker content write+close (THE
     * commit point — table and watermark become visible together) →
-    * prune. A crash anywhere before the marker's content lands leaves
+    * post-commit foreign-commit detection (one more re-list; raises on
+    * a race that landed inside the re-validate→marker window) → prune.
+    * A crash anywhere before the marker's content lands leaves
     * a torn version readers ignore and the next publish prunes
     * (including a created-but-empty marker — parsed as torn); a crash
     * after it only defers cleanup to the next publish.
@@ -263,6 +269,25 @@ object StatsMaintenance {
       out.write(watermark.toString.getBytes("UTF-8"))
     } finally out.close()
     testCrashPoint("post-marker")
+    // POST-COMMIT lost-update detector: the re-validate above closes
+    // the guard down to the window between its listing and the marker
+    // landing. A writer that committed INSIDE that window is invisible
+    // to the guard but visible now — one cheap re-list after our own
+    // commit point converts the residual race from documented to
+    // DETECTED. Nothing is deleted (both versions are committed; which
+    // table readers see depends on the version numbers, and destroying
+    // either could discard the winner) — the store is flagged for
+    // operator repair: retract/refold one of the two deltas.
+    val foreign = versions(spark, path)
+      .collect { case (n, _, Some(_)) if n != next => n }
+      .filter(_ > base.getOrElse(-1L))
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
+        s"version(s) ${foreign.mkString(",")} committed between this " +
+        s"publish's re-validation (base $base) and its marker for " +
+        s"version $next - both deltas are committed but readers see " +
+        "only the highest version; repair by retracting/refolding one " +
+        "of them (single-writer contract violated)")
     val keep = (committedNow :+ next).sorted.takeRight(retain).toSet
     now.foreach { case (n, p, wm) =>
       val torn = wm.isEmpty
