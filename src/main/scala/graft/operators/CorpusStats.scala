@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 
 /** Corpus-relative document statistics — quality signals that need the
   * whole corpus, unlike the per-row scores in
@@ -582,5 +582,79 @@ object CorpusStats {
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05)
+    * over token OCCURRENCES: a `depth × width` counter table where row
+    * d counts tokens by the d-th member of the portable seeded hash
+    * family ([[graft.functions.HashFunctions.seeded]], so the DuckDB
+    * oracle reproduces every bucket bit-for-bit). The estimate for any
+    * token — min over rows of its bucket's counter — never
+    * underestimates and overestimates only by hash collisions (with
+    * probability ≤ e^-depth by more than e·N/width), which is what
+    * makes frequency queries affordable when the true vocabulary is
+    * too big to keep: the sketch is `depth·width` rows FOREVER,
+    * independent of corpus size.
+    *
+    * Scale shape: the corpus pays ONE token aggregate (map-side
+    * partial counts, one shuffle to the Heaps-law-sized vocabulary
+    * table); the ×depth explode and the (d, bucket) fold run on the
+    * vocab-sized table, never the corpus.
+    *
+    * The sketch is ADDITIVE — counters of disjoint batches sum — so it
+    * is the fifth maintained shape: fold per-batch sketches through
+    * [[mergeStats]] with `keys = Seq("d", "bucket"), counts = Seq("n")`
+    * (or [[graft.streaming.StatsMaintenance.start]] for the
+    * crash/replay-safe loop), and the maintained sketch is EXACTLY the
+    * one-pass sketch of the union — unlike the exact token-df table it
+    * can absorb an unbounded stream in fixed space.
+    *
+    * @return (d: int, bucket: long, n: long) — one row per NON-EMPTY
+    *         counter (absent ⇒ 0, [[countMinEstimateWith]] coalesces)
+    */
+  def countMinSketch(docs: DataFrame, textCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"countMinSketch($depth, $width)")
+    val tokCnt = docs
+      .select(explode(T.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val base = H.md5Mod(col("token"))
+    tokCnt
+      .select(col("n"), posexplode(array(
+        (0 until depth).map(i => H.seeded(base, i) % width): _*))
+        .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Point-estimate token frequencies against a (maintained)
+    * [[countMinSketch]] table: `est(t) = min_d sketch[d][h_d(t)]`,
+    * with an absent counter reading 0 (the token family hashed there
+    * was never seen). `depth`/`width` MUST match the sketch's build —
+    * they are the model's geometry, exactly like a tokenizer's merge
+    * list.
+    *
+    * Scale shape: ×depth explode of the PROBE table (usually
+    * vocab-sized or a handful of lookups), one equi-join against the
+    * `depth·width`-row sketch — Spark broadcasts it — and a per-token
+    * min. The corpus is never touched.
+    *
+    * @param tokens probe table; `tokenCol` is consumed, other columns
+    *               pass through untouched
+    * @return input columns + (n_est: long)
+    */
+  def countMinEstimateWith(tokens: DataFrame, tokenCol: String,
+      sketch: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"countMinEstimateWith($depth, $width)")
+    val passThrough = tokens.columns.toSeq
+    val base = H.md5Mod(col(tokenCol))
+    tokens
+      .select(passThrough.map(col) :+ posexplode(array(
+        (0 until depth).map(i => H.seeded(base, i) % width): _*))
+        .as(Seq("__d", "__bucket")): _*)
+      .join(sketch.select(col("d").as("__d"), col("bucket").as("__bucket"),
+        col("n").as("__n")), Seq("__d", "__bucket"), "left")
+      .groupBy(passThrough.map(col): _*)
+      .agg(min(coalesce(col("__n"), lit(0L))).as("n_est"))
   }
 }

@@ -327,6 +327,35 @@ object ExtensionQueries {
       .orderBy("token")
   }
 
+  /** Count-min sketch frequency estimation
+    * ([[graft.operators.CorpusStats.countMinSketch]] /
+    * [[graft.operators.CorpusStats.countMinEstimateWith]]), built
+    * INCREMENTALLY: four disjoint-batch sketches folded through the
+    * generic [[graft.operators.CorpusStats.mergeStats]] (the fifth
+    * maintained shape — fixed `depth·width` rows however large the
+    * stream grows), then every corpus token's frequency estimated
+    * against the merged sketch next to its exact count. The oracle
+    * sketches in ONE pass, so the hash match proves incremental ≡
+    * recompute AND pins the estimator (width 64 forces real
+    * collisions at every gate scale — est > exact rows exist — while
+    * `min` keeps est ≥ exact always).
+    */
+  private def xSketchCountmin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (depth, width) = (3, 64)
+    val parts = (0 to 3).map(r =>
+      graft.operators.CorpusStats.countMinSketch(
+        docs.where(col("doc_id") % 4 === r), "text", depth, width))
+    val sketch = graft.operators.CorpusStats.mergeStats(
+      parts, Seq("d", "bucket"), Seq("n"))
+    val exact = docs.select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    graft.operators.CorpusStats.countMinEstimateWith(
+        exact, "token", sketch, depth, width)
+      .select(col("token"), col("n_est"), col("n_exact"))
+      .orderBy("token")
+  }
+
   /** Incremental bigram-LM model maintenance
     * ([[graft.operators.CorpusStats.bigramCounts]] /
     * [[graft.operators.CorpusStats.mergeBigramCounts]] /
@@ -1364,6 +1393,7 @@ object ExtensionQueries {
     "x_linedf_incremental" -> (xLinedfIncremental _),
     "x_linedf_retract" -> (xLinedfRetract _),
     "x_tokendf_incremental" -> (xTokendfIncremental _),
+    "x_sketch_countmin" -> (xSketchCountmin _),
     "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_langid_trained" -> (xLangidTrained _),
@@ -2210,6 +2240,26 @@ object ExtensionQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS token_df
         |FROM dt GROUP BY token
         |ORDER BY token""".stripMargin),
+
+    // one-pass sketch vs Spark's four merged partials: same seeded
+    // hash family as HashFunctions.seeded (affine over the md5-prefix
+    // base mod P), depth 3 x width 64
+    "x_sketch_countmin" -> (tokCte +
+      s""", tok AS (SELECT unnest(toks) AS token FROM tk),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM tok GROUP BY 1),
+         |hb AS (SELECT token, n_exact,
+         |         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % $P AS base
+         |       FROM cnt),
+         |bk AS (SELECT token, n_exact, d,
+         |         ((2 * d + 1) * base + 7919 * d + 13) % $P % 64 AS bucket
+         |       FROM hb, range(0, 3) r(d)),
+         |sk AS (SELECT d, bucket, sum(n_exact) AS n FROM bk GROUP BY 1, 2),
+         |est AS (SELECT token, CAST(min(n) AS BIGINT) AS n_est
+         |        FROM bk JOIN sk USING (d, bucket) GROUP BY 1)
+         |SELECT c.token, e.n_est, c.n_exact
+         |FROM cnt c JOIN est e USING (token)
+         |ORDER BY token""".stripMargin),
 
     "x_text_rarity" -> (tokCte +
       """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),

@@ -1065,6 +1065,53 @@ class DedupSimilaritySpec extends SparkSpec {
       s"alpha df 3 + newword df 0 over 2 distinct: $scored")
   }
 
+  test("countMinSketch: est >= exact always, exact at collision-free " +
+    "width, additive across disjoint batches, unseen token reads 0") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha"),
+      (4L, "")).toDF("doc_id", "text")
+    val exact = Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L)
+    val probes = exact.keys.toSeq.toDF("token")
+
+    def estimates(depth: Int, width: Int): Map[String, Long] = {
+      val sk = graft.operators.CorpusStats
+        .countMinSketch(docs, "text", depth, width)
+      graft.operators.CorpusStats
+        .countMinEstimateWith(probes, "token", sk, depth, width)
+        .as[(String, Long)].collect().toMap
+    }
+    // the sketch can only overestimate (counters sum colliding tokens)
+    val tight = estimates(depth = 2, width = 2) // forced collisions
+    exact.foreach { case (t, n) =>
+      assert(tight(t) >= n, s"$t underestimated: ${tight(t)} < $n") }
+    // collision-free geometry recovers the exact counts
+    assert(estimates(depth = 3, width = 1024) == exact)
+
+    // additivity: disjoint-batch sketches folded through mergeStats
+    // equal the one-pass sketch, counter for counter
+    val parts = Seq(0L, 1L).map(r => graft.operators.CorpusStats
+      .countMinSketch(docs.where($"doc_id" % 2 === r), "text", 3, 64))
+    val merged = graft.operators.CorpusStats
+      .mergeStats(parts, Seq("d", "bucket"), Seq("n"))
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val onePass = graft.operators.CorpusStats
+      .countMinSketch(docs, "text", 3, 64)
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(merged == onePass)
+
+    // a token the corpus never saw estimates 0 when its buckets are
+    // empty (collision-free width): absent counters read as zero
+    val unseen = graft.operators.CorpusStats.countMinEstimateWith(
+        Seq("neverseen").toDF("token"),
+        "token",
+        graft.operators.CorpusStats.countMinSketch(docs, "text", 3, 4096),
+        3, 4096)
+      .as[(String, Long)].collect().head
+    assert(unseen == (("neverseen", 0L)), s"got $unseen")
+  }
+
   test("bigramLm: ref-like docs score high, OOV text flagged, short/empty " +
     "docs get null scores") {
     val docs = Seq(
