@@ -10,7 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Vocabulary id lookup for a whole symbol array in one kernel pass:
   * array<string> subword symbols → array<int> ids under a FIXED
-  * vocabulary, unknown symbol → -1 (the caller's UNK hook).
+  * vocabulary. An unknown symbol maps to -1 (the caller's UNK hook) —
+  * or, with `byteBase ≥ 0`, expands to its UTF-8 bytes as ids
+  * `byteBase + byte` (BYTE FALLBACK, the SentencePiece/Llama contract
+  * that makes encode total: no input can ever be unrepresentable, so
+  * a production tokenizer never emits UNK).
   *
   * Why an expression and not `element_at` on a `typedLit` map:
   * Catalyst's `GetMapValue` on a literal map is a LINEAR SCAN of the
@@ -26,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * table (Heaps-law-sized), never the corpus, exactly like
   * [[MergeList]].
   */
-case class VocabIds(child: Expression, vocab: Seq[(Int, String)])
+case class VocabIds(child: Expression, vocab: Seq[(Int, String)],
+    byteBase: Int = -1)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -41,13 +46,13 @@ case class VocabIds(child: Expression, vocab: Seq[(Int, String)])
   @transient private lazy val table: VocabIds.Table = VocabIds.Table(vocab)
 
   override def nullSafeEval(v: Any): Any =
-    VocabIds.compute(v.asInstanceOf[ArrayData], table)
+    VocabIds.compute(v.asInstanceOf[ArrayData], table, byteBase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("vocabTable", table,
       "graft.expressions.VocabIds.Table")
     defineCodeGen(ctx, ev, v =>
-      s"graft.expressions.VocabIds$$.MODULE$$.compute($v, $t)")
+      s"graft.expressions.VocabIds$$.MODULE$$.compute($v, $t, $byteBase)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -75,22 +80,54 @@ object VocabIds {
     def apply(entries: Seq[(Int, String)]): Table = new Table(entries)
   }
 
-  def compute(xs: ArrayData, t: Table): GenericArrayData = {
+  def compute(xs: ArrayData, t: Table, byteBase: Int): GenericArrayData = {
     val n = xs.numElements()
-    val out = new Array[Int](n)
     val m = t.map
-    var i = 0
-    while (i < n) {
-      val id = m.get(xs.getUTF8String(i))
-      out(i) = if (id == null) -1 else id.intValue()
-      i += 1
+    if (byteBase < 0) {
+      // UNK mode: one id per symbol, unknown → -1
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val id = m.get(xs.getUTF8String(i))
+        out(i) = if (id == null) -1 else id.intValue()
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // byte fallback: an unknown symbol expands to its UTF-8 bytes
+      // (byteBase + byte value), so output length can exceed n
+      val out = new scala.collection.mutable.ArrayBuilder.ofInt
+      out.sizeHint(n)
+      var i = 0
+      while (i < n) {
+        val s = xs.getUTF8String(i)
+        val id = m.get(s)
+        if (id != null) out += id.intValue()
+        else {
+          val bytes = s.getBytes
+          var j = 0
+          while (j < bytes.length) {
+            out += byteBase + (bytes(j) & 0xFF)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.result())
     }
-    new GenericArrayData(out)
   }
 
-  def ids(symbols: Column, vocab: Seq[(Int, String)]): Column = {
+  def ids(symbols: Column, vocab: Seq[(Int, String)]): Column =
+    ids(symbols, vocab, byteBase = -1)
+
+  /** Byte-fallback form: unknown symbols expand to UTF-8 byte ids
+    * `byteBase + b` instead of -1. Pass the RESERVED byte-token id
+    * range's base (0 for [[graft.operators.Bpe.vocabWithBytes]]'
+    * bytes-first layout).
+    */
+  def ids(symbols: Column, vocab: Seq[(Int, String)], byteBase: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(VocabIds(
-      GraftColumnBridge.expression(symbols), vocab))
+      GraftColumnBridge.expression(symbols), vocab, byteBase))
   }
 }

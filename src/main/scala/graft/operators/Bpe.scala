@@ -456,6 +456,32 @@ object Bpe {
     out.toSeq
   }
 
+  /** The 256 reserved byte tokens of a byte-fallback vocabulary —
+    * ids 0..255, symbol strings `<0x00>`..`<0xFF>` (the SentencePiece
+    * rendering; the angle-bracket form cannot collide with any
+    * single-code-point alphabet symbol). Produced only by the encode
+    * FALLBACK path — never by text lookup — so a document that
+    * literally contains the string "<0x41>" still encodes through its
+    * own characters.
+    */
+  val ByteTokens: Seq[(Int, String)] =
+    (0 until 256).map(b => (b, f"<0x$b%02X>"))
+
+  /** [[vocab]] with BYTE FALLBACK reserved: ids 0..255 are the byte
+    * tokens, the alphabet and merge symbols follow shifted by 256.
+    * This is the SentencePiece/Llama vocabulary contract that makes
+    * encode TOTAL — text whose characters exceed the training corpus's
+    * alphabet (new scripts, emoji, mojibake) decomposes into UTF-8
+    * bytes instead of collapsing to UNK, so no input is
+    * unrepresentable and decode is always lossless. Same growth
+    * contract as [[vocab]]: training more merges only APPENDS ids.
+    */
+  def vocabWithBytes(docs: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)]): Seq[(Int, String)] =
+    ByteTokens ++ vocab(docs, textCol, merges).map {
+      case (i, s) => (i + 256, s)
+    }
+
   /** Doc → token-id sequences: the tokenizer's LAST MILE — what a
     * training run actually consumes. Encodes every document under the
     * learned merges and maps each subword symbol to its [[vocab]] id,
@@ -479,7 +505,14 @@ object Bpe {
     * partitioning. Docs with no words survive with an empty sequence.
     * A symbol absent from the vocabulary (possible only when encoding
     * NEW text whose alphabet exceeds the training corpus's) maps to
-    * id -1 — the caller's UNK policy hook, chosen over silent drops.
+    * id -1 — the caller's UNK policy hook, chosen over silent drops —
+    * or, with `byteFallback = true` and a [[vocabWithBytes]] layout,
+    * expands to its UTF-8 bytes as the reserved ids 0..255: encode
+    * becomes TOTAL and decode lossless on ANY input, the production
+    * contract (no training run wants UNK mass). The byte rows are
+    * excluded from the lookup table, so fallback ids are produced only
+    * by genuinely out-of-alphabet characters, never by text that
+    * happens to spell `<0x41>`.
     *
     * @return ONLY (idCol, n_ids, ids: array<int>) — join back on
     *         idCol for other columns; compose with
@@ -488,16 +521,27 @@ object Bpe {
     */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String)],
-      vocabIds: Seq[(Int, String)]): DataFrame = {
+      vocabIds: Seq[(Int, String)],
+      byteFallback: Boolean = false): DataFrame = {
     require(vocabIds.nonEmpty, "empty vocabulary")
     require(vocabIds.map(_._2).distinct.size == vocabIds.size,
       "duplicate symbol in vocabulary")
+    val lookup =
+      if (!byteFallback) vocabIds
+      else {
+        require(vocabIds.take(256) == ByteTokens,
+          "byteFallback needs a vocabWithBytes layout: ids 0..255 must " +
+            "be the reserved byte tokens")
+        vocabIds.drop(256)
+      }
+    val byteBase = if (byteFallback) 0 else -1
     val docWords = docs.select(col(idCol),
         posexplode(T.tokens(col(textCol))).as(Seq("__wpos", "word")))
       .where(length(col("word")) > 0)
     val wordIds = applySyms(docWords.select("word").distinct(), merges)
       .select(col("word"),
-        graft.expressions.VocabIds.ids(col("syms"), vocabIds).as("__ids"))
+        graft.expressions.VocabIds.ids(col("syms"), lookup, byteBase)
+          .as("__ids"))
     val agg = docWords.join(wordIds, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -703,6 +703,59 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** The byte-fallback probe word appended to every document before
+    * encoding: n/a/i/v/e are inside the training alphabet (they encode
+    * through chars and learned merges), ï (2 UTF-8 bytes), Ω (2) and
+    * 🦉 (4, non-BMP — a surrogate PAIR in Java but ONE code point,
+    * which is what both engines' char split produces) are outside it
+    * and must decompose to reserved byte ids 0..255. Mixing known and
+    * unknown code points inside one whitespace-token exercises
+    * per-symbol fallback, not per-word.
+    */
+  private val bpeBfProbe = "naïveΩ🦉"
+
+  /** Carried from [[xBpeByteFallback]]'s build to [[oracles]]: the
+    * learned merges, the NON-BYTE vocab rows (ids already shifted
+    * +256), and each out-of-alphabet probe code point with its UTF-8
+    * byte ids.
+    */
+  @volatile private var bpeBfMerges: Seq[(Int, String, String)] = Seq()
+  @volatile private var bpeBfVocab: Seq[(Int, String)] = Seq()
+  @volatile private var bpeBfUnknown: Seq[(String, Seq[Int])] = Seq()
+
+  /** Byte-fallback encode ([[graft.operators.Bpe.vocabWithBytes]] +
+    * [[graft.operators.Bpe.encodeIds]] with `byteFallback = true`) —
+    * the SentencePiece/Llama vocabulary contract: ids 0..255 are
+    * reserved byte tokens and a symbol outside the learned vocabulary
+    * decomposes into its UTF-8 bytes instead of collapsing to UNK, so
+    * encode is TOTAL and no training-data mass is lost to new scripts,
+    * emoji, or mojibake. The query trains 10 real merges, then encodes
+    * the corpus with [[bpeBfProbe]] appended to every document; the
+    * oracle replays the anchored replace chain (x_bpe_ids' trick) with
+    * vocab ids shifted +256 and one extra replace per out-of-alphabet
+    * code point rewriting its anchor to the literal byte ids.
+    */
+  private def xBpeByteFallback(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabWithBytes(docs, "text", merges)
+    bpeBfMerges = merges
+    bpeBfVocab = voc.drop(256)
+    val known = voc.map(_._2).toSet
+    bpeBfUnknown = bpeBfProbe.codePoints().toArray.toSeq
+      .map(cp => new String(Character.toChars(cp))).distinct
+      .filterNot(known)
+      .map(c => (c, c.getBytes("UTF-8").toSeq.map(_ & 0xFF)))
+    val aug = docs.withColumn("text",
+      concat_ws(" ", col("text"), lit(bpeBfProbe)))
+    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", merges, voc,
+        byteFallback = true)
+      .select(col("doc_id"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("doc_id")
+  }
+
   /** Carried from [[xBpeBinIds]]'s build to [[oracles]] (same
     * mechanism as [[bpeTokenMerges]]).
     */
@@ -1428,6 +1481,7 @@ object ExtensionQueries {
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
+    "x_bpe_byte_fallback" -> (xBpeByteFallback _),
     "x_bpe_bin_ids" -> (xBpeBinIds _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
@@ -2476,6 +2530,50 @@ object ExtensionQueries {
            |  ids_str
            |FROM d ORDER BY doc_id""".stripMargin
     },
+    "x_bpe_byte_fallback" -> {
+      // x_bpe_ids' anchored replace chain with (1) vocab ids shifted
+      // +256 (byte tokens reserve 0..255), and (2) one extra replace
+      // per out-of-alphabet probe code point rewriting its anchor
+      // (always '1:' + the code point — both engines split chars by
+      // CODE POINT, so the non-BMP owl is one symbol) to its literal
+      // UTF-8 byte ids. Text is the corpus with the probe word
+      // appended to every document on both sides.
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      def encSym(x: String) = s"chr(1) || ${q(s"${x.length}:$x")}"
+      def encCp(c: String) = s"chr(1) || ${q(s"1:$c")}"
+      val charJoin =
+        "array_to_string(list_transform(range(1, length(word) + 1), " +
+          "i -> chr(1) || '1:' || substr(word, CAST(i AS INT), 1)), '')"
+      val merged = bpeBfMerges.sortBy(_._1).foldLeft(charJoin) {
+        case (acc, (_, a, b)) =>
+          s"replace($acc, ${encSym(a)} || ${encSym(b)}, ${encSym(a + b)})"
+      }
+      val idChain = bpeBfVocab.foldLeft(merged) {
+        case (acc, (id, sym)) =>
+          s"replace($acc, ${encSym(sym)}, ${q(s" $id")})"
+      }
+      val byteChain = bpeBfUnknown.foldLeft(idChain) {
+        case (acc, (c, bytes)) =>
+          s"replace($acc, ${encCp(c)}, ${q(bytes.mkString(" ", " ", ""))})"
+      }
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(text || ' ' || ${q(bpeBfProbe)}),
+         |      '\\s+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(toks, w -> length(w) > 0),
+         |      word -> trim($byteChain)), ' ') AS ids_str
+         |  FROM tk)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN ids_str = '' THEN 0
+         |       ELSE len(string_split(ids_str, ' ')) END AS BIGINT) AS n_ids,
+         |  ids_str
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     "x_bpe_bin_ids" -> {
       // independent bin construction: per-doc ids via the anchored
       // replace chains (x_bpe_ids' trick), placement offsets via the

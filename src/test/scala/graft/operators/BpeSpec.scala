@@ -255,6 +255,57 @@ class BpeSpec extends SparkSpec {
     assert(gx._3.contains(-1) && gx._2 == gx._3.size.toLong)
   }
 
+  test("byte fallback: encode is TOTAL — out-of-alphabet code points " +
+    "decompose to reserved byte ids 0..255 and decode losslessly") {
+    val docs = Seq(
+      (1L, "low low low lowest"),
+      (2L, "lowest low")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+    val vb = Bpe.vocabWithBytes(docs, "text", merges)
+    // layout: 256 reserved byte tokens first, then the plain vocab
+    // shifted — the id-stability contract carries over
+    assert(vb.take(256) == Bpe.ByteTokens)
+    assert(vb(0x41)._2 == "<0x41>")
+    val plain = Bpe.vocab(docs, "text", merges)
+    assert(vb.drop(256) == plain.map { case (i, s) => (i + 256, s) })
+
+    // on in-alphabet text the fallback encode IS the plain encode +256
+    val base = Bpe.encodeIds(docs, "doc_id", "text", merges, plain)
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val bf = Bpe.encodeIds(docs, "doc_id", "text", merges, vb,
+        byteFallback = true)
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(bf == base.map { case (d, n, ids) => (d, n, ids.map(_ + 256)) })
+
+    // mixed word: l/o/w encode through chars+merges, Ω (2 UTF-8
+    // bytes) and the non-BMP owl (4 bytes, ONE code point) fall back
+    val probe = Seq((9L, "lowΩ🦉 low")).toDF("doc_id", "text")
+    val got = Bpe.encodeIds(probe, "doc_id", "text", merges, vb,
+        byteFallback = true)
+      .as[(Long, Long, Seq[Int])].collect().head
+    assert(!got._3.exists(_ < 0), "byte fallback must never emit UNK")
+    assert(got._3.count(_ < 256) == 6, // 0xCE 0xA9 + 0xF0 0x9F 0xA6 0x89
+      s"expected exactly the 6 fallback bytes of Ω and 🦉: ${got._3}")
+    // lossless: byte ids decode as raw UTF-8 bytes, vocab ids as their
+    // symbols — the round trip reassembles the exact input words
+    val sym = vb.toMap
+    def decode(ids: Seq[Int]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      ids.foreach { i =>
+        if (i < 256) out.write(i)
+        else out.write(sym(i).getBytes("UTF-8"))
+      }
+      new String(out.toByteArray, "UTF-8")
+    }
+    assert(decode(got._3) == "lowΩ🦉low")
+
+    // the fallback contract demands the reserved bytes-first layout
+    intercept[IllegalArgumentException] {
+      Bpe.encodeIds(probe, "doc_id", "text", merges, plain,
+        byteFallback = true)
+    }
+  }
+
   test("vocab growth only appends: a k-merge vocab is a strict prefix " +
     "of a k'-merge vocab (the id-stability contract a training run " +
     "needs to grow its tokenizer)") {
