@@ -112,3 +112,87 @@ object WordShingleHashes {
     GraftColumnBridge.column(WordShingleHashes(
       GraftColumnBridge.expression(tokens), n))
 }
+
+/** POSITIONAL variant of [[WordShingleHashes]]: the hash of EVERY
+  * n-token window in order — element i is the window starting at
+  * token i — with no distinct/sort, for consumers that need to map a
+  * duplicated window back to the token positions it covers (exact
+  * substring dedup). Values are the same residues as
+  * [[WordShingleHashes]] computes (mod is a ring homomorphism, so the
+  * rolling form below is congruent to the per-step fold the DuckDB
+  * oracle uses), so a set built from this array EQUALS the set kernel's
+  * output — pinned in `ExpressionsSpec`.
+  *
+  * Two deliberate contract differences from the set kernel: docs
+  * shorter than n emit an EMPTY array, not one short-window hash — a
+  * document that cannot contain an n-token span must not join a span
+  * against the corpus; and the hash is computed by a ROLLING update
+  * (drop the leading term, shift, add the next token) so the kernel is
+  * O(len) for ANY window width — the fold form is O(len·n), which at
+  * the Lee-et-al-style n = 50 would be a 50× rescan of the token mass.
+  */
+case class WordShingleHashesPos(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1 && n <= 256,
+    s"word_shingle_hashes_pos supports n in [1,256], got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes_pos expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingleHashesPos.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.WordShingleHashesPos.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashesPos {
+  private val P = 1000000007L
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val k = tokens.numElements()
+    if (k < n) return org.apache.spark.sql.catalyst.expressions
+      .UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val th = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      th(i) = Md5Prefix60.compute(tokens.getUTF8String(i).getBytes) % P
+      i += 1
+    }
+    val m = k - n + 1
+    val out = new Array[Int](m)
+    // 131^(n-1) mod P — the leading term's weight
+    var pw = 1L
+    var e = 0
+    while (e < n - 1) { pw = pw * 131L % P; e += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < n) { acc = (acc * 131L + th(j)) % P; j += 1 }
+    out(0) = acc.toInt
+    i = 1
+    while (i < m) {
+      // drop the leading term, shift, admit the next token; every
+      // intermediate < P² < 2⁶⁰, no overflow
+      acc = (acc - th(i - 1) * pw % P + P) % P
+      acc = (acc * 131L + th(i + n - 1)) % P
+      out(i) = acc.toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def apply(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleHashesPos(
+      GraftColumnBridge.expression(tokens), n))
+}

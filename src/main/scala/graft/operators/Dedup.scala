@@ -800,6 +800,72 @@ object Dedup {
       .where(col("n_shared_spans") >= minShared)
   }
 
+  /** EXACT duplicated-substring REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): drop
+    * every token covered by an n-token window whose hash occurs at
+    * least `minOcc` times CORPUS-WIDE (all occurrences count,
+    * including repeats inside one document — boilerplate repeated
+    * within a page is exactly what the paper removes). Where
+    * [[sharedSpanPairs]] reports which documents share long spans,
+    * this rewrites the corpus: overlapping duplicated windows merge
+    * into maximal covered spans by construction (every position they
+    * cover is dropped), which is the paper's substring-removal
+    * semantics with a window-hash equality test standing in for the
+    * suffix-array exact match — a hash collision (probability ~1/P per
+    * window pair) can over-remove, never under-remove; the
+    * suffix-array build itself is inherently sequential and is the
+    * documented divergence.
+    *
+    * Scale shape — every stage linear, nothing all-pairs, no
+    * corpus-wide sort: (1) one positional-window kernel pass
+    * ([[graft.expressions.WordShingleHashesPos]] — O(len) rolling
+    * hash, so n = 50 costs the same as n = 5) + one explode of the
+    * window mass; (2) occurrence counts via count-over-window on the
+    * hash (ONE shuffle of the window table — the [[sharedSpanPairs]]
+    * pattern, measured 2× cheaper than groupBy+join-back at 23M
+    * spans); (3) covered positions = duplicated windows × n rows
+    * BEFORE distinct — the one deliberate multiplier, proportional to
+    * the duplicated mass, not the corpus; (4) one token posexplode +
+    * anti-join on (doc, position) + per-doc in-row rebuild (the
+    * rebuild explode is inherent: the output IS the rewritten corpus).
+    *
+    * @return (idCol, n_tokens, n_removed, clean_text) — token-less and
+    *         fully-duplicated docs survive with clean_text = ""
+    */
+  def dropDuplicateSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 50, minOcc: Int = 2): DataFrame = {
+    require(n >= 2 && minOcc >= 2, s"n=$n minOcc=$minOcc")
+    val toks = docs.select(col(idCol).as("__id"),
+      T.tokens(col(textCol)).as("__toks"))
+    val wins = toks.select(col("__id"),
+      posexplode(graft.expressions.WordShingleHashesPos(col("__toks"), n))
+        .as(Seq("__p", "__h")))
+    val dupStarts = wins
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .where(col("__df") >= minOcc)
+      .select(col("__id"), col("__p"))
+    val covered = dupStarts
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__cp"))
+      .distinct()
+    val tokPos = toks.select(col("__id"),
+      posexplode(col("__toks")).as(Seq("__tp", "__tok")))
+    val kept = tokPos.join(covered,
+      tokPos("__id") === covered("__id") && col("__tp") === col("__cp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+    toks.select(col("__id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nkept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline
     * and small-n path. Norms are computed once per row before the
     * join; only the dot product is per-pair.

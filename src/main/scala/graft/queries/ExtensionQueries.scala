@@ -551,6 +551,23 @@ object ExtensionQueries {
     Dedup.sharedSpanPairs(Tables.documents(s, dir), "doc_id", "text", n = 8)
       .orderBy("i", "j")
 
+  /** Exact duplicated-substring removal
+    * ([[graft.operators.Dedup.dropDuplicateSubstrings]], the Lee et
+    * al. 2022 rewrite): every token covered by a 4-token window
+    * occurring ≥ 2 times corpus-wide is dropped and the document
+    * rebuilt. n = 4 on the gate corpus yields MIXED coverage (some
+    * windows duplicated, most not), so partial rewrites, fully-kept
+    * and fully-removed docs all appear in the output. The oracle
+    * reconstructs the rolling window hashes per position
+    * (per-step-mod fold — congruent to the kernel's rolling update),
+    * the corpus-wide occurrence counts, the covered-position set, and
+    * the ordered rebuild independently.
+    */
+  private def xDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSubstrings(Tables.documents(s, dir), "doc_id",
+        "text", n = 4)
+      .orderBy("doc_id")
+
   /** BM25-shaped keyword search
     * ([[graft.operators.CorpusStats.bm25Scores]]): a fixed 4-term
     * query scored against every document, ratio-IDF (the libm-free
@@ -1492,6 +1509,7 @@ object ExtensionQueries {
     "x_quality_lm" -> (xQualityLm _),
     "x_search_bm25" -> (xSearchBm25 _),
     "x_dedup_spans" -> (xDedupSpans _),
+    "x_dedup_substring" -> (xDedupSubstring _),
     "x_dedup_editdist" -> (xDedupEditdist _),
     "x_skew_salted_join" -> (xSkewSaltedJoin _),
     "x_contamination" -> (xContamination _),
@@ -2280,6 +2298,45 @@ object ExtensionQueries {
         |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // positional 4-token window hashes (per-step-mod fold, congruent
+    // to the kernel's rolling form), corpus-wide occurrence counts,
+    // covered positions, ordered rebuild — all reconstructed
+    "x_dedup_substring" -> (tokCte +
+      s""", th AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS h
+         |  FROM tk),
+         |w AS (
+         |  SELECT doc_id, ix - 1 AS p,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      h[CAST(ix AS INT):CAST(ix + 3 AS INT)]),
+         |      (a, b) -> (a * 131 + b) % $P) AS wh
+         |  FROM (SELECT doc_id, h,
+         |          unnest(range(1, greatest(len(h) - 3, 0) + 1)) AS ix
+         |        FROM th)),
+         |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+         |off AS (SELECT unnest(range(0, 4)) AS o),
+         |cov AS (SELECT DISTINCT doc_id, p + o AS cp
+         |        FROM w JOIN dup USING (wh), off),
+         |tp AS (
+         |  SELECT doc_id, ix - 1 AS tpos, toks[CAST(ix AS INT)] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS ix
+         |        FROM tk)),
+         |kept AS (
+         |  SELECT tp.doc_id, tpos, tok
+         |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tpos = cp
+         |  WHERE cov.doc_id IS NULL),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(reb.clean_text, '') AS clean_text
+         |FROM tk t LEFT JOIN reb USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
 
     "x_dedup_spans" -> (shingleCteN(8) +
       """, e AS (SELECT doc_id, unnest(s) AS h FROM sh),

@@ -79,6 +79,53 @@ class KernelCodegenSpec extends SparkSpec {
     assert(back.map.get(UTF8String.fromString("ZZZ")) == null)
   }
 
+  test("VocabIds byte fallback compiles, matches interpreted, and " +
+    "expands unknowns to UTF-8 byte ids") {
+    val vocab = Seq((256, "l"), (257, "o"), (258, "low"))
+    val e = VocabIds(
+      BoundReference(0, ArrayType(StringType, containsNull = false),
+        nullable = true), vocab, byteBase = 0)
+    val syms = ArrayData.toArrayData(
+      Array("low", "Ω", "o", "🦉").map(UTF8String.fromString))
+    compiledVsInterpreted(e, InternalRow(syms))
+    assert(e.eval(InternalRow(syms)).asInstanceOf[ArrayData]
+      .toIntArray().toSeq ==
+      Seq(258, 0xCE, 0xA9, 257, 0xF0, 0x9F, 0xA6, 0x89))
+  }
+
+  test("WordShingleHashesPos: rolling update equals the BigInt " +
+    "reference per position, the distinct-sorted view equals the set " +
+    "kernel, and sub-window docs emit EMPTY") {
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      .split(" ")
+    val P = BigInt(1000000007L)
+    def md5p(t: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      BigInt(java.lang.Long.parseLong(hex, 16)) mod P
+    }
+    val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString))
+    for (n <- Seq(2, 3, 5, 6, 8, 10)) {
+      val got = WordShingleHashesPos.compute(arr, n).toIntArray().toSeq
+      val want = (0 to toks.length - n).map { i =>
+        toks.slice(i, i + n).map(md5p)
+          .foldLeft(BigInt(0))((a, b) => a * 131 + b).mod(P).toInt
+      }
+      assert(got == want, s"rolling hash diverged at n=$n")
+      assert(got.distinct.sorted ==
+        WordShingleHashes.compute(arr, n).toIntArray().toSeq,
+        s"set-kernel congruence broken at n=$n")
+    }
+    // a doc that cannot hold an n-token span contributes NO window
+    // (the set kernel's short-doc single-window rule does not apply)
+    val short = ArrayData.toArrayData(
+      Array("a", "b").map(UTF8String.fromString))
+    assert(WordShingleHashesPos.compute(short, 3).numElements() == 0)
+    compiledVsInterpreted(WordShingleHashesPos(
+      BoundReference(0, ArrayType(StringType, containsNull = false),
+        nullable = true), 4), InternalRow(arr))
+  }
+
   test("WordShingleHashes rejects n outside [1,256]; wide-n path compiles") {
     val child = BoundReference(0, ArrayType(StringType, containsNull = false),
       nullable = true)

@@ -1065,6 +1065,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"alpha df 3 + newword df 0 over 2 distinct: $scored")
   }
 
+  test("dropDuplicateSubstrings: tokens covered by corpus-repeated " +
+    "4-token windows are removed; uniques, short and empty docs survive") {
+    val shared = "one two three four five"
+    val docs = Seq(
+      (1L, s"alpha $shared omega"), // positions 1..5 covered
+      (2L, shared), // fully covered
+      (3L, "unique tokens here entirely distinct"),
+      (4L, "rep rep rep rep rep rep rep rep"), // IN-DOC repetition counts
+      (5L, "tiny doc"), // < n tokens: cannot hold a span, untouched
+      (6L, "")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSubstrings(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 7L, 5L, "alpha omega"),
+      (2L, 5L, 5L, ""),
+      (3L, 5L, 0L, "unique tokens here entirely distinct"),
+      (4L, 8L, 8L, ""),
+      (5L, 2L, 0L, "tiny doc"),
+      (6L, 0L, 0L, "")))
+  }
+
   test("countMinSketch: est >= exact always, exact at collision-free " +
     "width, additive across disjoint batches, unseen token reads 0") {
     val docs = Seq(
