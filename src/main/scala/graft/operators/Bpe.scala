@@ -554,6 +554,33 @@ object Bpe {
         col("ids"))
   }
 
+  /** DECODE: token ids back to the text they encode —
+    * [[encodeIds]]' inverse, as a composable column over any
+    * `array<int>` ids column (one O(1) hash lookup per id inside the
+    * codegen'd [[graft.expressions.VocabDecode]] kernel; byte runs
+    * from the fallback reassemble in byte space, so split multi-byte
+    * code points decode losslessly). Word boundaries are not encoded
+    * (no space token — the documented [[vocab]] simplification), so
+    * decode returns the document's words CONCATENATED; the lossless
+    * contract is `decode(encode(text)) = concat(tokens(text))`,
+    * oracle-checked corpus-wide by `x_bpe_roundtrip`. A foreign id
+    * (neither vocabulary nor byte range) fails loudly.
+    */
+  def decodeCol(ids: org.apache.spark.sql.Column,
+      vocabIds: Seq[(Int, String)],
+      byteFallback: Boolean = false): org.apache.spark.sql.Column = {
+    require(vocabIds.nonEmpty, "empty vocabulary")
+    if (!byteFallback)
+      graft.expressions.VocabDecode.decode(ids, vocabIds)
+    else {
+      require(vocabIds.take(256) == ByteTokens,
+        "byteFallback needs a vocabWithBytes layout: ids 0..255 must " +
+          "be the reserved byte tokens")
+      graft.expressions.VocabDecode.decode(ids, vocabIds.drop(256),
+        byteBase = 0)
+    }
+  }
+
   /** Per-document subword token counts under a learned merge list —
     * the "how many BPE tokens is my corpus" accounting every training
     * run needs, with the REAL learned merges instead of a heuristic.

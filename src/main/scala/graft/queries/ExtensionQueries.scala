@@ -773,6 +773,32 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer ROUND TRIP ([[graft.operators.Bpe.encodeIds]] with
+    * byte fallback → [[graft.operators.Bpe.decodeCol]]): every
+    * document — probe word with out-of-alphabet code points included —
+    * encoded to ids and decoded back. The oracle is FULLY INDEPENDENT
+    * of the tokenizer (it never sees the merges): just the documents'
+    * tokens concatenated, because word boundaries are not encoded.
+    * The hash match is the corpus-wide lossless proof — any defect in
+    * merge application, id assignment, byte fallback, byte
+    * reassembly, or per-doc ordering breaks it.
+    */
+  private def xBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabWithBytes(docs, "text", merges)
+    val aug = docs.withColumn("text",
+      concat_ws(" ", col("text"), lit(bpeBfProbe)))
+    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", merges, voc,
+        byteFallback = true)
+      .select(col("doc_id"),
+        graft.operators.Bpe.decodeCol(col("ids"), voc, byteFallback = true)
+          .as("decoded"))
+      .select(col("doc_id"),
+        length(col("decoded")).cast("long").as("n_chars"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Carried from [[xBpeBinIds]]'s build to [[oracles]] (same
     * mechanism as [[bpeTokenMerges]]).
     */
@@ -1499,6 +1525,7 @@ object ExtensionQueries {
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
     "x_bpe_byte_fallback" -> (xBpeByteFallback _),
+    "x_bpe_roundtrip" -> (xBpeRoundtrip _),
     "x_bpe_bin_ids" -> (xBpeBinIds _),
     "x_multimodal_phash" -> (xMultimodalPhash _),
     "x_sample_quality" -> (xSampleQuality _),
@@ -2629,6 +2656,23 @@ object ExtensionQueries {
          |       ELSE len(string_split(ids_str, ' ')) END AS BIGINT) AS n_ids,
          |  ids_str
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // the tokenizer never appears here: losslessness means decode ∘
+    // encode must reproduce the tokens (concatenated — word boundaries
+    // are not encoded) no matter what was learned
+    "x_bpe_roundtrip" -> {
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(
+         |      trim(text || ' ' || ${q(bpeBfProbe)}), '\\s+'),
+         |      w -> length(w) > 0) AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
+         |  array_to_string(ws, '') AS decoded
+         |FROM tk ORDER BY doc_id""".stripMargin
     },
 
     "x_bpe_bin_ids" -> {

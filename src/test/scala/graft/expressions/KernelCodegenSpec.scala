@@ -93,6 +93,23 @@ class KernelCodegenSpec extends SparkSpec {
       Seq(258, 0xCE, 0xA9, 257, 0xF0, 0x9F, 0xA6, 0x89))
   }
 
+  test("VocabDecode compiles, matches interpreted, reassembles byte " +
+    "runs into UTF-8, and rejects foreign ids") {
+    val vocab = Seq((256, "l"), (257, "o"), (258, "low"))
+    val e = VocabDecode(
+      BoundReference(0, ArrayType(IntegerType, containsNull = false),
+        nullable = true), vocab, byteBase = 0)
+    // low Ω(0xCE 0xA9) o 🦉(0xF0 0x9F 0xA6 0x89) — VocabIds' inverse
+    val ids = ArrayData.toArrayData(
+      Array(258, 0xCE, 0xA9, 257, 0xF0, 0x9F, 0xA6, 0x89))
+    compiledVsInterpreted(e, InternalRow(ids))
+    assert(e.eval(InternalRow(ids)).asInstanceOf[UTF8String].toString ==
+      "lowΩo🦉")
+    intercept[IllegalArgumentException] {
+      e.eval(InternalRow(ArrayData.toArrayData(Array(999))))
+    }
+  }
+
   test("WordShingleHashesPos: rolling update equals the BigInt " +
     "reference per position, the distinct-sorted view equals the set " +
     "kernel, and sub-window docs emit EMPTY") {

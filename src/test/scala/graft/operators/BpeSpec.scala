@@ -299,10 +299,31 @@ class BpeSpec extends SparkSpec {
     }
     assert(decode(got._3) == "lowΩ🦉low")
 
+    // the DISTRIBUTED decode column agrees with the manual round trip
+    // (byte runs reassemble in byte space inside the kernel)
+    val viaOp = Bpe.encodeIds(probe, "doc_id", "text", merges, vb,
+        byteFallback = true)
+      .select(Bpe.decodeCol(col("ids"), vb, byteFallback = true))
+      .as[String].collect().head
+    assert(viaOp == "lowΩ🦉low")
+    // a foreign id (neither vocabulary nor byte range) fails LOUDLY —
+    // a torn vocabulary must never silently produce wrong text
+    val boom = intercept[Exception] {
+      Seq(Seq(999999)).toDF("ids")
+        .select(Bpe.decodeCol(col("ids"), vb, byteFallback = true))
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(boom).contains("vocab_decode"), messages(boom))
+
     // the fallback contract demands the reserved bytes-first layout
     intercept[IllegalArgumentException] {
       Bpe.encodeIds(probe, "doc_id", "text", merges, plain,
         byteFallback = true)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.decodeCol(col("ids"), plain, byteFallback = true)
     }
   }
 
