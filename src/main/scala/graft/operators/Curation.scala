@@ -38,6 +38,12 @@ object Curation {
     * @param lineDedupMaxDf when set, strip lines appearing in more
     *   than this many DISTINCT docs ([[CorpusStats.dropDuplicateLines]])
     *   after the C4 pass; docs left with no lines drop out
+    * @param substringDedupN when set, remove every token covered by an
+    *   N-token window occurring ≥ 2 times corpus-wide
+    *   ([[Dedup.dropDuplicateSubstrings]] — the Lee et al. 2022 exact
+    *   substring rewrite) after the line pass; docs stripped to
+    *   nothing drop out. Line dedup catches whole-line boilerplate;
+    *   this catches duplicated PASSAGES that cross line boundaries
     * @param tokenBudget when set, keep only the best-first prefix of
     *   the deduped corpus whose token sum fits
     *   ([[Sampling.tokenBudgetSelect]])
@@ -68,12 +74,13 @@ object Curation {
       budget: Int, nShards: Int,
       shingleN: Int = 5, jaccardThreshold: Double = 0.7,
       lineDedupMaxDf: Option[Int] = None,
+      substringDedupN: Option[Int] = None,
       tokenBudget: Option[Long] = None,
       quality: Column = lit(0L),
       persistStages: Boolean = false): DataFrame =
     curateStaged(docs, idCol, textCol, sourceCol, mixPerMille, budget,
-      nShards, shingleN, jaccardThreshold, lineDedupMaxDf, tokenBudget,
-      quality, persistStages).result
+      nShards, shingleN, jaccardThreshold, lineDedupMaxDf,
+      substringDedupN, tokenBudget, quality, persistStages).result
 
   /** The staged frames [[curateStaged]] pinned, with deterministic
     * release: `close()` (or `unpersistStages()`) after the result's
@@ -102,6 +109,7 @@ object Curation {
       budget: Int, nShards: Int,
       shingleN: Int = 5, jaccardThreshold: Double = 0.7,
       lineDedupMaxDf: Option[Int] = None,
+      substringDedupN: Option[Int] = None,
       tokenBudget: Option[Long] = None,
       quality: Column = lit(0L),
       persistStages: Boolean = false): StagedCuration = {
@@ -134,10 +142,27 @@ object Curation {
         Seq(idCol))
     })
 
+    // 1c. optional exact duplicated-substring removal (Lee et al.
+    // 2022): duplicated PASSAGES crossing line boundaries that the
+    // line pass can't see. Rewritten docs carry the rebuilt
+    // (whitespace-canonical) text, untouched docs keep their original
+    // line structure, docs stripped to nothing drop out
+    val substr = staged(substringDedupN.fold(lined) { n =>
+      lined.join(
+        Dedup.dropDuplicateSubstrings(lined, idCol, "clean_text", n)
+          .where(col("n_removed") < col("n_tokens"))
+          .select(col(idCol), col("n_removed"),
+            col("clean_text").as("__rewritten")),
+        Seq(idCol))
+        .select(col(idCol), col(sourceCol),
+          when(col("n_removed") > 0, col("__rewritten"))
+            .otherwise(col("clean_text")).as("clean_text"))
+    })
+
     // 2. exact dedup on the CLEANED text (cleaning canonicalizes
     // whitespace-level variants into byte-equal survivors)
-    val exact = lined.join(
-      Dedup.exactGroups(lined, idCol, "clean_text")
+    val exact = substr.join(
+      Dedup.exactGroups(substr, idCol, "clean_text")
         .select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 

@@ -302,4 +302,33 @@ class CurationSpec extends SparkSpec {
     // without the budget all four pack
     assert(out.select($"doc_id").as[Long].collect().distinct.length == 4)
   }
+
+  test("curate: optional substring-dedup removes cross-doc duplicated " +
+    "passages, keeps untouched docs' line structure, drops stripped docs") {
+    // a passage line shared verbatim across docs; every filler token
+    // is doc-unique so only the passage's 4-token windows duplicate
+    val passage = "zulu yankee xray whiskey victor uniform."
+    def filler(seed: String) = (1 to 3).map(i =>
+      s"$seed${i}a $seed${i}b $seed${i}c $seed${i}d $seed${i}e $seed${i}f.")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, "A", filler("red") + "\n" + passage),
+      (2L, "A", filler("blue") + "\n" + passage),
+      (3L, "A", filler("green")),
+      (4L, "A", Seq(passage, passage, passage).mkString("\n")) // all dup
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(docs, "doc_id", "text", "source",
+      mixPerMille = Map.empty, budget = 16, nShards = 1,
+      substringDedupN = Some(4))
+    val byId = out.select($"doc_id", $"clean_text", $"n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq.distinct
+    // doc 4 stripped to nothing and dropped; 1-3 keep their 18 fillers
+    assert(byId.map(_._1) == Seq(1L, 2L, 3L), s"got $byId")
+    assert(byId.forall(!_._2.contains("zulu")))
+    assert(byId.forall(_._3 == 18L), s"got $byId")
+    // rewritten docs carry the whitespace-canonical rebuilt text...
+    assert(!byId(0)._2.contains("\n"))
+    // ...docs the stage never touched keep their original line structure
+    assert(byId(2)._2.contains("\n"))
+  }
 }
