@@ -299,17 +299,33 @@ object CorpusStats {
     * on language code ascending. A document with no gram in any
     * profile (or shorter than `n`) predicts 'und' with a NULL score.
     *
-    * Shape at scale: one map-only gram explode, one equi-join against
-    * the bounded model table (planner-chosen broadcast), one (doc,
-    * lang) aggregate (fan-out ≤ languages with ≥1 shared gram), one
-    * per-doc row_number window (bounded partitions — ≤ |languages|
-    * rows per doc). The corpus never shuffles on a skewed key.
-    * `model` is referenced TWICE (the per-language totals and the hit
-    * join), so pass a MATERIALIZED table — the maintained store
-    * ([[graft.streaming.StatsMaintenance.readStats]]) or a
+    * Shape at scale — MODEL-PIVOT (round-13, measured at the 500k-doc
+    * decade against the (lang, gram) join form it replaces: 35.3 s vs
+    * 72.0 s cold, 39.9 vs 43.3 warm, outputs bit-identical —
+    * `bench_evidence/r13_langid_pivot_probe.txt`): the model is
+    * pivoted ONCE to one row per gram with one count column per
+    * language (vocab-bounded), so the corpus-gram join emits ONE row
+    * per hit instead of one per (hit × matching language) and the
+    * per-doc aggregate sums |langs| integer columns instead of
+    * shuffling a |langs|×-multiplied row mass — the win GROWS with
+    * model language count (a real langid model carries 50–100+
+    * languages; the joined form multiplies the gram mass by each).
+    * The per-doc argmax is an in-row array_sort over |langs| structs
+    * (score desc, language asc — same tie-break as before). One
+    * map-only gram explode; the corpus never shuffles on a skewed
+    * key. Language list and per-language totals are collected
+    * driver-side — model-bounded (|languages| rows), the same class
+    * as a tokenizer's merge list. `model` is still referenced twice
+    * (totals + pivot), so pass a MATERIALIZED table — the maintained
+    * store ([[graft.streaming.StatsMaintenance.readStats]]) or a
     * checkpointed frame; an expensive lazy training plan would be
     * derived twice (measured 2× at the 500k-doc decade —
     * [[langClassify]] materializes for exactly this reason).
+    *
+    * Integer sums are order-independent, so the pivoted aggregation
+    * produces the SAME per-(doc, lang) hit counts — and therefore the
+    * same scores and argmax — as the join form; the swap is proven
+    * output-identical in the probe and re-gated against the oracle.
     *
     * @return ONLY (idCol, n_grams, lang_pred, lang_score) — join back
     *         on idCol to re-attach other columns.
@@ -317,7 +333,14 @@ object CorpusStats {
   def langClassifyWith(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n=$n")
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = model.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+      .as[(String, Long)].collect().toMap // model-bounded: |languages|
+    require(totals.nonEmpty, "langClassifyWith: empty model")
+    val langs = totals.keys.toSeq.sorted
+    val piv = model.groupBy(col("gram"))
+      .pivot("lang", langs).sum("n").na.fill(0L)
     val grams = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .where(length(col("__t")) >= n)
       .select(col("__id"), split(col("__t"), "").as("__cs"),
@@ -326,23 +349,33 @@ object CorpusStats {
         explode(charGramsOf(col("__cs"), col("__len"), n)).as("gram"))
     // n_grams is pure arithmetic — len - (n-1) for len ≥ n, else 0 —
     // so the doc-count leg needs NO gram explode (removes one full
-    // corpus pass from every scoring run; the model-hit leg below is
+    // corpus pass from every scoring run; the pivot-hit leg below is
     // the only explode)
     val ng = docs.select(col(idCol).as("__id"),
       when(length(col(textCol)) >= n,
         (length(col(textCol)) - (n - 1)).cast("long"))
         .otherwise(lit(0L)).as("n_grams"))
-    val tot = model.groupBy(col("lang")).agg(sum(col("n")).as("__total"))
-    val hits = grams.join(model, Seq("gram"))
-      .groupBy(col("__id"), col("lang")).agg(sum(col("n")).as("__h"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__score").desc, col("lang"))
-    val best = hits.join(tot, Seq("lang"))
-      .withColumn("__score",
-        col("__h").cast("double") / col("__total").cast("double"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__id"), col("lang"), col("__score"))
+    val sums = grams.join(piv, Seq("gram"))
+      .groupBy(col("__id"))
+      .agg(sum(col(s"`${langs.head}`")).as("__h_0"),
+        langs.tail.zipWithIndex.map { case (l, i) =>
+          sum(col(s"`$l`")).as(s"__h_${i + 1}") }: _*)
+    val scored = langs.indices.foldLeft(sums) { (df, i) =>
+      df.withColumn(s"__s_$i",
+        col(s"__h_$i").cast("double") / lit(totals(langs(i))).cast("double"))
+    }
+    val arr = array(langs.indices.map(i =>
+      struct(col(s"__s_$i").as("s"), lit(langs(i)).as("lang"))): _*)
+    val cmp = (a: Column, b: Column) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .when(a.getField("lang") < b.getField("lang"), -1)
+        .when(a.getField("lang") > b.getField("lang"), 1)
+        .otherwise(0)
+    val best = scored.withColumn("__best",
+        element_at(array_sort(arr, cmp), 1))
+      .select(col("__id"), col("__best.lang").as("lang"),
+        col("__best.s").as("__score"))
     val perDoc = ng.join(best, Seq("__id"), "left")
     docs.select(col(idCol))
       .join(perDoc, col(idCol) === col("__id"), "left")

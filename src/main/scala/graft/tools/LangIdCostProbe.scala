@@ -104,9 +104,74 @@ object LangIdCostProbe {
     }
     val alt = t("ALTERNATE pre-agg classify cold (collect)")(classifyPreAgg())
     t("ALTERNATE pre-agg classify warm (collect)")(classifyPreAgg())
+
+    // ALTERNATE 2, MODEL-PIVOT (round-13 measurement of the carried
+    // round-12 candidate): pivot the model to one row per gram with
+    // one count column per language, so the corpus-gram join emits ONE
+    // row per hit instead of one per (hit × matching language), and
+    // the per-doc aggregate sums |langs| columns instead of shuffling
+    // |langs|× the row mass. Integer sums are order-independent, so
+    // the scores are bit-identical to the shipped path.
+    def classifyPivot(): Array[org.apache.spark.sql.Row] = {
+      val n = 3
+      import spark.implicits._
+      val langs = model.select(col("lang")).distinct()
+        .orderBy("lang").as[String].collect().toSeq // model-bounded
+      val totals = model.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+        .as[(String, Long)].collect().toMap // |langs| rows
+      val piv = model.groupBy(col("gram"))
+        .pivot("lang", langs).sum("n").na.fill(0L)
+      val grams = docs.select(col("doc_id").as("__id"), col("text").as("__t"))
+        .where(length(col("__t")) >= n)
+        .select(col("__id"), split(col("__t"), "").as("__cs"),
+          length(col("__t")).as("__len"))
+        .select(col("__id"), explode(transform(
+          sequence(lit(1), col("__len") - 2),
+          i => concat(element_at(col("__cs"), i),
+            element_at(col("__cs"), i + 1),
+            element_at(col("__cs"), i + 2)))).as("gram"))
+      val ng = docs.select(col("doc_id").as("__id"),
+        when(length(col("text")) >= n,
+          (length(col("text")) - (n - 1)).cast("long"))
+          .otherwise(lit(0L)).as("n_grams"))
+      val sums = grams.join(piv, Seq("gram"))
+        .groupBy(col("__id"))
+        .agg(sum(col(s"`${langs.head}`")).as(s"__h_0"),
+          langs.tail.zipWithIndex.map { case (l, i) =>
+            sum(col(s"`$l`")).as(s"__h_${i + 1}") }: _*)
+      val scored = langs.zipWithIndex.foldLeft(sums) { case (df, (l, i)) =>
+        df.withColumn(s"__s_$i",
+          col(s"__h_$i").cast("double") / lit(totals(l)).cast("double"))
+      }
+      val arr = array(langs.indices.map(i =>
+        struct(col(s"__s_$i").as("s"), lit(langs(i)).as("lang"))): _*)
+      val cmp = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .when(a.getField("lang") < b.getField("lang"), -1)
+          .when(a.getField("lang") > b.getField("lang"), 1)
+          .otherwise(0)
+      val best = scored.withColumn("__best",
+          element_at(array_sort(arr, cmp), 1))
+        .select(col("__id"), col("__best.lang").as("lang"),
+          col("__best.s").as("__score"))
+      val perDoc = ng.join(best, Seq("__id"), "left")
+      docs.select(col("doc_id"))
+        .join(perDoc, col("doc_id") === col("__id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("lang"), lit("und")).as("lang_pred"),
+          round(col("__score"), 6).as("lang_score"))
+        .orderBy("doc_id").collect()
+    }
+    val piv = t("ALTERNATE 2 model-pivot classify cold (collect)")(classifyPivot())
+    t("ALTERNATE 2 model-pivot classify warm (collect)")(classifyPivot())
+
     val shipped = CorpusStats.langClassifyWith(docs, "doc_id", "text", model)
       .orderBy("doc_id").collect()
     println(s"[lg] alternate == shipped: ${alt.toSeq == shipped.toSeq}")
+    println(s"[lg] model-pivot == shipped: ${piv.toSeq == shipped.toSeq}")
     spark.stop()
   }
 }

@@ -479,8 +479,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("trained lang-id: profile training partial-aggregates map-side, " +
-    "model joins are equi-joins, the argmax window is doc-partitioned " +
-    "(bounded rows), no cartesian product") {
+    "the model-pivot gram join is an equi-join, the per-doc lang sums " +
+    "partial-aggregate, no window and no cartesian product") {
     // the query materializes its model (classifyWith references it
     // twice — a lazy plan would re-train per reference), so training
     // is audited on its own plan
@@ -493,13 +493,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"gram/model joins must be equi-joins:\n$p")
-    // the row_number argmax must be partitioned by doc id — an
-    // unpartitioned window would single-partition-sort the corpus
-    assert("Window .*row_number".r.findFirstIn(p).isDefined ||
-      p.contains("RunningWindowFunction") || p.contains("row_number"),
-      s"expected the argmax window in the plan:\n$p")
-    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
-      s"argmax window must not be unpartitioned:\n$p")
+    // MODEL-PIVOT shape (round 13): the corpus gram join emits one row
+    // per hit (not one per hit × language) and the per-doc
+    // |langs|-column sums partial-aggregate map-side; the old
+    // row_number argmax window is gone — the argmax is an in-row
+    // array_sort over |langs| structs, so NOTHING windows the corpus
+    assert(!p.contains("row_number"),
+      s"pivot form must not window the corpus:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc lang sums must partial-aggregate map-side:\n$p")
   }
 
   test("BPE id encode: the corpus side pays one equi-join against the " +
