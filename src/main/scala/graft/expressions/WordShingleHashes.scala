@@ -117,19 +117,29 @@ object WordShingleHashes {
   * n-token window in order — element i is the window starting at
   * token i — with no distinct/sort, for consumers that need to map a
   * duplicated window back to the token positions it covers (exact
-  * substring dedup). Values are the same residues as
-  * [[WordShingleHashes]] computes (mod is a ring homomorphism, so the
-  * rolling form below is congruent to the per-step fold the DuckDB
-  * oracle uses), so a set built from this array EQUALS the set kernel's
-  * output — pinned in `ExpressionsSpec`.
+  * substring dedup).
   *
-  * Two deliberate contract differences from the set kernel: docs
-  * shorter than n emit an EMPTY array, not one short-window hash — a
-  * document that cannot contain an n-token span must not join a span
-  * against the corpus; and the hash is computed by a ROLLING update
-  * (drop the leading term, shift, add the next token) so the kernel is
-  * O(len) for ANY window width — the fold form is O(len·n), which at
-  * the Lee-et-al-style n = 50 would be a 50× rescan of the token mass.
+  * Three deliberate contract differences from the set kernel:
+  *
+  *  - docs shorter than n emit an EMPTY array, not one short-window
+  *    hash — a document that cannot contain an n-token span must not
+  *    join a span against the corpus;
+  *  - the hash is computed by a ROLLING update (drop the leading
+  *    term, shift, admit the next token) so the kernel is O(len) for
+  *    ANY window width — the fold form is O(len·n), a 50× rescan of
+  *    the token mass at the Lee-et-al-style n = 50;
+  *  - the value is a 60-BIT DOUBLE HASH `h131·P + h137` (two rolling
+  *    residues over the same token hashes, multipliers 131 and 137),
+  *    not the set kernel's single 30-bit residue. A single mod-P
+  *    residue collides birthday-style at spurious ≈ m²/2P over m
+  *    windows — measured: a corpus of 285M windows with ZERO real
+  *    duplication manufactured ~40M spurious "duplicated" starts,
+  *    and irreversible REMOVAL amplifies every collision into lost
+  *    text (`bench_evidence/r13_substring_hash_anchor.txt`). At 60
+  *    bits the same corpus expects ≪ 1 spurious pair. The set kernel
+  *    keeps its int32 trade (half the shuffle width) because its
+  *    consumers verify candidates downstream with exact set ops;
+  *    removal has no downstream check, so it pays for the width.
   */
 case class WordShingleHashesPos(child: Expression, n: Int)
   extends UnaryExpression {
@@ -137,7 +147,7 @@ case class WordShingleHashesPos(child: Expression, n: Int)
   require(n >= 1 && n <= 256,
     s"word_shingle_hashes_pos supports n in [1,256], got $n")
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -162,7 +172,7 @@ object WordShingleHashesPos {
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val k = tokens.numElements()
     if (k < n) return org.apache.spark.sql.catalyst.expressions
-      .UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+      .UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val th = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -170,22 +180,29 @@ object WordShingleHashesPos {
       i += 1
     }
     val m = k - n + 1
-    val out = new Array[Int](m)
-    // 131^(n-1) mod P — the leading term's weight
-    var pw = 1L
+    val out = new Array[Long](m)
+    // multiplier^(n-1) mod P — each fold's leading-term weight
+    var pw1 = 1L; var pw2 = 1L
     var e = 0
-    while (e < n - 1) { pw = pw * 131L % P; e += 1 }
-    var acc = 0L
+    while (e < n - 1) { pw1 = pw1 * 131L % P; pw2 = pw2 * 137L % P; e += 1 }
+    var a1 = 0L; var a2 = 0L
     var j = 0
-    while (j < n) { acc = (acc * 131L + th(j)) % P; j += 1 }
-    out(0) = acc.toInt
+    while (j < n) {
+      a1 = (a1 * 131L + th(j)) % P
+      a2 = (a2 * 137L + th(j)) % P
+      j += 1
+    }
+    out(0) = a1 * P + a2
     i = 1
     while (i < m) {
       // drop the leading term, shift, admit the next token; every
-      // intermediate < P² < 2⁶⁰, no overflow
-      acc = (acc - th(i - 1) * pw % P + P) % P
-      acc = (acc * 131L + th(i + n - 1)) % P
-      out(i) = acc.toInt
+      // intermediate < P² < 2⁶⁰, no overflow (and h131·P + h137 <
+      // (P-1)·P + P < 2⁶⁰ fits the BIGINT the oracle computes)
+      a1 = (a1 - th(i - 1) * pw1 % P + P) % P
+      a1 = (a1 * 131L + th(i + n - 1)) % P
+      a2 = (a2 - th(i - 1) * pw2 % P + P) % P
+      a2 = (a2 * 137L + th(i + n - 1)) % P
+      out(i) = a1 * P + a2
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -194,5 +211,83 @@ object WordShingleHashesPos {
 
   def apply(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleHashesPos(
+      GraftColumnBridge.expression(tokens), n))
+}
+
+/** 60-bit double-hash form of the [[WordShingleHashes]] SET kernel
+  * (distinct sorted `h131·P + h137` per window, same short-doc
+  * single-window rule) — for consumers whose OUTPUT is the hash-equal
+  * pair itself with no downstream exact verification
+  * ([[graft.operators.Dedup.sharedSpanPairs]]): at m distinct spans a
+  * single 30-bit residue reports ≈ m²/2P spurious pairs — ~262k at
+  * the 23M-span decade, comparable to the real pair count — while the
+  * minhash/Jaccard family keeps the int32 kernel because exact set
+  * ops verify its candidates downstream (collisions only perturb a
+  * ratio by ~1/P there).
+  */
+case class WordShingleHashes64(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1 && n <= 256,
+    s"word_shingle_hashes64 supports n in [1,256], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes64 expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingleHashes64.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.WordShingleHashes64.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes64 {
+  private val P = 1000000007L
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val k = tokens.numElements()
+    val th = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      th(i) = Md5Prefix60.compute(tokens.getUTF8String(i).getBytes) % P
+      i += 1
+    }
+    val m = math.max(k - n + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var a1 = 0L; var a2 = 0L
+      var j = i
+      val end = math.min(i + n, k)
+      while (j < end) {
+        a1 = (a1 * 131L + th(j)) % P
+        a2 = (a2 * 137L + th(j)) % P
+        j += 1
+      }
+      out(i) = a1 * P + a2
+      i += 1
+    }
+    Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Arrays.copyOf(out, w))
+  }
+
+  def apply(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleHashes64(
       GraftColumnBridge.expression(tokens), n))
 }

@@ -776,13 +776,25 @@ object Dedup {
     * cap bounds join fan-out at maxDf²/2 per span, making worst-case
     * output linear in distinct spans; the df pre-aggregation itself
     * is one map-combined shuffle.
+    *
+    * Span identity is the 60-BIT double hash
+    * ([[graft.expressions.WordShingleHashes64]], round 13): the pair
+    * list IS this operator's output — nothing verifies it downstream —
+    * and a single 30-bit residue manufactures ≈ m²/2P spurious pairs
+    * by birthday collision over m distinct spans (~262k at the
+    * 23M-span decade, comparable to the real pair count). The
+    * minhash/Jaccard family keeps the int32 set kernel deliberately:
+    * its candidates are verified by exact set ops downstream, so
+    * collisions there only perturb a ratio by ~1/P while the halved
+    * element width halves the family's dominant shuffle.
     */
   def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 20, maxDf: Int = 64, minShared: Int = 1): DataFrame = {
     require(n >= 2 && maxDf >= 2 && minShared >= 1,
       s"n=$n maxDf=$maxDf minShared=$minShared")
     val spans = docs.select(col(idCol).as("__id"),
-        explode(hashedShingleSet(col(textCol), n)).as("__h"))
+        explode(graft.expressions.WordShingleHashes64(
+          T.tokens(col(textCol)), n)).as("__h"))
     // df-thin with a count-over-window rather than groupBy+join-back:
     // one scan + ONE shuffle of the span table instead of two of each
     // (measured 2× at a 23M-span corpus, SpanProbe); the self-join

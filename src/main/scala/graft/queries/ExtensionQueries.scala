@@ -58,6 +58,28 @@ object ExtensionQueries {
 
   private val shingleCte = shingleCteN(5)
 
+  /** 60-bit double-hash shingle sets — mirrors
+    * [[graft.expressions.WordShingleHashes64]] (two per-step-mod
+    * folds over the same token hashes, multipliers 131/137, combined
+    * `h131·P + h137`; same short-doc single-window rule). For span
+    * pairing, where the hash-equal pair IS the output and a 30-bit
+    * residue manufactures m²/2P spurious pairs by birthday collision.
+    */
+  private def shingleCte64N(n: Int): String = tokCte +
+    s""", th AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS h
+       |  FROM tk),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(h) - ${n - 1}, 1) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + ${n - 1} AS INT)]),
+       |         (a, b) -> (a * 131 + b) % $P) * $P +
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), h[CAST(i AS INT):CAST(i + ${n - 1} AS INT)]),
+       |         (a, b) -> (a * 137 + b) % $P)))) AS s
+       |  FROM th)
+       |""".stripMargin
+
   private val jaccardTailSql =
     """, jc AS (
       |  SELECT c.i, c.j,
@@ -2326,9 +2348,12 @@ object ExtensionQueries {
         |        '\+[0-9]{8,15}', '[PHONE]', 'g')) AS redacted_md5
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    // positional 4-token window hashes (per-step-mod fold, congruent
-    // to the kernel's rolling form), corpus-wide occurrence counts,
-    // covered positions, ordered rebuild — all reconstructed
+    // positional 4-token window hashes — the 60-bit DOUBLE hash
+    // h131·P + h137 (two per-step-mod folds, congruent to the
+    // kernel's rolling form; a single 30-bit residue manufactures
+    // m²/2P spurious duplicates by birthday collision, measured
+    // material at decade window counts) — corpus-wide occurrence
+    // counts, covered positions, ordered rebuild, all reconstructed
     "x_dedup_substring" -> (tokCte +
       s""", th AS (
          |  SELECT doc_id, toks,
@@ -2339,7 +2364,10 @@ object ExtensionQueries {
          |  SELECT doc_id, ix - 1 AS p,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      h[CAST(ix AS INT):CAST(ix + 3 AS INT)]),
-         |      (a, b) -> (a * 131 + b) % $P) AS wh
+         |      (a, b) -> (a * 131 + b) % $P) * $P +
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      h[CAST(ix AS INT):CAST(ix + 3 AS INT)]),
+         |      (a, b) -> (a * 137 + b) % $P) AS wh
          |  FROM (SELECT doc_id, h,
          |          unnest(range(1, greatest(len(h) - 3, 0) + 1)) AS ix
          |        FROM th)),
@@ -2365,7 +2393,10 @@ object ExtensionQueries {
          |FROM tk t LEFT JOIN reb USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin),
 
-    "x_dedup_spans" -> (shingleCteN(8) +
+    // span identity is the 60-bit double hash (round 13 — mirrors
+    // WordShingleHashes64; the pair list has no downstream verify, so
+    // it pays for the width where the jaccard family's int32 doesn't)
+    "x_dedup_spans" -> (shingleCte64N(8) +
       """, e AS (SELECT doc_id, unnest(s) AS h FROM sh),
         |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 64),
         |t AS (SELECT doc_id, h FROM e JOIN rare USING (h))

@@ -41,7 +41,8 @@ object SpanProbe {
     // caching the df table (hundreds of millions of rows at sf100)
     // starves the window/join stages of execution memory
     val spans = docs.select(col("doc_id"),
-      explode(Dedup.hashedShingleSet(col("text"), n)).as("__h"))
+      explode(graft.expressions.WordShingleHashes64(
+        graft.functions.TextFunctions.tokens(col("text")), n)).as("__h"))
     val dfAgg = spans.groupBy("__h").agg(count(lit(1)).as("df"))
     val factCols = Seq(count(lit(1)).as("distinct_spans")) ++
       caps.flatMap { cap =>

@@ -22,8 +22,13 @@ object SubstringProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // 5M-doc legs shuffle a 267M-row token posexplode into the rebuild
+    // aggregate; at partitions=cpus (16) that is ~17M rows/partition —
+    // sort-spill territory on a local box. SUBSTR_PARTS is the lever a
+    // cluster sets by default (AQE coalesces small ones back).
+    val parts = sys.env.getOrElse("SUBSTR_PARTS", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -34,10 +39,38 @@ object SubstringProbe {
       .split(",").map(_.trim.toInt).toSeq
     val dirs = Seq(sys.env.getOrElse("PROBE_DIR", "/tmp/sf10z")) ++
       sys.env.get("PROBE_DIR2")
+    // PROBE_PLANT=everyK,nPassages,passageTokens: append one of
+    // nPassages fixed passages to every K-th doc — REALISTIC
+    // duplication (passage reuse at a fixed corpus fraction), unlike
+    // iid-Zipf where every n-gram's repeat probability grows with the
+    // corpus. With the fraction held constant the duplicated mass is
+    // ∝ corpus size, so wall must scale linearly — the anchor.
+    val plant = sys.env.get("PROBE_PLANT").map { s =>
+      val Array(k, np, len) = s.split(",").map(_.trim.toInt); (k, np, len)
+    }
 
     dirs.foreach { dir =>
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val loaded = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
+      // PROBE_SYNTH=1: replace text with 100 DOC-UNIQUE tokens so the
+      // background duplication is exactly zero and the planted
+      // passages are the ONLY duplicated mass — the clean anchor
+      val raw =
+        if (sys.env.get("PROBE_SYNTH").contains("1"))
+          loaded.withColumn("text", concat_ws(" ",
+            transform(sequence(lit(1), lit(100)),
+              i => concat(lit("d"), col("doc_id"), lit("w"), i))))
+        else loaded
+      val docs = plant.fold(raw) { case (k, np, len) =>
+        val passages = array((1 to np).map(p =>
+          lit((1 to len).map(i => s"pp${p}t$i").mkString(" "))): _*)
+        raw.withColumn("text",
+          when(pmod(col("doc_id"), lit(k)) === 0,
+            concat_ws(" ", col("text"),
+              element_at(passages,
+                (pmod(col("doc_id") / k, lit(np)) + 1).cast("int"))))
+            .otherwise(col("text")))
+      }
       val nDocs = docs.count()
       val tokMass = docs
         .select(sum(size(graft.functions.TextFunctions.tokens(col("text")))))

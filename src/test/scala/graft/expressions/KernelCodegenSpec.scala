@@ -110,9 +110,9 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
-  test("WordShingleHashesPos: rolling update equals the BigInt " +
-    "reference per position, the distinct-sorted view equals the set " +
-    "kernel, and sub-window docs emit EMPTY") {
+  test("WordShingleHashesPos + WordShingleHashes64: both rolling/fold " +
+    "double hashes equal the BigInt reference, sub-window docs emit " +
+    "EMPTY (pos) / one short window (64-set)") {
     val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
       .split(" ")
     val P = BigInt(1000000007L)
@@ -121,26 +121,37 @@ class KernelCodegenSpec extends SparkSpec {
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
       BigInt(java.lang.Long.parseLong(hex, 16)) mod P
     }
+    def ref(ws: Seq[String]): Long = {
+      val hs = ws.map(md5p)
+      def fold(m: Int) =
+        hs.foldLeft(BigInt(0))((a, b) => (a * m + b).mod(P))
+      (fold(131) * P + fold(137)).toLong
+    }
     val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString))
     for (n <- Seq(2, 3, 5, 6, 8, 10)) {
-      val got = WordShingleHashesPos.compute(arr, n).toIntArray().toSeq
-      val want = (0 to toks.length - n).map { i =>
-        toks.slice(i, i + n).map(md5p)
-          .foldLeft(BigInt(0))((a, b) => a * 131 + b).mod(P).toInt
-      }
-      assert(got == want, s"rolling hash diverged at n=$n")
-      assert(got.distinct.sorted ==
-        WordShingleHashes.compute(arr, n).toIntArray().toSeq,
-        s"set-kernel congruence broken at n=$n")
+      // positional: the ROLLING update must equal the fold reference
+      // at every position (drop-leading-term arithmetic is exact)
+      val got = WordShingleHashesPos.compute(arr, n).toLongArray().toSeq
+      val want = (0 to toks.length - n).map(i => ref(toks.slice(i, i + n)))
+      assert(got == want, s"rolling double hash diverged at n=$n")
+      // set form: distinct sorted over the same values
+      assert(WordShingleHashes64.compute(arr, n).toLongArray().toSeq ==
+        want.distinct.sorted, s"64-set kernel diverged at n=$n")
     }
-    // a doc that cannot hold an n-token span contributes NO window
-    // (the set kernel's short-doc single-window rule does not apply)
+    // a doc that cannot hold an n-token span contributes NO window in
+    // the positional kernel (removal semantics) but ONE short window
+    // in the set kernel (pairing semantics, mirrors WordShingleHashes)
     val short = ArrayData.toArrayData(
       Array("a", "b").map(UTF8String.fromString))
     assert(WordShingleHashesPos.compute(short, 3).numElements() == 0)
+    assert(WordShingleHashes64.compute(short, 3).toLongArray().toSeq ==
+      Seq(ref(Seq("a", "b"))))
     compiledVsInterpreted(WordShingleHashesPos(
       BoundReference(0, ArrayType(StringType, containsNull = false),
         nullable = true), 4), InternalRow(arr))
+    compiledVsInterpreted(WordShingleHashes64(
+      BoundReference(0, ArrayType(StringType, containsNull = false),
+        nullable = true), 8), InternalRow(arr))
   }
 
   test("WordShingleHashes rejects n outside [1,256]; wide-n path compiles") {
