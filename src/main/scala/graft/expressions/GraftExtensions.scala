@@ -55,6 +55,25 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hashes: n must be an INT literal, got $other")
       }),
+    ("graft_shingle_hashes_pos",
+      info("graft_shingle_hashes_pos",
+        "positional word n-gram window hashes (60-bit double hash, " +
+          "rolling O(len) at any width; empty for docs shorter than n); " +
+          "n in [1,256] (int literal)"),
+      (args: Seq[Expression]) => args(1).eval() match {
+        case n: Int => WordShingleHashesPos(args.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes_pos: n must be an INT literal, got $other")
+      }),
+    ("graft_shingle_hashes64",
+      info("graft_shingle_hashes64",
+        "sorted distinct 60-bit double-hash word n-gram shingles " +
+          "(for pairing with no downstream verify); n in [1,256] (int literal)"),
+      (args: Seq[Expression]) => args(1).eval() match {
+        case n: Int => WordShingleHashes64(args.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes64: n must be an INT literal, got $other")
+      }),
     ("graft_minhash_bands",
       info("graft_minhash_bands",
         "LSH band keys (\"b:s:s\") from a hashed shingle set in one fused " +

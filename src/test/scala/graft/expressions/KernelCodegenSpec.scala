@@ -392,7 +392,9 @@ class KernelCodegenSpec extends SparkSpec {
         |  graft_simhash(array(1L, 2L, 3L)) AS s,
         |  graft_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
         |  graft_minhash_bands(array(123456789L, 42L), 4, 2) AS mb,
-        |  graft_line_stats('a\na\n- b ...') AS ls
+        |  graft_line_stats('a\na\n- b ...') AS ls,
+        |  graft_shingle_hashes_pos(array('a','b','c'), 2) AS shp,
+        |  graft_shingle_hashes64(array('a','b','c'), 2) AS sh64
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) == Md5Prefix60.compute("abc".getBytes("UTF-8")))
     assert(row.getString(2) == "en")
@@ -405,6 +407,9 @@ class KernelCodegenSpec extends SparkSpec {
     // 'a','a','- b ...': 2 dup lines, 1 bullet (also the ellipsis line)
     assert(ls.getInt(0) == 3 && ls.getInt(1) == 2 && ls.getInt(4) == 1 &&
       ls.getInt(5) == 1 && ls.getInt(7) == 1, s"line_stats: $ls")
+    // positional: 2 ordered windows; set form: the same 2, sorted
+    assert(row.getSeq[Long](9).length == 2)
+    assert(row.getSeq[Long](10) == row.getSeq[Long](9).sorted)
   }
 
   test("PQ kernels compile and match interpreted (float and double vectors)") {
