@@ -690,4 +690,33 @@ object CorpusStats {
       .groupBy(passThrough.map(col): _*)
       .agg(min(coalesce(col("__n"), lit(0L))).as("n_est"))
   }
+
+  /** Heavy hitters through the sketch — the count-min's canonical
+    * composition: SCREEN every distinct token of `docs` against a
+    * (maintained) [[countMinSketch]] (`est ≥ threshold` — no false
+    * NEGATIVES, since est ≥ exact always), then exact-confirm ONLY the
+    * candidates (a semi-join thins the token stream to the candidate
+    * mass — the heavy tail is a sliver of the vocabulary — before the
+    * one exact aggregate). Against an all-history maintained sketch
+    * this finds every token that is heavy OVER THE WHOLE STREAM while
+    * keeping only `depth·width` counters of history — the exact
+    * token-df alternative carries the full Heaps-curve vocabulary
+    * forever.
+    *
+    * @return (token, n) with the EXACT count, only rows with
+    *         n ≥ threshold — false positives from sketch collisions
+    *         are removed by the confirm pass, so the output equals
+    *         the plain `HAVING count ≥ threshold` on any input
+    */
+  def heavyHittersWith(docs: DataFrame, textCol: String, sketch: DataFrame,
+      depth: Int, width: Int, threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold=$threshold")
+    val toks = docs.select(explode(T.tokens(col(textCol))).as("token"))
+    val cands = countMinEstimateWith(toks.distinct(), "token",
+        sketch, depth, width)
+      .where(col("n_est") >= threshold).select(col("token"))
+    toks.join(cands, Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
 }

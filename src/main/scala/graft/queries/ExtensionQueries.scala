@@ -378,6 +378,34 @@ object ExtensionQueries {
       .orderBy("token")
   }
 
+  /** Sketch-screened heavy hitters
+    * ([[graft.operators.CorpusStats.heavyHittersWith]]): tokens whose
+    * corpus count reaches 1/64 of the token mass, found by screening
+    * the vocabulary against the incrementally built sketch (no false
+    * negatives — est ≥ exact) and exact-confirming only the
+    * candidates. The oracle is the plain `HAVING count ≥ T` — sketch
+    * false positives MUST be invisible in the output, so the hash
+    * match proves both the screen's no-false-negative guarantee and
+    * the confirm pass. Threshold is corpus-relative ((total+63)/64,
+    * integer arithmetic) so the query is meaningful at every scale.
+    */
+  private def xSketchHeavy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (depth, width) = (3, 64)
+    val parts = (0 to 3).map(r =>
+      graft.operators.CorpusStats.countMinSketch(
+        docs.where(col("doc_id") % 4 === r), "text", depth, width))
+    val sketch = graft.operators.CorpusStats.mergeStats(
+      parts, Seq("d", "bucket"), Seq("n"))
+    val total = docs
+      .select(explode(T.tokens(col("text"))).as("t"))
+      .count()
+    val threshold = (total + 63L) / 64L
+    graft.operators.CorpusStats.heavyHittersWith(
+        docs, "text", sketch, depth, width, math.max(threshold, 1L))
+      .orderBy("token")
+  }
+
   /** Incremental bigram-LM model maintenance
     * ([[graft.operators.CorpusStats.bigramCounts]] /
     * [[graft.operators.CorpusStats.mergeBigramCounts]] /
@@ -1512,6 +1540,7 @@ object ExtensionQueries {
     "x_linedf_retract" -> (xLinedfRetract _),
     "x_tokendf_incremental" -> (xTokendfIncremental _),
     "x_sketch_countmin" -> (xSketchCountmin _),
+    "x_sketch_heavy" -> (xSketchHeavy _),
     "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_langid_trained" -> (xLangidTrained _),
@@ -2429,6 +2458,17 @@ object ExtensionQueries {
          |SELECT c.token, e.n_est, c.n_exact
          |FROM cnt c JOIN est e USING (token)
          |ORDER BY token""".stripMargin),
+
+    // the oracle never sees the sketch: heavy hitters are just the
+    // plain threshold count, so the hash match proves the screen has
+    // no false negatives AND the confirm pass removed every collision
+    "x_sketch_heavy" -> (tokCte +
+      """, tok AS (SELECT unnest(toks) AS token FROM tk),
+        |tot AS (SELECT (count(*) + 63) // 64 AS t FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= greatest((SELECT t FROM tot), 1)
+        |ORDER BY token""".stripMargin),
 
     "x_text_rarity" -> (tokCte +
       """, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),

@@ -1131,6 +1131,16 @@ class DedupSimilaritySpec extends SparkSpec {
         3, 4096)
       .as[(String, Long)].collect().head
     assert(unseen == (("neverseen", 0L)), s"got $unseen")
+
+    // heavy hitters: even a collision-saturated sketch (width 2 —
+    // every estimate inflated) yields EXACTLY the true heavy set,
+    // because the screen has no false negatives and the confirm pass
+    // removes every false positive
+    val tiny = graft.operators.CorpusStats.countMinSketch(docs, "text", 2, 2)
+    val hh = graft.operators.CorpusStats.heavyHittersWith(
+        docs, "text", tiny, 2, 2, threshold = 2L)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(hh == Seq(("alpha", 3L), ("beta", 2L)), s"got $hh")
   }
 
   test("bigramLm: ref-like docs score high, OOV text flagged, short/empty " +
