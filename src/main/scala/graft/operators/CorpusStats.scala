@@ -338,6 +338,16 @@ object CorpusStats {
     val totals = model.groupBy(col("lang")).agg(sum(col("n")).as("t"))
       .as[(String, Long)].collect().toMap // model-bounded: |languages|
     require(totals.nonEmpty, "langClassifyWith: empty model")
+    // lang values become PIVOT COLUMN NAMES, i.e. part of the
+    // unresolved-attribute namespace: a backtick (or other hostile
+    // string) in an untrusted model table would break resolution or
+    // misbind a column. Language codes are [A-Za-z0-9_-]; anything
+    // else is a corrupt model, rejected before it can reach the plan.
+    val badLang = totals.keys.filterNot(_.matches("^[A-Za-z0-9_-]+$"))
+    require(badLang.isEmpty,
+      s"langClassifyWith: model lang value(s) ${badLang.mkString(",")} " +
+        "are not valid language codes ([A-Za-z0-9_-]+) - refusing to " +
+        "pivot on them")
     val langs = totals.keys.toSeq.sorted
     val piv = model.groupBy(col("gram"))
       .pivot("lang", langs).sum("n").na.fill(0L)
@@ -645,12 +655,26 @@ object CorpusStats {
     * @return (d: int, bucket: long, n: long) — one row per NON-EMPTY
     *         counter (absent ⇒ 0, [[countMinEstimateWith]] coalesces)
     */
+  /** Exact token OCCURRENCE counts — (token, n), every occurrence
+    * counted (unlike [[tokenDf]]'s per-document distinct). This is the
+    * SIXTH maintained shape: additive over disjoint batches (fold with
+    * [[mergeStats]], `keys = Seq("token"), counts = Seq("n")`, or
+    * [[graft.streaming.StatsMaintenance.start]] for the crash-safe
+    * loop), Heaps-law-sized — it grows with the true vocabulary, where
+    * the [[countMinSketch]] stays `depth·width` forever. Maintaining
+    * BOTH is what makes [[heavyHittersOverStream]]'s whole-stream
+    * answer exact AND sliver-priced: the sketch screens, this table
+    * confirms. Oracle-checked as `x_sketch_heavy_stream` (maintained
+    * counts + sketch ≡ plain threshold count over the union).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(T.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
   def countMinSketch(docs: DataFrame, textCol: String, depth: Int,
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"countMinSketch($depth, $width)")
-    val tokCnt = docs
-      .select(explode(T.tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val tokCnt = tokenCounts(docs, textCol)
     val base = H.md5Mod(col("token"))
     tokCnt
       .select(col("n"), posexplode(array(
@@ -673,12 +697,23 @@ object CorpusStats {
     * min. The corpus is never touched.
     *
     * @param tokens probe table; `tokenCol` is consumed, other columns
-    *               pass through untouched
+    *               pass through untouched. The output is DISTINCT over
+    *               the input columns (the per-token min groups by all
+    *               of them), so duplicate probe rows collapse to one
+    *               output row — pass a surrogate key column if row
+    *               multiplicity matters. Column names `__d`, `__bucket`
+    *               and `__n` are reserved for the internal probe join
+    *               and rejected loudly.
     * @return input columns + (n_est: long)
     */
   def countMinEstimateWith(tokens: DataFrame, tokenCol: String,
       sketch: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"countMinEstimateWith($depth, $width)")
+    val reserved = Set("__d", "__bucket", "__n")
+    val clash = tokens.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"countMinEstimateWith: probe columns ${clash.mkString(",")} clash " +
+        "with reserved internal names (__d, __bucket, __n) - rename them")
     val passThrough = tokens.columns.toSeq
     val base = H.md5Mod(col(tokenCol))
     tokens
@@ -697,11 +732,18 @@ object CorpusStats {
     * NEGATIVES, since est ≥ exact always), then exact-confirm ONLY the
     * candidates (a semi-join thins the token stream to the candidate
     * mass — the heavy tail is a sliver of the vocabulary — before the
-    * one exact aggregate). Against an all-history maintained sketch
-    * this finds every token that is heavy OVER THE WHOLE STREAM while
-    * keeping only `depth·width` counters of history — the exact
-    * token-df alternative carries the full Heaps-curve vocabulary
-    * forever.
+    * one exact aggregate).
+    *
+    * CONTRACT SCOPE — same-corpus only: both the screen AND the exact
+    * confirm count occurrences in the passed `docs`, so the output is
+    * heavy-hitters OF `docs` (with the sketch merely pruning the
+    * aggregate). Screening `docs` against an ALL-HISTORY maintained
+    * sketch does NOT find tokens heavy over the whole stream: a token
+    * heavy historically but light in `docs` passes the screen and is
+    * then confirmed OUT by the batch-local `n ≥ threshold`. For the
+    * honest whole-stream composition — history screen + exact confirm
+    * that sums maintained all-history counts with the batch's — use
+    * [[heavyHittersOverStream]].
     *
     * @return (token, n) with the EXACT count, only rows with
     *         n ≥ threshold — false positives from sketch collisions
@@ -717,6 +759,63 @@ object CorpusStats {
       .where(col("n_est") >= threshold).select(col("token"))
     toks.join(cands, Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+
+  /** Heavy hitters OVER THE WHOLE STREAM — the honest all-history
+    * composition [[heavyHittersWith]]'s contract deliberately excludes.
+    * Requires BOTH maintained shapes: the all-history
+    * [[countMinSketch]] (`sketch`, fixed `depth·width` space) and the
+    * all-history exact [[tokenCounts]] table (`history`, Heaps-sized).
+    * Output: every token whose occurrence count over history ∪ `docs`
+    * reaches `threshold`, with that EXACT total.
+    *
+    * Why candidates-only maintained counts can NOT replace `history`
+    * (the tempting "seventh tiny shape"): the sketch estimate is
+    * monotone in the stream, so a token whose true total first crosses
+    * `threshold` at batch k had est < threshold at batches 1..k-1 —
+    * any store that starts counting a token only once it screens in
+    * has already lost up to threshold−1 of its occurrences, and the
+    * final exact confirm turns that loss into a FALSE NEGATIVE. Exact
+    * whole-stream heaviness needs counts from every token's FIRST
+    * occurrence; fixed-space screening and exact confirmation are
+    * therefore two different stores, composed here.
+    *
+    * What the sketch buys when the exact table exists anyway: the
+    * BATCH side's join against the Heaps-sized history is thinned to
+    * the candidate sliver before it happens. No-false-negative screen:
+    * for a batch token, `est_hist + n_batch ≥ n_hist + n_batch =
+    * n_total`; tokens heavy from history alone (possibly absent in
+    * `docs`) come from an exact map-only filter of `history`. The
+    * confirm unions the two slivers and sums — one sliver-sized
+    * shuffle; the history table is scanned (filter + semi-join, both
+    * map-side with the broadcast candidate list) but never shuffled,
+    * and the batch pays one O(batch) aggregate.
+    *
+    * @param history maintained exact (token, n) over everything folded
+    *                so far — [[tokenCounts]] partials merged
+    * @param sketch  maintained [[countMinSketch]] over the SAME folded
+    *                history (not including `docs`)
+    * @return (token, n) with the exact history ∪ docs count, only rows
+    *         with n ≥ threshold — equals the plain
+    *         `HAVING count ≥ threshold` over the union corpus
+    */
+  def heavyHittersOverStream(docs: DataFrame, textCol: String,
+      history: DataFrame, sketch: DataFrame, depth: Int, width: Int,
+      threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold=$threshold")
+    val batch = tokenCounts(docs, textCol)
+    val batchCands = countMinEstimateWith(batch, "token", sketch,
+        depth, width)
+      .where(col("n_est") + col("n") >= threshold)
+      .select(col("token"))
+    val histHeavy = history.where(col("n") >= threshold)
+      .select(col("token"))
+    val cands = batchCands.union(histHeavy).distinct()
+    history.select(col("token"), col("n"))
+      .join(cands, Seq("token"), "left_semi")
+      .unionByName(batch.join(cands, Seq("token"), "left_semi"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
       .where(col("n") >= threshold)
   }
 }

@@ -146,11 +146,16 @@ object Curation {
     // 2022): duplicated PASSAGES crossing line boundaries that the
     // line pass can't see. Rewritten docs carry the rebuilt
     // (whitespace-canonical) text, untouched docs keep their original
-    // line structure, docs stripped to nothing drop out
+    // line structure, docs stripped to nothing drop out. Zero-token
+    // docs (whitespace-only clean_text) are STAGE-INVARIANT: removal
+    // can't touch them (0 windows), so they pass through exactly as
+    // they do with the option off — without the n_tokens === 0 arm
+    // the filter would read 0 < 0 and silently drop them here only
     val substr = staged(substringDedupN.fold(lined) { n =>
       lined.join(
         Dedup.dropDuplicateSubstrings(lined, idCol, "clean_text", n)
-          .where(col("n_removed") < col("n_tokens"))
+          .where(col("n_removed") < col("n_tokens") ||
+            col("n_tokens") === 0)
           .select(col(idCol), col("n_removed"),
             col("clean_text").as("__rewritten")),
         Seq(idCol))

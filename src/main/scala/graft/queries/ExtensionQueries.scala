@@ -406,6 +406,45 @@ object ExtensionQueries {
       .orderBy("token")
   }
 
+  /** Heavy hitters OVER THE WHOLE STREAM
+    * ([[graft.operators.CorpusStats.heavyHittersOverStream]]): three
+    * "historical" batches fold BOTH maintained shapes — the exact
+    * [[graft.operators.CorpusStats.tokenCounts]] table (sixth shape)
+    * and the count-min sketch (fifth) — then the fourth batch arrives
+    * as "today" and the whole-stream heavy hitters are computed from
+    * maintained state + the batch alone: sketch-screen the batch
+    * vocabulary (est_hist + n_batch ≥ true total — no false
+    * negatives), exact filter of the history table for
+    * heavy-from-history-alone tokens, sliver-sized confirm. The
+    * oracle never sees the split, the sketch, or the maintained
+    * tables — it is the plain `HAVING count ≥ T` over ALL documents —
+    * so the hash match proves the composition finds exactly the
+    * stream-wide heavy set with exact totals, including tokens heavy
+    * from history but light (or absent) in today's batch: the case
+    * [[graft.operators.CorpusStats.heavyHittersWith]]'s same-corpus
+    * contract excludes.
+    */
+  private def xSketchHeavyStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (depth, width) = (3, 64)
+    val hist = (0 to 2).map(r => docs.where(col("doc_id") % 4 === r))
+    val histCounts = graft.operators.CorpusStats.mergeStats(
+      hist.map(graft.operators.CorpusStats.tokenCounts(_, "text")),
+      Seq("token"), Seq("n"))
+    val sketch = graft.operators.CorpusStats.mergeStats(
+      hist.map(graft.operators.CorpusStats.countMinSketch(
+        _, "text", depth, width)),
+      Seq("d", "bucket"), Seq("n"))
+    val today = docs.where(col("doc_id") % 4 === 3)
+    val total = docs
+      .select(explode(T.tokens(col("text"))).as("t"))
+      .count()
+    val threshold = math.max((total + 63L) / 64L, 1L)
+    graft.operators.CorpusStats.heavyHittersOverStream(
+        today, "text", histCounts, sketch, depth, width, threshold)
+      .orderBy("token")
+  }
+
   /** Incremental bigram-LM model maintenance
     * ([[graft.operators.CorpusStats.bigramCounts]] /
     * [[graft.operators.CorpusStats.mergeBigramCounts]] /
@@ -1541,6 +1580,7 @@ object ExtensionQueries {
     "x_tokendf_incremental" -> (xTokendfIncremental _),
     "x_sketch_countmin" -> (xSketchCountmin _),
     "x_sketch_heavy" -> (xSketchHeavy _),
+    "x_sketch_heavy_stream" -> (xSketchHeavyStream _),
     "x_bigramlm_incremental" -> (xBigramlmIncremental _),
     "x_text_langid" -> (xTextLangid _),
     "x_langid_trained" -> (xLangidTrained _),
@@ -2463,6 +2503,19 @@ object ExtensionQueries {
     // plain threshold count, so the hash match proves the screen has
     // no false negatives AND the confirm pass removed every collision
     "x_sketch_heavy" -> (tokCte +
+      """, tok AS (SELECT unnest(toks) AS token FROM tk),
+        |tot AS (SELECT (count(*) + 63) // 64 AS t FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= greatest((SELECT t FROM tot), 1)
+        |ORDER BY token""".stripMargin),
+
+    // the oracle sees neither the history/batch split nor either
+    // maintained shape: the whole-stream heavy set is just the plain
+    // threshold count over ALL documents, so the hash match proves the
+    // maintained-counts + sketch-screen composition exact — including
+    // tokens heavy from history but absent from the probe batch
+    "x_sketch_heavy_stream" -> (tokCte +
       """, tok AS (SELECT unnest(toks) AS token FROM tk),
         |tot AS (SELECT (count(*) + 63) // 64 AS t FROM tok)
         |SELECT token, CAST(count(*) AS BIGINT) AS n

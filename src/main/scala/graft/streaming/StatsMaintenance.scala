@@ -105,6 +105,22 @@ import graft.operators.CorpusStats
   */
 object StatsMaintenance {
 
+  /** Raised by the POST-COMMIT foreign-commit detector — and ONLY by
+    * it. CRITICAL RETRY SEMANTICS: when a publish throws THIS type,
+    * the publish's own version IS COMMITTED (its marker landed before
+    * the detector ran). A retry loop that treats every publish
+    * exception as "not committed" and replays the fold would apply the
+    * same delta twice — the exact double-apply the detector exists to
+    * flag. Treat this exception as NON-RETRYABLE: the store holds BOTH
+    * committed deltas and needs operator repair
+    * (retract/refold one of them), not a replay. Every OTHER publish
+    * failure (lost-update abort, reservation clash, IO error before
+    * the marker) leaves this publish uncommitted and torn-invisible,
+    * and MAY be retried.
+    */
+  final class PostCommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Commit marker created inside a version directory AFTER its
     * parquet write completes; its PARSABLE content (the batch
     * watermark at publish time) defines "committed" — a present but
@@ -236,6 +252,13 @@ object StatsMaintenance {
     * same grace window a lakehouse table's retention gives. Torn
     * directories are always deleted.
     *
+    * FAILURE TAXONOMY FOR CALLERS: every exception EXCEPT
+    * [[PostCommitConflictException]] means this publish did NOT commit
+    * (its directory is torn-invisible or already deleted) and the fold
+    * may be retried. [[PostCommitConflictException]] is thrown AFTER
+    * the marker landed — the version IS committed — so it must NOT be
+    * replayed; see that type's scaladoc.
+    *
     * @param base the committed version `table` was derived from (None
     *             when the store was empty); publishing against any
     *             other newest-committed version is a lost update and
@@ -281,7 +304,7 @@ object StatsMaintenance {
     val foreign = versions(spark, path)
       .collect { case (n, _, Some(_)) if n != next => n }
       .filter(_ > base.getOrElse(-1L))
-    if (foreign.nonEmpty) throw new IllegalStateException(
+    if (foreign.nonEmpty) throw new PostCommitConflictException(
       s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
         s"version(s) ${foreign.mkString(",")} committed between this " +
         s"publish's re-validation (base $base) and its marker for " +
@@ -307,6 +330,10 @@ object StatsMaintenance {
     * @param partialOf batch → aggregated partial with exactly the
     *                  (keys ++ counts) columns (e.g.
     *                  `CorpusStats.lineDf(_, "doc_id", "text")`)
+    * Exception contract: a [[PostCommitConflictException]] means the
+    * fold DID commit (non-retryable — replaying it double-applies the
+    * batch); any other exception means it did not and may be retried.
+    *
     * @param retain committed versions kept after the publish (≥ 1, the
     *               concurrent-reader grace window — see `publish`)
     * @return true if the batch was folded, false if skipped as a replay

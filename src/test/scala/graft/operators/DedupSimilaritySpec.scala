@@ -1141,6 +1141,55 @@ class DedupSimilaritySpec extends SparkSpec {
         docs, "text", tiny, 2, 2, threshold = 2L)
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     assert(hh == Seq(("alpha", 3L), ("beta", 2L)), s"got $hh")
+
+    // reserved probe-column names are rejected loudly, not shadowed
+    val clash = intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats.countMinEstimateWith(
+        Seq(("alpha", 1L)).toDF("token", "__bucket"), "token", tiny, 2, 2)
+    }
+    assert(clash.getMessage.contains("__bucket"))
+  }
+
+  test("heavyHittersOverStream: whole-stream heavy set is exact from " +
+    "maintained counts + sketch, including tokens absent from the batch") {
+    val C = graft.operators.CorpusStats
+    // history: two disjoint batches folded into BOTH maintained shapes
+    val h1 = Seq((1L, "hist hist hist old old")).toDF("doc_id", "text")
+    val h2 = Seq((2L, "hist rare joint")).toDF("doc_id", "text")
+    val histCounts = C.mergeStats(
+      Seq(C.tokenCounts(h1, "text"), C.tokenCounts(h2, "text")),
+      Seq("token"), Seq("n"))
+    val sketch = C.mergeStats(
+      Seq(C.countMinSketch(h1, "text", 2, 2),
+        C.countMinSketch(h2, "text", 2, 2)), // width 2: saturated
+      Seq("d", "bucket"), Seq("n"))
+    // today: 'hist' absent (heavy from history ALONE — the case
+    // heavyHittersWith's same-corpus contract excludes), 'joint'
+    // crosses only as history+batch, 'fresh' heavy from batch alone,
+    // 'old'/'rare' stay light overall
+    val today = Seq(
+      (3L, "joint joint fresh fresh fresh"),
+      (4L, "rare")).toDF("doc_id", "text")
+    val out = C.heavyHittersOverStream(today, "text", histCounts, sketch,
+        2, 2, threshold = 3L)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    // exact over the union: hist=4, old=2, rare=2, joint=3, fresh=3
+    assert(out == Seq(("fresh", 3L), ("hist", 4L), ("joint", 3L)),
+      s"got $out")
+
+    // degenerate ends: empty batch (answer = history filter alone) and
+    // empty history (answer = batch filter alone)
+    val noBatch = today.where(lit(false))
+    val ob = C.heavyHittersOverStream(noBatch, "text", histCounts, sketch,
+        2, 2, threshold = 3L)
+      .as[(String, Long)].collect().toSeq
+    assert(ob == Seq(("hist", 4L)), s"got $ob")
+    val emptyHist = histCounts.where(lit(false))
+    val emptySketch = sketch.where(lit(false))
+    val oh = C.heavyHittersOverStream(today, "text", emptyHist, emptySketch,
+        2, 2, threshold = 3L)
+      .as[(String, Long)].collect().toSeq
+    assert(oh == Seq(("fresh", 3L)), s"got $oh")
   }
 
   test("bigramLm: ref-like docs score high, OOV text flagged, short/empty " +
