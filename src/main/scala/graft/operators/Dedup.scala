@@ -758,6 +758,64 @@ object Dedup {
         (col("doc_id") === col("survivor_id")).as("kept"))
   }
 
+  /** df-thinning of a span/window table on its `__h` column — the
+    * stage both [[sharedSpanPairs]] and [[dropDuplicateSubstrings]]
+    * pay, in two SKEW-SAFE formulations (round 14: the count-over-
+    * window form they used was CONVICTED by a planted-viral-key
+    * anchor, `tools/ViralSkewProbe` — `count(1) over (partition by
+    * __h)` ships every occurrence of a hash to ONE window task with no
+    * partial aggregation, and WindowExec cannot be skew-split; at a
+    * planted df of 10M the hot task died of
+    * SparkOutOfMemoryError trying a ~500 MB contiguous allocation, and
+    * at df 50M the surviving runs were 3× slower than the groupBy
+    * form, which held flat at every point. A cookie banner in 1% of a
+    * 100 TB corpus is df in the hundreds of millions — the OOM is the
+    * 100 TB behavior, not the tail risk).
+    *
+    * Both formulations count via groupBy — map-side partial
+    * aggregation bounds any key's shuffle contribution at one row per
+    * map task, skew-proof by construction — then rejoin the FILTERED
+    * key sliver:
+    *  - [[dropOverCapKeys]] (cap semantics): the over-cap set is tiny
+    *    by definition (keys hot enough to cap are rare — that is what
+    *    makes them viral), so the anti-join broadcasts and the span
+    *    mass is never shuffled for thinning at all;
+    *  - [[keepDuplicatedKeys]] (minOcc semantics): the survivor set is
+    *    the duplicated sliver (proportional to duplicated mass, small
+    *    in real corpora — broadcast), and when it is adversarially
+    *    large the semi-join is a sort-merge join AQE can skew-split —
+    *    unlike a window, no stage requires a key's full occurrence
+    *    list in one task.
+    */
+  private[graft] def dropOverCapKeys(spans: DataFrame, cap: Int): DataFrame = {
+    val over = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > cap).select(col("__h"))
+    spans.join(over, Seq("__h"), "left_anti")
+  }
+
+  private[graft] def keepDuplicatedKeys(spans: DataFrame,
+      minOcc: Int): DataFrame = {
+    val keep = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minOcc).select(col("__h"))
+    spans.join(keep, Seq("__h"), "left_semi")
+  }
+
+  /** The convicted count-over-window thinning forms, kept ONLY for
+    * [[graft.tools.ViralSkewProbe]] / A-B evidence runs — identical
+    * output, single-task hot-key behavior. Do not use in operators.
+    */
+  private[graft] def dropOverCapKeysWindowed(spans: DataFrame,
+      cap: Int): DataFrame = spans
+    .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+    .where(col("__df") <= cap).drop("__df")
+
+  private[graft] def keepDuplicatedKeysWindowed(spans: DataFrame,
+      minOcc: Int): DataFrame = spans
+    .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+    .where(col("__df") >= minOcc).drop("__df")
+
   /** Exact long-span duplication — the "these two documents share a
     * verbatim 20-token passage" detector from the substring-dedup
     * literature (Lee et al. 2022 use suffix arrays for the fully
@@ -795,16 +853,11 @@ object Dedup {
     val spans = docs.select(col(idCol).as("__id"),
         explode(graft.expressions.WordShingleHashes64(
           T.tokens(col(textCol)), n)).as("__h"))
-    // df-thin with a count-over-window rather than groupBy+join-back:
-    // one scan + ONE shuffle of the span table instead of two of each
-    // (measured 2× at a 23M-span corpus, SpanProbe); the self-join
-    // then reuses the window's hash partitioning on __h. Hot spans
-    // colocate once under either formulation — the cap drops them
-    // right after they are counted.
-    val thinned = spans
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
-      .where(col("__df") <= maxDf)
-      .drop("__df")
+    // df-thin via groupBy + broadcast anti-join of the over-cap sliver
+    // (see dropOverCapKeys: the count-over-window form was convicted
+    // by the viral-key anchor — OOM at planted df 10M); the self-join
+    // then shuffles the THINNED spans, hot keys already gone
+    val thinned = dropOverCapKeys(spans, maxDf)
     thinned.as("a").join(thinned.as("b"),
         col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("i"), col("b.__id").as("j"))
@@ -832,10 +885,11 @@ object Dedup {
     * corpus-wide sort: (1) one positional-window kernel pass
     * ([[graft.expressions.WordShingleHashesPos]] — O(len) rolling
     * hash, so n = 50 costs the same as n = 5) + one explode of the
-    * window mass; (2) occurrence counts via count-over-window on the
-    * hash (ONE shuffle of the window table — the [[sharedSpanPairs]]
-    * pattern, measured 2× cheaper than groupBy+join-back at 23M
-    * spans); (3) covered positions = duplicated windows × n rows
+    * window mass; (2) occurrence thinning via [[keepDuplicatedKeys]]
+    * — a map-combined groupBy count plus a sliver semi-join, skew-safe
+    * under viral keys where the round-13 count-over-window form OOMed
+    * one task at a planted df of 10M (`tools/ViralSkewProbe`, round
+    * 14); (3) covered positions = duplicated windows × n rows
     * BEFORE distinct — the one deliberate multiplier, proportional to
     * the duplicated mass, not the corpus; (4) one token posexplode +
     * anti-join on (doc, position) + per-doc in-row rebuild (the
@@ -852,9 +906,12 @@ object Dedup {
     val wins = toks.select(col("__id"),
       posexplode(graft.expressions.WordShingleHashesPos(col("__toks"), n))
         .as(Seq("__p", "__h")))
-    val dupStarts = wins
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
-      .where(col("__df") >= minOcc)
+    // occurrence thinning via groupBy + sliver semi-join (see
+    // keepDuplicatedKeys: skew-safe replacement for the convicted
+    // count-over-window form; the survivor sliver is proportional to
+    // duplicated mass, so the semi-join usually broadcasts and the
+    // window mass is never shuffled just to be counted)
+    val dupStarts = keepDuplicatedKeys(wins, minOcc)
       .select(col("__id"), col("__p"))
     val covered = dupStarts
       .select(col("__id"),

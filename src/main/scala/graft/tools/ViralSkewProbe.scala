@@ -92,10 +92,36 @@ object ViralSkewProbe {
       uniq.unionByName(dup).unionByName(viral)
     }
 
-    def timed(f: => Long): (Double, Long) = {
+    // THE conviction metric is max task duration, not wall: local[32]
+    // overlaps a hot task with 31 threads of other work, hiding skew
+    // that a stage barrier on a real cluster puts on the critical path
+    // (every other task finishes and WAITS for the one holding the
+    // viral key's occurrence list). A listener records the longest
+    // single task of each measurement.
+    @volatile var maxTaskMs = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        if (d > maxTaskMs) maxTaskMs = d
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // two timed reps per form (first carries JIT/page-cache warm-up);
+    // wall for both, max-task for the second (steady state)
+    def timed(f: => Long): (Double, Double, Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      val t1 = (System.nanoTime() - t0) / 1e9
+      maxTaskMs = 0L
+      val t2 = System.nanoTime()
+      val n2 = f
+      val t3 = (System.nanoTime() - t2) / 1e9
+      assert(n == n2, s"reps disagree: $n vs $n2")
+      // listener events drain asynchronously; give the bus a moment
+      Thread.sleep(1000)
+      (t1, t3, maxTaskMs / 1e3, n)
     }
 
     // sharedSpanPairs semantics: DROP keys over the cap
@@ -128,13 +154,13 @@ object ViralSkewProbe {
     viralDfs.foreach { vdf =>
       val spans = spansFor(vdf)
       val total = bgUnique + bgDupKeys * bgDupRep + viralKeys * vdf
-      val (tcw, ncw) = timed(capWindow(spans))
-      val (tcg, ncg) = timed(capGroup(spans))
-      val (tow, now) = timed(occWindow(spans))
-      val (tog, nog) = timed(occGroup(spans))
+      val (tcw1, tcw2, mcw, ncw) = timed(capWindow(spans))
+      val (tcg1, tcg2, mcg, ncg) = timed(capGroup(spans))
+      val (tow1, tow2, mow, now) = timed(occWindow(spans))
+      val (tog1, tog2, mog, nog) = timed(occGroup(spans))
       assert(ncw == ncg, s"cap-drop forms disagree: $ncw vs $ncg")
       assert(now == nog, s"minocc-keep forms disagree: $now vs $nog")
-      println(f"""{"viral_df":$vdf,"rows":$total,"cap_window_s":$tcw%.2f,"cap_group_s":$tcg%.2f,"cap_rows":$ncw,"occ_window_s":$tow%.2f,"occ_group_s":$tog%.2f,"occ_rows":$now}""")
+      println(f"""{"viral_df":$vdf,"rows":$total,"cap_window_s":[$tcw1%.2f,$tcw2%.2f],"cap_window_maxtask_s":$mcw%.2f,"cap_group_s":[$tcg1%.2f,$tcg2%.2f],"cap_group_maxtask_s":$mcg%.2f,"cap_rows":$ncw,"occ_window_s":[$tow1%.2f,$tow2%.2f],"occ_window_maxtask_s":$mow%.2f,"occ_group_s":[$tog1%.2f,$tog2%.2f],"occ_group_maxtask_s":$mog%.2f,"occ_rows":$now}""")
     }
     spark.stop()
   }
