@@ -95,3 +95,104 @@ object SortedArrayJaccard {
     GraftColumnBridge.column(SortedArrayJaccard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
+
+/** [[SortedArrayJaccard]] with PPJoin-style EARLY TERMINATION (the
+  * suffix-filter idea of Xiao, Wang, Lin & Yu, WWW 2008, folded into
+  * the merge scan rather than run as a separate pre-verify pass):
+  * J(a,b) ≥ t requires |a∩b| ≥ α = ⌈t·(|a|+|b|)/(1+t)⌉, and at merge
+  * positions (i, j) with running intersection c the best achievable
+  * final intersection is c + min(|a|−i, |b|−j) — the moment that
+  * bound drops below α the pair provably cannot clear the threshold
+  * and the scan aborts, returning −1 (any value < t works: the
+  * verifier keeps only `result ≥ t`). Sound by construction — a pair
+  * that would pass never aborts, and survivors run the scan to
+  * completion so their returned Jaccard is EXACTLY the unbounded
+  * kernel's. The win is on the rejected majority (candidate:true
+  * ratios run 100–400:1 on the probed corpora): most rejects diverge
+  * early and skip most of their merge.
+  */
+case class SortedArrayJaccardBounded(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isInt = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "sorted_jaccard_bounded expects both sides array<int> or both " +
+          s"array<bigint>, got ${l.catalogString}/${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isInt)
+      SortedArrayJaccardBounded.computeInt(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+    else
+      SortedArrayJaccardBounded.compute(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isInt) "computeInt" else "compute"
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.SortedArrayJaccardBounded.$m($a, $b, $threshold)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object SortedArrayJaccardBounded {
+  def compute(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    // minimum intersection for J >= t; the downward epsilon mirrors
+    // the candidate filters: rounding may only LOOSEN the bound
+    val alpha = math.ceil(t * (n + m) / (1.0 + t) - 1e-9)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      if (inter + math.min(n - i, m - j) < alpha) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  def computeInt(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    val alpha = math.ceil(t * (n + m) / (1.0 + t) - 1e-9)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      if (inter + math.min(n - i, m - j) < alpha) return -1.0
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  def apply(a: Column, b: Column, threshold: Double): Column =
+    GraftColumnBridge.column(SortedArrayJaccardBounded(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      threshold))
+}

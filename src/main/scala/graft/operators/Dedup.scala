@@ -284,6 +284,25 @@ object Dedup {
     candidates
       .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
       .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
+      // bounded kernel (round 14): PPJoin-style early termination
+      // inside the merge scan — the rejected majority (100-400
+      // candidates per true pair on probed corpora) aborts as soon as
+      // running-inter + min(remaining) provably misses the threshold;
+      // survivors complete the scan, so their jaccard is exactly the
+      // unbounded kernel's and the output is identical
+      .withColumn("jaccard", graft.expressions.SortedArrayJaccardBounded(
+        col("__sa"), col("__sb"), threshold))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+
+  /** The pre-round-14 verify with the unbounded scan kernel — kept
+    * private for A/B evidence runs ([[graft.tools.VerifyAB]]).
+    */
+  private[graft] def jaccardVerifyUnbounded(candidates: DataFrame,
+      sets: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("__sid").as("i"), col("__set").as("__sa")), Seq("i"))
+      .join(sets.select(col("__sid").as("j"), col("__set").as("__sb")), Seq("j"))
       .withColumn("jaccard",
         graft.expressions.SortedArrayJaccard(col("__sa"), col("__sb")))
       .where(col("jaccard") >= threshold)
