@@ -529,4 +529,34 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("partial_"),
       s"per-doc reassembly should partial-aggregate:\n$p")
   }
+
+  test("span df-thinning is skew-safe: partial-agged count, no window " +
+      "operator holding a key's full occurrence list in one task") {
+    // round-14 conviction (ViralSkewProbe): count(1) over (partition
+    // by __h) OOMed its single hot task at a planted df of 10M. The
+    // replacement counts via groupBy (map-side partial aggregation —
+    // a viral key contributes ONE row per map task to the shuffle)
+    // and rejoins the filtered key sliver. A Window reappearing in
+    // either span query's plan is the regression this pins against.
+    Seq("x_dedup_substring", "x_dedup_spans").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window "),
+        s"$q must not thin through a window operator:\n$p")
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"$q's df count must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("whole-stream heavy hitters confirm via semi-joined slivers, " +
+      "partial-agged counts") {
+    val p = plan("x_sketch_heavy_stream")
+    // history and batch are thinned to the candidate sliver by
+    // LeftSemi joins (broadcast at this scale; AQE-splittable SMJ at
+    // adversarial sliver sizes) — never a shuffle of the heavy mass
+    // keyed on token before the sliver cut
+    assert(p.contains("LeftSemi"),
+      s"confirm must semi-join the candidate sliver:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"counts must partial-aggregate map-side:\n$p")
+  }
 }
