@@ -114,6 +114,13 @@ object SortedArrayJaccard {
 case class SortedArrayJaccardBounded(left: Expression, right: Expression,
     threshold: Double) extends BinaryExpression {
 
+  // threshold is spliced into generated Java source as a literal, so a
+  // NaN/Infinity would fail codegen COMPILATION, and t ≤ 0 silently
+  // disables the early-termination bound (α = 0 never trips). Jaccard
+  // is in [0,1], so jaccardVerify's contract already implies this range.
+  require(!threshold.isNaN && threshold > 0.0 && threshold <= 1.0,
+    s"sorted_jaccard_bounded threshold must be in (0, 1], got $threshold")
+
   override def dataType: DataType = DoubleType
 
   private def isInt = left.dataType match {

@@ -709,11 +709,14 @@ object CorpusStats {
   def countMinEstimateWith(tokens: DataFrame, tokenCol: String,
       sketch: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"countMinEstimateWith($depth, $width)")
-    val reserved = Set("__d", "__bucket", "__n")
+    // n_est is reserved too: the probe's pass-through columns are the
+    // groupBy keys, so an input n_est would silently duplicate the
+    // output column name and break every downstream reference by name
+    val reserved = Set("__d", "__bucket", "__n", "n_est")
     val clash = tokens.columns.filter(reserved)
     require(clash.isEmpty,
       s"countMinEstimateWith: probe columns ${clash.mkString(",")} clash " +
-        "with reserved internal names (__d, __bucket, __n) - rename them")
+        "with reserved names (__d, __bucket, __n, n_est) - rename them")
     val passThrough = tokens.columns.toSeq
     val base = H.md5Mod(col(tokenCol))
     tokens

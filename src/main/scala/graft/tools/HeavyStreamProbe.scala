@@ -47,6 +47,14 @@ object HeavyStreamProbe {
     // carries a token to exactly the threshold; batch = the last
     // quarter, which cannot contain the planted token (it never
     // appears in the generator's vocabulary)
+    // the planted doc is built as ONE in-heap string of `threshold`
+    // tokens; past ~50M tokens (a ~1 GB string) that stops being a
+    // sane driver-side allocation, and threshold.toInt would silently
+    // truncate past Int.MaxValue — fail loudly instead of planting
+    // fewer occurrences than the probe's own assertion expects
+    require(threshold <= 50000000L,
+      s"planted-token threshold $threshold too large for a single " +
+        "driver-side string - split the planted doc across multiple rows")
     val planted = Seq((-1L,
       Seq.fill(threshold.toInt)("grafthistonlytoken").mkString(" ")))
       .toDF("doc_id", "text")
