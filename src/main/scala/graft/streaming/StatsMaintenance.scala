@@ -108,15 +108,32 @@ object StatsMaintenance {
   /** Raised by the POST-COMMIT foreign-commit detector — and ONLY by
     * it. CRITICAL RETRY SEMANTICS: when a publish throws THIS type,
     * the publish's own version IS COMMITTED (its marker landed before
-    * the detector ran). A retry loop that treats every publish
-    * exception as "not committed" and replays the fold would apply the
+    * the detector ran, and the detector re-verified the marker still
+    * parses). A retry loop that treats every publish exception as
+    * "not committed" and replays the fold would apply the
     * same delta twice — the exact double-apply the detector exists to
     * flag. Treat this exception as NON-RETRYABLE: the store holds BOTH
-    * committed deltas and needs operator repair
-    * (retract/refold one of them), not a replay. Every OTHER publish
-    * failure (lost-update abort, reservation clash, IO error before
-    * the marker) leaves this publish uncommitted and torn-invisible,
-    * and MAY be retried.
+    * committed deltas and needs operator repair, not a replay. Every
+    * OTHER publish failure (lost-update abort, reservation clash,
+    * pruned-while-torn, IO error before the marker) leaves this
+    * publish uncommitted and torn-invisible, and MAY be retried.
+    *
+    * REPAIR RUNBOOK (tested: `StatsMaintenanceSpec` "both-commit"
+    * drills + `tools/ConflictRepairProbe`): list the committed
+    * versions. Readers see only the HIGHEST, which contains its own
+    * writer's delta over the shared base — every other conflicting
+    * version's delta is SHADOWED (absent from the visible table),
+    * EXCEPT when both writers folded the SAME batch (equal marker
+    * watermarks): then the deltas were identical partials, the
+    * visible table is already exact, and no data repair is needed
+    * (the next publish prunes the duplicate version). For a genuinely
+    * shadowed delta, recompute its partial and [[refoldBatch]] it
+    * into the visible table — [[foldBatch]] cannot do this repair
+    * (its watermark skip absorbs any batch id ≤ the visible
+    * watermark, silently losing the delta), and blindly re-merging
+    * `current ⊕ partial` and publishing double-applies whenever the
+    * delta DID land (additive merges cannot detect inflation — the
+    * spec demonstrates both failure modes).
     */
   final class PostCommitConflictException(msg: String)
     extends IllegalStateException(msg)
@@ -301,7 +318,28 @@ object StatsMaintenance {
     // table readers see depends on the version numbers, and destroying
     // either could discard the winner) — the store is flagged for
     // operator repair: retract/refold one of the two deltas.
-    val foreign = versions(spark, path)
+    val after = versions(spark, path)
+    // SELF check first: a foreign writer that listed our version while
+    // its marker was still empty judged it TORN and pruned the whole
+    // directory before our content landed (our open stream kept
+    // writing the unlinked file, so the close above still succeeded).
+    // In that interleave our delta did NOT commit — raising the
+    // post-commit type here would tell the operator a lie with repair
+    // consequences (they would retract a delta that never landed).
+    // This is an ordinary lost update: retryable.
+    val selfCommitted = after.exists {
+      case (n, _, Some(wm)) => n == next && wm == watermark
+      case _ => false
+    }
+    if (!selfCommitted) {
+      fs.delete(versionDir, true)
+      throw new IllegalStateException(
+        s"concurrent writer on stats store $path: version $next was " +
+          "pruned as torn by a foreign writer before its marker content " +
+          "landed - this publish did NOT commit and may be retried " +
+          "(single-writer contract violated)")
+    }
+    val foreign = after
       .collect { case (n, _, Some(_)) if n != next => n }
       .filter(_ > base.getOrElse(-1L))
     if (foreign.nonEmpty) throw new PostCommitConflictException(
@@ -407,6 +445,36 @@ object StatsMaintenance {
     publish(spark, path,
       CorpusStats.retractStats(table, partial, keys, counts), cur._3,
       retain, Some(cur._1))
+  }
+
+  /** OFFLINE repair maintenance — the REFOLD half of the
+    * [[PostCommitConflictException]] runbook: force-merge a delta's
+    * recomputed partial into the current table, BYPASSING the
+    * watermark replay skip (which would wrongly absorb a shadowed
+    * delta whose batch id is already ≤ the visible watermark — the
+    * watermark only proves the batch's publish won a race, not that
+    * its delta is in the visible table), and publish with the
+    * watermark advanced to max(current, batchId) so a genuinely newer
+    * absorbed id never refolds and a newer batch is never skipped.
+    *
+    * USE ONLY FOR REPAIR of a conflict-shadowed delta: refolding a
+    * delta that IS in the visible table double-applies it by
+    * construction (additive merges cannot detect inflation — the same
+    * reason a naive retry loop is forbidden). Single-writer contract
+    * applies: run with the streaming fold STOPPED, like
+    * [[retractBatch]].
+    */
+  def refoldBatch(spark: SparkSession, path: String, partial: DataFrame,
+      keys: Seq[String], counts: Seq[String], batchId: Long,
+      retain: Int = 1): Unit = {
+    require(batchId >= 0, s"negative batchId: $batchId")
+    val cur = current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"refoldBatch: no committed stats table at $path"))
+    val table = spark.read.parquet(cur._2.toString)
+    publish(spark, path,
+      CorpusStats.mergeStats(Seq(table, partial), keys, counts),
+      math.max(cur._3, batchId), retain, Some(cur._1))
   }
 
   /** Start the maintenance loop: every delivered micro-batch is folded

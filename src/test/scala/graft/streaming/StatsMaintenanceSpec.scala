@@ -39,6 +39,61 @@ class StatsMaintenanceSpec extends SparkSpec {
       Seq("line_key"), Seq("line_df"),
       b => CorpusStats.lineDf(b, "doc_id", "text"))
 
+  private def linePartial(rows: Seq[(Long, String)]): DataFrame =
+    CorpusStats.lineDf(rows.toDF("doc_id", "text"), "doc_id", "text")
+
+  /** Manufacture the BOTH-COMMITTED post-commit conflict
+    * deterministically: writer A pauses with its marker created but
+    * EMPTY (torn), writer B publishes through its own commit point and
+    * pauses BEFORE its post-commit check (so its prune never deletes
+    * A's torn dir), A's marker content lands (A committed), then B's
+    * check runs. Returns what each writer threw.
+    */
+  private def bothCommitDrill(path: String, aRows: Seq[(Long, String)],
+      aId: Long, bRows: Seq[(Long, String)], bId: Long)
+      : (Throwable, Throwable) = {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val aAtMarker = new CountDownLatch(1)
+    val bCommitted = new CountDownLatch(1)
+    val bGo = new CountDownLatch(1)
+    @volatile var aErr: Throwable = null
+    @volatile var bErr: Throwable = null
+    @volatile var aT: Thread = null
+    @volatile var bT: Thread = null
+    StatsMaintenance.testCrashPoint = p => {
+      val t = Thread.currentThread()
+      if ((t eq aT) && p == "marker-open") {
+        aAtMarker.countDown()
+        if (!bCommitted.await(120, TimeUnit.SECONDS))
+          throw new IllegalStateException("drill: B never committed")
+      }
+      if ((t eq bT) && p == "post-marker") {
+        bCommitted.countDown()
+        if (!bGo.await(120, TimeUnit.SECONDS))
+          throw new IllegalStateException("drill: B never released")
+      }
+    }
+    try {
+      aT = new Thread(() => try { foldLines(aRows, aId, path): Unit }
+        catch { case e: Throwable => aErr = e }, "drill-a")
+      bT = new Thread(() => try { foldLines(bRows, bId, path): Unit }
+        catch { case e: Throwable => bErr = e }, "drill-b")
+      aT.start()
+      assert(aAtMarker.await(120, TimeUnit.SECONDS),
+        "A never reached marker-open")
+      bT.start()
+      aT.join(120000)
+      assert(!aT.isAlive, "A did not finish")
+      bGo.countDown()
+      bT.join(120000)
+      assert(!bT.isAlive, "B did not finish")
+    } finally {
+      StatsMaintenance.testCrashPoint = _ => ()
+      bCommitted.countDown(); bGo.countDown()
+    }
+    (aErr, bErr)
+  }
+
   private def stored(path: String): Seq[(String, Long)] =
     StatsMaintenance.readStats(spark, path).get
       .as[(String, Long)].collect().sortBy(_._1).toSeq
@@ -195,39 +250,153 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(stored(path) == lineDfOf(batch2))
   }
 
-  test("post-commit detector: a writer that committed INSIDE the " +
-    "re-validate->marker window is detected, never silently lost") {
+  test("pruned-while-torn (the round-14 'post-commit detector' " +
+    "interleave, relabeled honestly): a foreign writer that commits " +
+    "AND prunes inside the marker window deletes this publish's torn " +
+    "dir, so its delta never lands - it must fail RETRYABLE, not " +
+    "post-commit") {
     val path = tmpDir()
     assert(foldLines(batch1, 0L, path))
-    // interleave at the narrowest window the pre-commit guard cannot
-    // see: the fold's re-validation has passed and its marker file is
-    // already created (empty) when an offline retraction commits
+    // the fold's re-validation has passed and its marker file is
+    // created but EMPTY when an offline retraction runs to COMPLETION:
+    // the retraction's prune judges the fold's version torn and
+    // deletes the directory, so the fold's marker content lands on an
+    // unlinked file - the fold's delta is NOT committed. Round 14
+    // raised PostCommitConflictException here, whose contract says
+    // "your version IS committed" - a lie with repair consequences
+    // (the runbook would retract a delta that never landed).
     var fired = false
     StatsMaintenance.testCrashPoint = p =>
       if (p == "marker-open" && !fired) {
         fired = true
-        StatsMaintenance.retractBatch(spark, path,
-          CorpusStats.lineDf(batch1.toDF("doc_id", "text"), "doc_id", "text"),
+        StatsMaintenance.retractBatch(spark, path, linePartial(batch1),
           Seq("line_key"), Seq("line_df"))
       }
     val e =
       try intercept[IllegalStateException] { foldLines(batch2, 1L, path) }
       finally StatsMaintenance.testCrashPoint = _ => ()
-    assert(e.getMessage.contains("DETECTED POST-COMMIT"))
-    // the DEDICATED type (round 14): this is the one publish failure
-    // where the version IS committed — a retry loop must be able to
-    // distinguish it from every retryable failure without parsing
-    // message text
-    assert(e.isInstanceOf[StatsMaintenance.PostCommitConflictException],
-      s"post-commit conflict must raise the dedicated type, got ${e.getClass}")
-    // the retraction's commit survives; the fold raised LOUDLY, so the
-    // engine never commits batch 1's offsets...
+    assert(!e.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      "pruned-while-torn must NOT raise the non-retryable type: the " +
+        "delta did not commit and the runbook would mis-repair")
+    assert(e.getMessage.contains("did NOT commit"), e.getMessage)
+    // the retraction's commit survives; the fold's delta is absent
     assert(stored(path).isEmpty, "retraction's win was clobbered")
     assert(StatsMaintenance.lastFolded(spark, path).contains(0L),
       "retraction must not advance the watermark")
-    // ...and re-delivery folds the lost batch cleanly
+    // retryable for real: re-delivery folds the lost batch cleanly
+    // (legitimate ONLY because the type says the delta did not land)
     assert(foldLines(batch2, 1L, path))
     assert(stored(path) == lineDfOf(batch2))
+  }
+
+  test("BOTH-COMMIT drill (same batch, two drivers): each publish " +
+    "raises the post-commit type, the visible table is already exact, " +
+    "a naive re-apply retry double-counts, and retracting ONE delta " +
+    "repairs it back to the recompute") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    val (aErr, bErr) = bothCommitDrill(path, batch2, 1L, batch2, 1L)
+    assert(aErr.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"writer A: expected the post-commit type, got $aErr")
+    assert(bErr.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"writer B: expected the post-commit type, got $bErr")
+    // SAME batch => identical deltas: the visible (highest) version is
+    // already exact, the conflict left duplicate VERSIONS, not
+    // duplicate counts
+    assert(stored(path) == lineDfOf(batch1 ++ batch2),
+      "same-batch both-commit corrupted the visible table")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
+    // the naive reaction the contract forbids - "a publish threw, so
+    // re-apply my delta" - double-counts, and the additive merge
+    // cannot notice (BOILER: true df 4 across batch1+batch2, 2 of it
+    // from batch2, so the double-apply inflates it to 6)
+    StatsMaintenance.refoldBatch(spark, path, linePartial(batch2),
+      Seq("line_key"), Seq("line_df"), batchId = 1L)
+    val doubled = stored(path)
+    assert(doubled != lineDfOf(batch1 ++ batch2),
+      "double-apply demonstration failed to corrupt")
+    assert(doubled.find(_._1 == "BOILER").map(_._2).contains(6L),
+      s"expected BOILER df doubled-applied to 6, got $doubled")
+    // the runbook repair: retract ONE of the two applied deltas
+    StatsMaintenance.retractBatch(spark, path, linePartial(batch2),
+      Seq("line_key"), Seq("line_df"))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2),
+      "repair drifted from the recompute")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
+    // normal operation resumes: replays skip, new batches fold
+    assert(!foldLines(batch2, 1L, path))
+    assert(foldLines(batch3, 2L, path))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+  }
+
+  test("BOTH-COMMIT drill (different batches): the shadowed delta is " +
+    "ABSENT from the visible table, foldBatch cannot repair it (the " +
+    "watermark skip absorbs it), and refoldBatch restores recompute " +
+    "equality exactly") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    // operator error: two uncoordinated fold drivers, DIFFERENT
+    // batches. A folds batch 1, B folds batch 2; both commit.
+    val (aErr, bErr) = bothCommitDrill(path, batch2, 1L, batch3, 2L)
+    assert(aErr.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"writer A: expected the post-commit type, got $aErr")
+    assert(bErr.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"writer B: expected the post-commit type, got $bErr")
+    // readers see only the HIGHEST committed version = B's table,
+    // which was derived from the shared base: batch2's committed
+    // delta is SHADOWED - absent from every read - and the visible
+    // watermark (2) claims it was absorbed
+    assert(stored(path) == lineDfOf(batch1 ++ batch3),
+      "expected the visible table to hold base + B's delta only")
+    assert(stored(path) != lineDfOf(batch1 ++ batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    // foldBatch CANNOT repair: id 1 <= watermark 2 is replay-skipped,
+    // silently losing the delta again - the runbook forbids it
+    assert(!foldLines(batch2, 1L, path),
+      "foldBatch must refuse the shadowed id (watermark skip)")
+    assert(stored(path) == lineDfOf(batch1 ++ batch3))
+    // the runbook repair: force-refold the shadowed delta's partial
+    StatsMaintenance.refoldBatch(spark, path, linePartial(batch2),
+      Seq("line_key"), Seq("line_df"), batchId = 1L)
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3),
+      "refold repair drifted from the recompute")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L),
+      "repairing an OLDER shadowed delta must not move the watermark back")
+    // normal operation resumes
+    assert(!foldLines(batch3, 2L, path))
+    assert(foldLines(Seq((7L, "post repair doc")), 3L, path))
+  }
+
+  test("retraction racing a LIVE fold: a fold that commits under a " +
+    "mid-publish retraction makes the retraction abort PRE-COMMIT " +
+    "(retryable), and the retried retraction lands exactly") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    assert(foldLines(batch2, 1L, path))
+    // the retraction's parquet is written but unmarked when a live
+    // stream fold commits a NEW batch under it
+    var fired = false
+    StatsMaintenance.testCrashPoint = p =>
+      if (p == "post-parquet" && !fired) {
+        fired = true
+        assert(foldLines(batch3, 2L, path), "in-window fold must commit")
+      }
+    val e = try intercept[IllegalStateException] {
+        StatsMaintenance.retractBatch(spark, path, linePartial(batch1),
+          Seq("line_key"), Seq("line_df"))
+      } finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(!e.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      "pre-commit abort must stay retryable")
+    assert(e.getMessage.contains("lost update"), e.getMessage)
+    // the fold's commit survives intact...
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    // ...and the retraction, retried against fresh state, lands exactly
+    StatsMaintenance.retractBatch(spark, path, linePartial(batch1),
+      Seq("line_key"), Seq("line_df"))
+    assert(stored(path) == lineDfOf(batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L),
+      "retraction must not move the watermark")
   }
 
   test("two writers can never share a version directory: the " +
