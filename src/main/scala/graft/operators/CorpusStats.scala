@@ -671,6 +671,34 @@ object CorpusStats {
     docs.select(explode(T.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  /** Per-source corpus-composition tallies — the SEVENTH maintained
+    * shape, and the one the SELECTION family consumes: doc count,
+    * token mass, and character mass per source, additive over disjoint
+    * batches (fold with [[mergeStats]], `keys = Seq("source"),
+    * counts = Seq("n_docs", "n_tokens", "char_mass")`, or
+    * [[graft.streaming.StatsMaintenance.start]] for the crash-safe
+    * loop; delete a day with [[retractStats]] — a source whose every
+    * count empties vanishes). Unlike the Heaps-law-sized vocabulary
+    * shapes this table is bounded at the SOURCE cardinality (tens to
+    * thousands of rows at 100 TB), so every downstream consumer —
+    * [[graft.operators.Sampling.mixPlanWith]]'s temperature shares and
+    * mix report, and any budget split keyed on source mass — reads a
+    * broadcast-sized table instead of rescanning the corpus.
+    * Oracle-checked as `x_mix_incremental` (fold 4 batches + retract
+    * one ≡ plain recompute over the surviving documents, through the
+    * whole mix-planning consumer).
+    *
+    * Scale shape per fold: one map-side-combined groupBy of the BATCH
+    * to source cardinality; the merge unions two source-sized tables.
+    * The corpus is never rescanned.
+    */
+  def sourceTallies(docs: DataFrame, sourceCol: String, textCol: String,
+      charsCol: String): DataFrame =
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(col(charsCol).cast("long")).as("char_mass"))
+
   def countMinSketch(docs: DataFrame, textCol: String, depth: Int,
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"countMinSketch($depth, $width)")

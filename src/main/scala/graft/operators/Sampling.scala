@@ -272,6 +272,44 @@ object Sampling {
           .as("copies_pm"))
   }
 
+  /** The whole mix-planning view from a MAINTAINED per-source tally
+    * table ([[CorpusStats.sourceTallies]] — the seventh shape) instead
+    * of a corpus scan: [[temperatureMixTable]]'s α = 0.5 share columns
+    * (identical arithmetic — integer-exact floor(sqrt) weights and DIV
+    * per-milles, so `mixPlanWith(sourceTallies(docs, …))` reproduces
+    * `temperatureMixTable(docs, …)` column-for-column) PLUS the mix
+    * report's token/char masses and exact token share. This is what
+    * makes the selection family incremental: the daily fold updates a
+    * source-cardinality table, and every re-plan of the mix reads THAT
+    * — the corpus is touched only by the fold's one batch-sized
+    * aggregate.
+    *
+    * Scale shape: the tally table is source-bounded, cross-joined with
+    * its own 1-row totals — constant cost regardless of corpus size.
+    *
+    * @param tallies (source, n_docs, n_tokens, char_mass)
+    * @return one row per source: (source, n_docs, n_tokens, char_mass,
+    *         token_share, sqrt_weight, natural_pm, target_pm,
+    *         copies_pm)
+    */
+  def mixPlanWith(tallies: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val weighted = tallies.withColumn("sqrt_weight",
+      floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = weighted.agg(sum(col("n_docs")).as("__n"),
+      sum(col("sqrt_weight")).as("__s"), sum(col("n_tokens")).as("__t"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("char_mass"),
+        round(col("n_tokens").cast("double") / col("__t").cast("double"), 6)
+          .as("token_share"),
+        col("sqrt_weight"),
+        expr("(1000 * n_docs) DIV __n").as("natural_pm"),
+        expr("(1000 * sqrt_weight) DIV __s").as("target_pm"),
+        expr("(1000 * sqrt_weight * __n) DIV (__s * n_docs)")
+          .as("copies_pm"))
+  }
+
   /** Hashed unigram+bigram feature buckets of a token array, with
     * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
     * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the

@@ -987,6 +987,32 @@ object ExtensionQueries {
         Tables.documents(s, dir), col("source"))
       .orderBy("source")
 
+  /** Incremental mix planning from the SEVENTH maintained shape
+    * ([[graft.operators.CorpusStats.sourceTallies]] — per-source
+    * doc/token/char tallies): four DISJOINT daily batches fold
+    * additively, then a mid-cycle retraction deletes day 1
+    * ([[graft.operators.CorpusStats.retractStats]]), and the whole
+    * mix-planning view ([[graft.operators.Sampling.mixPlanWith]]:
+    * temperature shares + token shares) is computed from the
+    * maintained source-bounded table alone. The oracle recomputes the
+    * plan over the SURVIVING documents in one pass — hash equality
+    * proves fold + retract ≡ recompute through the entire selection
+    * consumer, never rescanning the corpus (the rounds-11–14 proof
+    * shape, extended to the selection family).
+    */
+  private def xMixIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keys = Seq("source")
+    val counts = Seq("n_docs", "n_tokens", "char_mass")
+    val parts = (0 to 3).map(r =>
+      graft.operators.CorpusStats.sourceTallies(
+        docs.where(col("doc_id") % 4 === r), "source", "text", "n_chars"))
+    val folded = graft.operators.CorpusStats.mergeStats(parts, keys, counts)
+    val maintained = graft.operators.CorpusStats.retractStats(
+      folded, parts(1), keys, counts)
+    graft.operators.Sampling.mixPlanWith(maintained).orderBy("source")
+  }
+
   /** Token-budget selection
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): keep the
     * best-quality documents (stopword per-mille, the same signal as
@@ -1612,6 +1638,7 @@ object ExtensionQueries {
     "x_mix_weights" -> (xMixWeights _),
     "x_mix_report" -> (xMixReport _),
     "x_mix_temperature" -> (xMixTemperature _),
+    "x_mix_incremental" -> (xMixIncremental _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
@@ -2619,6 +2646,31 @@ object ExtensionQueries {
         |  (1000 * sqrt_weight) // t.s AS target_pm,
         |  (1000 * sqrt_weight * t.n) // (t.s * n_docs) AS copies_pm
         |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "x_mix_incremental" ->
+      """WITH a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens,
+        |    sum(n_chars) AS char_mass
+        |  FROM documents WHERE doc_id % 4 <> 1 GROUP BY 1),
+        |b AS (
+        |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(char_mass AS BIGINT) AS char_mass,
+        |    CAST(floor(sqrt(CAST(CAST(n_docs AS VARCHAR) AS DOUBLE))) AS BIGINT) AS sqrt_weight
+        |  FROM a),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |             CAST(sum(sqrt_weight) AS BIGINT) AS s,
+        |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM b)
+        |SELECT source, n_docs, n_tokens, char_mass,
+        |  round(CAST(CAST(n_tokens AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(t.tt AS VARCHAR) AS DOUBLE), 6) AS token_share,
+        |  sqrt_weight,
+        |  (1000 * n_docs) // t.n AS natural_pm,
+        |  (1000 * sqrt_weight) // t.s AS target_pm,
+        |  (1000 * sqrt_weight * t.n) // (t.s * n_docs) AS copies_pm
+        |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
 
     "x_select_budget" -> (tokCte +
       s""", pd AS (

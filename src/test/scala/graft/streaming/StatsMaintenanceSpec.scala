@@ -622,4 +622,63 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(want.nonEmpty, "degenerate fixture: no heavy tokens")
     assert(got == want, s"maintained composition drifted: $got vs $want")
   }
+
+  test("seventh shape end-to-end: per-source tallies fold through the " +
+    "store, a day retracts exactly (emptied sources vanish), and the " +
+    "mix-planning consumer reads the maintained table alone") {
+    val path = tmpDir()
+    val day1 = Seq(("wiki", "alpha beta gamma", 16L),
+      ("crawl", "x y", 3L), ("books", "one two three four", 18L))
+    val day2 = Seq(("wiki", "delta", 5L), ("crawl", "z", 1L))
+    val day3 = Seq(("crawl", "p q r s", 7L), ("forum", "hello there", 11L))
+    def tallies(rows: Seq[(String, String, Long)]): DataFrame =
+      CorpusStats.sourceTallies(rows.toDF("source", "text", "n_chars"),
+        "source", "text", "n_chars")
+    def fold(rows: Seq[(String, String, Long)], id: Long): Boolean =
+      StatsMaintenance.foldBatch(rows.toDF("source", "text", "n_chars"),
+        id, path, Seq("source"), Seq("n_docs", "n_tokens", "char_mass"),
+        b => CorpusStats.sourceTallies(b, "source", "text", "n_chars"))
+    def storedTallies(): Seq[(String, Long, Long, Long)] =
+      StatsMaintenance.readStats(spark, path).get
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def recompute(rows: Seq[(String, String, Long)])
+        : Seq[(String, Long, Long, Long)] =
+      tallies(rows).as[(String, Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
+    assert(fold(day1, 0L) && fold(day2, 1L) && fold(day3, 2L))
+    assert(!fold(day2, 1L), "replayed tally batch must skip")
+    assert(storedTallies() == recompute(day1 ++ day2 ++ day3))
+    // day 2 is deleted: wiki/crawl shrink, watermark holds
+    StatsMaintenance.retractBatch(spark, path, tallies(day2),
+      Seq("source"), Seq("n_docs", "n_tokens", "char_mass"))
+    assert(storedTallies() == recompute(day1 ++ day3),
+      "tally retraction drifted from the survivors' recompute")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    // a source emptied by retraction vanishes entirely
+    StatsMaintenance.retractBatch(spark, path,
+      tallies(Seq(day3(1))), Seq("source"),
+      Seq("n_docs", "n_tokens", "char_mass"))
+    assert(!storedTallies().exists(_._1 == "forum"),
+      "emptied source must vanish from the maintained table")
+    // the selection consumer runs off the maintained table alone and
+    // equals the plan computed from the survivors' recompute
+    val got = Sampling.mixPlanWith(
+        StatsMaintenance.readStats(spark, path).get)
+      .orderBy("source").collect().toSeq
+    val want = Sampling.mixPlanWith(
+        tallies(day1 ++ day3.take(1)))
+      .orderBy("source").collect().toSeq
+    assert(got == want, s"mix plan drifted: $got vs $want")
+    // and its temperature columns match the from-scratch operator
+    val direct = Sampling.temperatureMixTable(
+        (day1 ++ day3.take(1)).toDF("source", "text", "n_chars"),
+        col("source"))
+      .orderBy("source").collect().toSeq
+    val planTemp = Sampling.mixPlanWith(tallies(day1 ++ day3.take(1)))
+      .select("source", "n_docs", "sqrt_weight", "natural_pm",
+        "target_pm", "copies_pm")
+      .orderBy("source").collect().toSeq
+    assert(planTemp == direct,
+      "mixPlanWith temperature columns drifted from temperatureMixTable")
+  }
 }
