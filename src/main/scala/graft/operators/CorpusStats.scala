@@ -823,6 +823,20 @@ object CorpusStats {
     * map-side with the broadcast candidate list) but never shuffled,
     * and the batch pays one O(batch) aggregate.
     *
+    * REGIME BOUND, probed (`tools/HeavySliverProbe`,
+    * `bench_evidence/r15_heavy_sliver_probe.txt`): the sliver shape
+    * above holds while the candidate list broadcasts. An adversarially
+    * LOW threshold makes the candidate set approach the vocabulary —
+    * at a planted 22M-candidate point (every history token heavy) AQE
+    * re-plans every semi-join as an ordinary shuffled join, which
+    * completes EXACTLY with no hot key and no OOM (tokens are
+    * well-distributed keys; nothing concentrates per task, unlike the
+    * convicted round-14 window thinning). The cost shape just stops
+    * being sliver-priced: the history shuffles once, and a plain
+    * `tokenCounts(history ∪ docs)` recompute is ~4× cheaper at that
+    * point — if thresholds near `min(n)` of the vocabulary are the
+    * workload, skip the screen and recompute.
+    *
     * @param history maintained exact (token, n) over everything folded
     *                so far — [[tokenCounts]] partials merged
     * @param sketch  maintained [[countMinSketch]] over the SAME folded
