@@ -310,6 +310,87 @@ object Sampling {
           .as("copies_pm"))
   }
 
+  /** UniMax budget allocation (Chung, Garrette, Tan & Riesa, ICLR
+    * 2023: "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining") over a maintained
+    * per-source tally table ([[CorpusStats.sourceTallies]]): split a
+    * total token budget across sources as UNIFORMLY as possible,
+    * capping every source at `epochsPm` per-mille epochs of its own
+    * mass (UniMax's answer to temperature sampling's twin failure
+    * modes — dominant sources flattened without rare sources being
+    * repeated into memorization). The paper's sequential
+    * smallest-first loop is water-filling, computed here in closed
+    * form: sort sources ascending by cap, find the first rank k whose
+    * cap covers the uniform share of the budget remaining after the
+    * capped prefix — everything before k is capped at its own cap,
+    * everything from k gets the level.
+    *
+    * Deviation from the paper, on purpose (same adjudication as
+    * [[temperatureMixTable]]): all arithmetic is BIGINT — caps are
+    * `(epochsPm·n) DIV 1000`, the level is integer division of the
+    * remaining budget, and the division remainder r goes as +1 to the
+    * first r uncapped ranks in (cap, source) order, so the allocation
+    * sums to EXACTLY min(budget, Σcap), is engine-portable, and never
+    * exceeds any source's cap (if r > 0 then cap_k ≥ level+1, since
+    * cap_k·remaining ≥ level·remaining + r forces cap_k > level).
+    *
+    * Scale shape: the tally table is source-bounded, so the ordered
+    * windows and the 1-row k-join are constant cost regardless of
+    * corpus size — the corpus is never touched (the whole point of
+    * consuming the SEVENTH maintained shape). Overflow bound:
+    * cap·m and Σcap must stay under 2⁶³ — at 100 TB (~2.5·10¹³
+    * tokens) with 10⁴ sources that is ~5·10¹⁷, inside.
+    *
+    * @param tallies  (source, n_tokens, …) — extra columns ignored
+    * @param budget   total token budget to allocate (≥ 0)
+    * @param epochsPm per-source cap in per-mille epochs of its own
+    *                 mass (2000 = at most 2 passes over a source)
+    * @return one row per source: (source, n_tokens, cap_tokens,
+    *         alloc_tokens, alloc_epochs_pm); Σ alloc_tokens =
+    *         min(budget, Σ cap_tokens)
+    */
+  def unimaxAllocWith(tallies: org.apache.spark.sql.DataFrame,
+      budget: Long, epochsPm: Long = 1000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"unimaxAllocWith: budget=$budget")
+    require(epochsPm >= 1, s"unimaxAllocWith: epochsPm=$epochsPm")
+    import org.apache.spark.sql.expressions.Window
+    // source-bounded table: the single-partition ordered window is the
+    // documented bounded-stratum shape, not a corpus-scale sort
+    val byCap = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = tallies.select(col("source"), col("n_tokens"))
+      .withColumn("cap_tokens",
+        expr(s"($epochsPm * n_tokens) DIV 1000"))
+      .withColumn("__rn", row_number().over(byCap))
+      .withColumn("__pfx", coalesce(sum(col("cap_tokens")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__rem",
+        count(lit(1)).over(Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          - col("__rn") + 1L)
+    // the binding rank: first k where cap_k covers the uniform share
+    // of what remains after the capped prefix (NULL = budget exceeds
+    // total capacity, every source is capped)
+    val kRow = ranked
+      .where(col("cap_tokens") * col("__rem") >= lit(budget) - col("__pfx"))
+      .agg(min(col("__rn")).as("__k"))
+    val kInfo = ranked.select(col("__rn").as("__k2"),
+      col("__pfx").as("__pk"), col("__rem").as("__rk"))
+    ranked.crossJoin(broadcast(kRow))
+      .join(broadcast(kInfo), col("__k") === col("__k2"), "left")
+      .withColumn("alloc_tokens",
+        when(col("__k").isNull || col("__rn") < col("__k"),
+          col("cap_tokens"))
+        .otherwise(expr(s"($budget - __pk) DIV __rk") +
+          when(col("__rn") - col("__k") < expr(s"($budget - __pk) % __rk"),
+            1L).otherwise(0L)))
+      .withColumn("alloc_epochs_pm",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(1000 * alloc_tokens) DIV n_tokens")))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("alloc_epochs_pm"))
+  }
+
   /** Hashed unigram+bigram feature buckets of a token array, with
     * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
     * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the

@@ -1013,6 +1013,31 @@ object ExtensionQueries {
     graft.operators.Sampling.mixPlanWith(maintained).orderBy("source")
   }
 
+  /** UniMax budget allocation
+    * ([[graft.operators.Sampling.unimaxAllocWith]], Chung et al. ICLR
+    * 2023) from the SEVENTH maintained shape: water-fill 90% of the
+    * corpus token mass across sources, each capped at one epoch of
+    * its own mass — small sources bind at their cap, large ones share
+    * the level, and the integer remainder lands deterministically on
+    * the first uncapped ranks. The oracle recomputes the closed-form
+    * water-filling with window functions over a one-pass tally —
+    * hash equality proves the capped prefix, the binding rank, the
+    * level division AND the remainder placement, integer-exactly.
+    */
+  private def xMixUnimax(s: SparkSession, dir: String): DataFrame = {
+    val tallies = graft.operators.CorpusStats.sourceTallies(
+        Tables.documents(s, dir), "source", "text", "n_chars")
+      // source-bounded; materialized because the allocator references
+      // it three times (ranked, binding rank, k-row join) and a lazy
+      // plan would re-run the corpus aggregate per reference
+      .localCheckpoint(true)
+    val total = tallies.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .collect()(0).getLong(0)
+    graft.operators.Sampling.unimaxAllocWith(tallies,
+        budget = total * 9L / 10L, epochsPm = 1000L)
+      .orderBy("source")
+  }
+
   /** Token-budget selection
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): keep the
     * best-quality documents (stopword per-mille, the same signal as
@@ -1639,6 +1664,7 @@ object ExtensionQueries {
     "x_mix_report" -> (xMixReport _),
     "x_mix_temperature" -> (xMixTemperature _),
     "x_mix_incremental" -> (xMixIncremental _),
+    "x_mix_unimax" -> (xMixUnimax _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
@@ -2671,6 +2697,42 @@ object ExtensionQueries {
         |  (1000 * sqrt_weight) // t.s AS target_pm,
         |  (1000 * sqrt_weight * t.n) // (t.s * n_docs) AS copies_pm
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "x_mix_unimax" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |bdg AS (SELECT CAST(9 * sum(n_tokens) // 10 AS BIGINT) AS b FROM a),
+        |r AS (SELECT source, n_tokens,
+        |        CAST((1000 * n_tokens) // 1000 AS BIGINT) AS cap FROM a),
+        |o AS (SELECT source, n_tokens, cap,
+        |        row_number() OVER (ORDER BY cap, source) AS rn,
+        |        CAST(COALESCE(sum(cap) OVER (ORDER BY cap, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+        |        count(*) OVER () AS m
+        |      FROM r),
+        |k AS (SELECT min(rn) AS k FROM o, bdg
+        |      WHERE cap * (m - rn + 1) >= b - pfx),
+        |kk AS (SELECT o.pfx AS pk, o.m - o.rn + 1 AS rk
+        |       FROM o, k WHERE o.rn = k.k),
+        |f AS (SELECT source, n_tokens, cap,
+        |        CASE WHEN (SELECT k FROM k) IS NULL
+        |               OR rn < (SELECT k FROM k) THEN cap
+        |        ELSE ((SELECT b FROM bdg) - (SELECT pk FROM kk))
+        |               // (SELECT rk FROM kk)
+        |          + CASE WHEN rn - (SELECT k FROM k) <
+        |              ((SELECT b FROM bdg) - (SELECT pk FROM kk))
+        |                % (SELECT rk FROM kk)
+        |            THEN 1 ELSE 0 END
+        |        END AS alloc
+        |      FROM o)
+        |SELECT source, n_tokens, cap AS cap_tokens,
+        |  CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (1000 * alloc) // n_tokens END AS BIGINT) AS alloc_epochs_pm
+        |FROM f ORDER BY source""".stripMargin,
 
     "x_select_budget" -> (tokCte +
       s""", pd AS (

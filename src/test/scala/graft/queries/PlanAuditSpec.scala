@@ -559,4 +559,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"counts must partial-aggregate map-side:\n$p")
   }
+
+  test("mix planning from maintained tallies: the corpus aggregate " +
+      "partial-aggregates map-side; totals join via broadcast; no " +
+      "corpus-scale window or cartesian product") {
+    val p = plan("x_mix_incremental")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"sourceTallies must partial-aggregate before the exchange:\n$p")
+    // the 1-row totals attach via broadcast (the accepted 1-row
+    // crossJoin pattern), never a shuffled cartesian product
+    assert(p.contains("Broadcast"), s"totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    // the consumer runs entirely on the source-bounded tally - any
+    // Window here would be corpus-scale and a regression
+    assert(!p.contains("Window "),
+      s"mix planning must not window over the corpus:\n$p")
+  }
+
+  test("unimax water-filling touches the corpus once: one partial-agged " +
+      "tally pass, then source-bounded windows and 1-row broadcasts") {
+    val q = graft.SparkEntry.queries("x_mix_unimax")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // everything downstream of the tally runs on the materialized
+    // source-bounded table: the corpus parquet scan must appear in
+    // NO part of the allocator's own plan (the tally is checkpointed
+    // precisely so the three references cannot re-scan the corpus)
+    assert(!p.contains("FileScan"),
+      s"allocator plan must read the checkpointed tally, not parquet:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+  }
 }
