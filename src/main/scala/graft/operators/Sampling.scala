@@ -391,6 +391,58 @@ object Sampling {
         col("alloc_tokens"), col("alloc_epochs_pm"))
   }
 
+  /** Per-mille quality-score histogram — the EIGHTH maintained shape:
+    * the corpus's quality distribution as (quality_pm, n_docs), which
+    * is EXACT (not a sketch) because the engine's quality signals are
+    * integer per-milles by design (stopword ratio, dict ratio,
+    * [[scoreKeep]]'s input — all quantized to 0..1000 for
+    * engine-portability), so the histogram has at most 1001 buckets
+    * no matter the corpus size. Additive over disjoint batches (fold
+    * with [[CorpusStats.mergeStats]], `keys = Seq("quality_pm"),
+    * counts = Seq("n_docs")`; delete a day with
+    * [[CorpusStats.retractStats]]). What it buys: corpus-RELATIVE
+    * selection ("keep the top 25% by quality") without rescanning —
+    * the threshold comes from the maintained 1001-row table
+    * ([[quantileThresholdWith]]) and the day's docs classify map-only
+    * against it.
+    */
+  def qualityHistogram(docs: org.apache.spark.sql.DataFrame,
+      qualityPm: Column): org.apache.spark.sql.DataFrame =
+    docs.groupBy(qualityPm.cast("long").as("quality_pm"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus-relative quality threshold from a maintained
+    * [[qualityHistogram]]: the LARGEST per-mille score q* such that at
+    * least `⌈keepPm·N/1000⌉` documents score ≥ q* — so
+    * `quality_pm ≥ q*` keeps the top keepPm per-mille of the corpus
+    * (ties at the threshold bucket inflate the kept set; integer rule,
+    * deterministic, engine-portable). keepPm = 0 (or an empty
+    * histogram) yields threshold 1001 — nothing passes.
+    *
+    * Scale shape: a descending cumulative sum over the ≤1001-row
+    * histogram (the documented bounded-stratum window) and one 1-row
+    * broadcast — constant cost regardless of corpus size.
+    *
+    * @return ONE row: (threshold_pm, target_docs, total_docs)
+    */
+  def quantileThresholdWith(hist: org.apache.spark.sql.DataFrame,
+      keepPm: Long): org.apache.spark.sql.DataFrame = {
+    require(keepPm >= 0 && keepPm <= 1000,
+      s"quantileThresholdWith: keepPm=$keepPm")
+    import org.apache.spark.sql.expressions.Window
+    val byQualityDesc = Window.orderBy(col("quality_pm").desc)
+    val tot = hist.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__total"))
+    val thr = hist.withColumn("__cum", sum(col("n_docs")).over(byQualityDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("__target", expr(s"($keepPm * __total + 999) DIV 1000"))
+      .where(col("__target") > 0 && col("__cum") >= col("__target"))
+      .agg(coalesce(max(col("quality_pm")), lit(1001L)).as("threshold_pm"))
+    thr.crossJoin(broadcast(tot))
+      .select(col("threshold_pm"),
+        expr(s"($keepPm * __total + 999) DIV 1000").as("target_docs"),
+        col("__total").as("total_docs"))
+  }
+
   /** Hashed unigram+bigram feature buckets of a token array, with
     * multiplicity — DSIR's fixed-size bag-of-hashed-ngrams
     * representation. Portable hash (md5 prefix, [[Md5Prefix60]]); the

@@ -1038,6 +1038,44 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Corpus-relative quantile selection from the EIGHTH maintained
+    * shape ([[graft.operators.Sampling.qualityHistogram]] — the exact
+    * per-mille quality distribution, ≤1001 buckets at any corpus
+    * size): four daily batches fold the histogram additively, a
+    * mid-cycle retraction deletes day 1, the top-25% threshold comes
+    * from the maintained table alone
+    * ([[graft.operators.Sampling.quantileThresholdWith]]), and every
+    * surviving document classifies map-only against it. The oracle
+    * recomputes distribution, ceil-target, threshold, and
+    * classification over the surviving documents in one pass — hash
+    * equality proves fold + retract ≡ recompute through the whole
+    * corpus-relative selection path ("keep the best 25% of everything
+    * we have ever kept" without rescanning history).
+    */
+  private def xSelectQuantileIncremental(s: SparkSession,
+      dir: String): DataFrame = {
+    val q = Tables.documents(s, dir)
+      .withColumn("__st",
+        graft.expressions.TokenStats.stats(col("text"), T.EnWords))
+      .withColumn("quality_pm",
+        when(col("__st.n_tokens") === 0, lit(0L)).otherwise(
+          floor(col("__st.n_dict").cast("double") * 1000.0 /
+            col("__st.n_tokens").cast("double")).cast("long")))
+    val parts = (0 to 3).map(r =>
+      graft.operators.Sampling.qualityHistogram(
+        q.where(col("doc_id") % 4 === r), col("quality_pm")))
+    val hist = graft.operators.CorpusStats.retractStats(
+      graft.operators.CorpusStats.mergeStats(parts,
+        Seq("quality_pm"), Seq("n_docs")),
+      parts(1), Seq("quality_pm"), Seq("n_docs"))
+    val thr = graft.operators.Sampling.quantileThresholdWith(hist, 250L)
+    q.where(col("doc_id") % 4 =!= 1)
+      .crossJoin(broadcast(thr.select(col("threshold_pm"))))
+      .select(col("doc_id"), col("quality_pm"), col("threshold_pm"),
+        (col("quality_pm") >= col("threshold_pm")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget selection
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): keep the
     * best-quality documents (stopword per-mille, the same signal as
@@ -1665,6 +1703,7 @@ object ExtensionQueries {
     "x_mix_temperature" -> (xMixTemperature _),
     "x_mix_incremental" -> (xMixIncremental _),
     "x_mix_unimax" -> (xMixUnimax _),
+    "x_select_quantile_incremental" -> (xSelectQuantileIncremental _),
     "x_bpe_pairs" -> (xBpePairs _),
     "x_bpe_tokens" -> (xBpeTokens _),
     "x_bpe_ids" -> (xBpeIds _),
@@ -2733,6 +2772,24 @@ object ExtensionQueries {
         |  CAST(CASE WHEN n_tokens = 0 THEN 0
         |       ELSE (1000 * alloc) // n_tokens END AS BIGINT) AS alloc_epochs_pm
         |FROM f ORDER BY source""".stripMargin,
+
+    "x_select_quantile_incremental" -> (tokCte +
+      s""", d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE floor(CAST(CAST(len(list_filter(toks, t -> list_contains($enListSql, t))) AS VARCHAR) AS DOUBLE)
+         |        * 1000.0 / CAST(CAST(len(toks) AS VARCHAR) AS DOUBLE)) END AS BIGINT) AS quality_pm
+         |  FROM tk WHERE doc_id % 4 <> 1),
+         |h AS (SELECT quality_pm, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST((250 * sum(n) + 999) // 1000 AS BIGINT) AS target FROM h),
+         |c AS (SELECT quality_pm,
+         |        CAST(sum(n) OVER (ORDER BY quality_pm DESC) AS BIGINT) AS cum
+         |      FROM h),
+         |thr AS (SELECT CAST(COALESCE(max(quality_pm), 1001) AS BIGINT) AS th
+         |        FROM c, t WHERE t.target > 0 AND c.cum >= t.target)
+         |SELECT d.doc_id, d.quality_pm, thr.th AS threshold_pm,
+         |  d.quality_pm >= thr.th AS kept
+         |FROM d CROSS JOIN thr ORDER BY doc_id""".stripMargin),
 
     "x_select_budget" -> (tokCte +
       s""", pd AS (

@@ -106,4 +106,53 @@ class MixPlanSpec extends SparkSpec {
     assert(got("mid") == ((20000L, 20000L, 2000L)), got.toString)
     assert(got("crawl") == ((2000000L, 479800L, 479L)), got.toString)
   }
+
+  test("quantile threshold from the quality histogram: ceil target, " +
+    "tie inflation, and the 0/1000 edges") {
+    // ten docs, quality 0, 100, ..., 900 - one per bucket
+    val docs = (0 until 10).map(i => (i.toLong, i.toLong * 100))
+      .toDF("doc_id", "q")
+    val hist = Sampling.qualityHistogram(docs, col("q"))
+    def thr(keep: Long): (Long, Long, Long) =
+      Sampling.quantileThresholdWith(hist, keep)
+        .as[(Long, Long, Long)].collect()(0)
+    // top 25% of 10 docs: target ceil(2.5) = 3 -> q* = 700 (900, 800,
+    // 700 pass)
+    assert(thr(250) == ((700L, 3L, 10L)), thr(250).toString)
+    assert(thr(1) == ((900L, 1L, 10L)))     // at least one doc
+    assert(thr(1000) == ((0L, 10L, 10L)))   // everything passes
+    assert(thr(0) == ((1001L, 0L, 10L)))    // nothing passes
+    // ties at the threshold bucket inflate the kept set: 5 docs at
+    // 900, 5 at 500; keep 30% -> target 3, but the 900-bucket alone
+    // has 5 -> threshold 900 keeps all five
+    val tied = ((0 until 5).map(i => (i.toLong, 900L)) ++
+      (5 until 10).map(i => (i.toLong, 500L))).toDF("doc_id", "q")
+    val tiedThr = Sampling.quantileThresholdWith(
+        Sampling.qualityHistogram(tied, col("q")), 300L)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(tiedThr == ((900L, 3L, 10L)), tiedThr.toString)
+    // empty histogram: nothing passes, totals zero
+    val empty = Sampling.quantileThresholdWith(
+        Sampling.qualityHistogram(docs.where(col("q") < 0), col("q")), 500L)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(empty == ((1001L, 0L, 0L)), empty.toString)
+  }
+
+  test("the quality histogram is additive and retractable (eighth " +
+    "maintained shape contract)") {
+    val all = (0 until 40).map(i => (i.toLong, (i % 7).toLong * 150))
+      .toDF("doc_id", "q")
+    val parts = (0 to 3).map(r =>
+      Sampling.qualityHistogram(all.where(col("doc_id") % 4 === r),
+        col("q")))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    val merged = CorpusStats.mergeStats(parts,
+      Seq("quality_pm"), Seq("n_docs"))
+    assert(m(merged) == m(Sampling.qualityHistogram(all, col("q"))))
+    val retracted = CorpusStats.retractStats(merged, parts(1),
+      Seq("quality_pm"), Seq("n_docs"))
+    assert(m(retracted) == m(Sampling.qualityHistogram(
+      all.where(col("doc_id") % 4 =!= 1), col("q"))))
+  }
 }
