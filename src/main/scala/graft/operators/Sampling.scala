@@ -407,9 +407,24 @@ object Sampling {
     * against it.
     */
   def qualityHistogram(docs: org.apache.spark.sql.DataFrame,
-      qualityPm: Column): org.apache.spark.sql.DataFrame =
-    docs.groupBy(qualityPm.cast("long").as("quality_pm"))
+      qualityPm: Column): org.apache.spark.sql.DataFrame = {
+    // the 0..1000 per-mille contract is ENFORCED, not assumed: a raw
+    // (unquantized) score would unbound the "at most 1001 buckets"
+    // claim this shape's constant-cost consumers depend on, and a
+    // value ≥ 1001 would make [[quantileThresholdWith]]'s
+    // nothing-passes sentinel (1001) satisfiable. raise_error rides
+    // the key column so a violation fails the fold loudly instead of
+    // shipping a corrupt histogram (same style as
+    // [[CorpusStats.retractStats]]'s negative-count guard).
+    val pm = qualityPm.cast("long")
+    val checked = when(pm.isNull || pm < 0 || pm > 1000,
+        raise_error(concat(lit("qualityHistogram: quality_pm must be an " +
+          "integer per-mille in [0, 1000], got "),
+          coalesce(pm.cast("string"), lit("NULL")))))
+      .otherwise(pm)
+    docs.groupBy(checked.as("quality_pm"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Corpus-relative quality threshold from a maintained
     * [[qualityHistogram]]: the LARGEST per-mille score q* such that at

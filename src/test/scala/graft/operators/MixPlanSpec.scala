@@ -138,6 +138,29 @@ class MixPlanSpec extends SparkSpec {
     assert(empty == ((1001L, 0L, 0L)), empty.toString)
   }
 
+  test("the per-mille contract is ENFORCED: a raw (unquantized) score " +
+    "outside [0, 1000] fails the histogram loudly instead of unbounding " +
+    "the 1001-bucket claim or satisfying the nothing-passes sentinel") {
+    def hist(qs: Seq[Long]) = Sampling.qualityHistogram(
+      qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("doc_id", "q"), col("q"))
+    // 1001 would make quantileThresholdWith's nothing-passes sentinel
+    // satisfiable; a raw score (e.g. 87432) would unbound the buckets
+    for (bad <- Seq(Seq(500L, 1001L), Seq(-1L, 3L), Seq(87432L))) {
+      val e = intercept[Exception] { hist(bad).collect() }
+      assert(e.getMessage.contains("per-mille"),
+        s"expected the contract error for $bad, got: ${e.getMessage}")
+    }
+    // NULL scores are a contract violation too, not a silent bucket
+    val withNull = Seq((0L, Some(500L)), (1L, None)).toDF("doc_id", "q")
+    val eNull = intercept[Exception] {
+      Sampling.qualityHistogram(withNull, col("q")).collect()
+    }
+    assert(eNull.getMessage.contains("per-mille"), eNull.getMessage)
+    // the full legal range still folds
+    assert(hist((0L to 1000L)).count() == 1001L)
+  }
+
   test("the quality histogram is additive and retractable (eighth " +
     "maintained shape contract)") {
     val all = (0 until 40).map(i => (i.toLong, (i % 7).toLong * 150))
