@@ -76,10 +76,12 @@ import graft.operators.CorpusStats
   * CLOSED without a compare-and-swap primitive generic filesystems
   * don't have (Delta's log-entry-create trick buys it only by making
   * data files immutable-append, a different store design), but a race
-  * landing inside it is now detected, not merely documented: the
-  * operator is told both committed versions and repairs by
-  * retracting/refolding one delta. Under the documented single-writer
-  * operation none of this triggers at all.
+  * landing inside it is now detected AND classified, not merely
+  * documented: each committed version's marker records its writer
+  * nonce and base ref ([[Marker]] format v1), so the detector tells
+  * the operator whether a conflicting delta is SHADOWED (sibling —
+  * refold it) or ABSORBED (descendant — no data lost). Under the
+  * documented single-writer operation none of this triggers at all.
   *
   * Works for all four maintained shapes through one code path (the
   * generic [[graft.operators.CorpusStats.mergeStats]]):
@@ -107,16 +109,31 @@ object StatsMaintenance {
 
   /** Raised by the POST-COMMIT foreign-commit detector — and ONLY by
     * it. CRITICAL RETRY SEMANTICS: when a publish throws THIS type,
-    * the publish's own version IS COMMITTED (its marker landed before
-    * the detector ran, and the detector re-verified the marker still
-    * parses). A retry loop that treats every publish exception as
+    * the publish's own version IS COMMITTED — either its marker still
+    * parses with its own nonce, or a foreign committed marker RECORDS
+    * it as its base (the foreign writer witnessed the commit, derived
+    * from it, and pruned the directory under its retention). A retry
+    * loop that treats every publish exception as
     * "not committed" and replays the fold would apply the
     * same delta twice — the exact double-apply the detector exists to
-    * flag. Treat this exception as NON-RETRYABLE: the store holds BOTH
-    * committed deltas and needs operator repair, not a replay. Every
+    * flag. Treat this exception as NON-RETRYABLE: the store needs
+    * operator attention, not a replay. Every
     * OTHER publish failure (lost-update abort, reservation clash,
     * pruned-while-torn, IO error before the marker) leaves this
     * publish uncommitted and torn-invisible, and MAY be retried.
+    *
+    * THE MESSAGE CLASSIFIES each committed version against the VISIBLE
+    * LINEAGE (the base-ref chain walked down from the highest
+    * committed version, nonce-verified step by step):
+    *  - "absorbed into the visible lineage" / "no data lost": a
+    *    DESCENDANT topology — the other writer derived from this
+    *    commit, so this delta is IN the table readers see; no data
+    *    repair is needed (the contract violation still wants fixing).
+    *  - "SHADOWED": a SIBLING topology — that version's delta is
+    *    absent from the visible table; recompute its partial and
+    *    [[refoldBatch]] it.
+    *  - "lineage unverifiable": a legacy (v0) marker or a pruned
+    *    intermediate broke the walk — verify by hand before repair.
     *
     * REPAIR RUNBOOK (tested: `StatsMaintenanceSpec` "both-commit"
     * drills + `tools/ConflictRepairProbe`): list the committed
@@ -139,14 +156,85 @@ object StatsMaintenance {
     extends IllegalStateException(msg)
 
   /** Commit marker created inside a version directory AFTER its
-    * parquet write completes; its PARSABLE content (the batch
-    * watermark at publish time) defines "committed" — a present but
-    * empty/garbled marker is a torn version, because creation and
-    * content write are separate steps on stores without atomic PUT.
-    * Our own file rather than Spark's `_SUCCESS`, which can be
-    * disabled by committer configuration.
+    * parquet write completes; its PARSABLE content defines "committed"
+    * — a present but empty/garbled marker is a torn version, because
+    * creation and content write are separate steps on stores without
+    * atomic PUT. Our own file rather than Spark's `_SUCCESS`, which
+    * can be disabled by committer configuration.
+    *
+    * MARKER FORMAT, version-gated:
+    *  - v0 (legacy): the bare batch watermark as a decimal long —
+    *    still read (old stores stay usable in place), never written.
+    *  - v1: one line `v1 wm=<long> nonce=<uuid> base=<n>:<nonce>|none`
+    *    — the WRITER NONCE makes ownership checkable (a re-reserved
+    *    version NUMBER with the same watermark can no longer
+    *    impersonate this publish's commit), and the BASE REF records
+    *    which committed version (number AND nonce) the table was
+    *    derived from, so a post-commit conflict can be classified as
+    *    sibling (delta shadowed — repair) vs descendant (delta
+    *    absorbed — no data lost). A v1 base built on a legacy-marker
+    *    version records `base=<n>:legacy` (number witnessed, nonce
+    *    unverifiable).
+    *
+    * MIGRATION IS ONE-WAY: v1 markers read as torn to pre-v1 readers,
+    * whose next publish would PRUNE committed v1 versions — retire all
+    * pre-v1 binaries against a store before the first v1 publish (the
+    * standard format-version upgrade gate).
     */
   val Marker = "_GRAFT_COMMITTED"
+
+  /** Parsed commit-marker content. [[LegacyMarker]] = format v0
+    * (watermark only, no ownership or lineage info); [[MarkerV1]]
+    * carries the writer nonce and the base ref — see [[Marker]].
+    */
+  private[graft] sealed trait MarkerInfo { def watermark: Long }
+  private[graft] final case class LegacyMarker(watermark: Long)
+    extends MarkerInfo
+  private[graft] final case class MarkerV1(watermark: Long, nonce: String,
+      base: Option[(Long, String)]) extends MarkerInfo
+
+  /** Base-ref nonce recorded when the base version carries a legacy
+    * (v0) marker: the base's NUMBER is witnessed, its nonce is not.
+    */
+  private val LegacyNonce = "legacy"
+
+  private[graft] def parseMarker(content: String): Option[MarkerInfo] = {
+    val t = content.trim
+    t.toLongOption match {
+      case Some(wm) => Some(LegacyMarker(wm))
+      case None =>
+        val fields = t.split("\\s+").toSeq
+        if (!fields.headOption.contains("v1")) None
+        else {
+          val kv = fields.tail.flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }).toMap
+          for {
+            wm <- kv.get("wm").flatMap(_.toLongOption)
+            nonce <- kv.get("nonce").filter(_.nonEmpty)
+            base <- kv.get("base").flatMap {
+              case "none" => Some(None)
+              case s => s.split(":", 2) match {
+                case Array(n, bn) if n.toLongOption.isDefined && bn.nonEmpty
+                  => Some(Some((n.toLong, bn)))
+                case _ => None
+              }
+            }
+          } yield MarkerV1(wm, nonce, base)
+        }
+    }
+  }
+
+  private def renderMarker(watermark: Long, nonce: String,
+      base: Option[(Long, MarkerInfo)]): String = {
+    val baseField = base match {
+      case None => "none"
+      case Some((n, m: MarkerV1)) => s"$n:${m.nonce}"
+      case Some((n, _: LegacyMarker)) => s"$n:$LegacyNonce"
+    }
+    s"v1 wm=$watermark nonce=$nonce base=$baseField"
+  }
 
   /** Reservation file created EXCLUSIVELY (overwrite=false) to mint a
     * version directory before anything is written into it — two
@@ -168,11 +256,11 @@ object StatsMaintenance {
   private def fileSystem(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (version, dir, committed watermark) for committed versions;
-    * watermark None for torn ones.
+  /** (version, dir, parsed marker) for all version directories; marker
+    * None for torn ones.
     */
   private def versions(spark: SparkSession, path: String)
-      : Seq[(Long, Path, Option[Long])] = {
+      : Seq[(Long, Path, Option[MarkerInfo])] = {
     val root = new Path(path)
     val fs = fileSystem(spark, path)
     if (!fs.exists(root)) Seq.empty
@@ -184,7 +272,7 @@ object StatsMaintenance {
         .map(n => (n, p)))
       .map { case (n, p) =>
         val m = new Path(p, Marker)
-        val wm = if (!fs.exists(m)) None
+        val mi = if (!fs.exists(m)) None
         else {
           val in = fs.open(m)
           val content =
@@ -198,15 +286,15 @@ object StatsMaintenance {
           // committed the batch's offsets, so re-delivery refolds.
           // (toLong here once bricked the store with
           // NumberFormatException on every subsequent read.)
-          content.trim.toLongOption
+          parseMarker(content)
         }
-        (n, p, wm)
+        (n, p, mi)
       }
   }
 
   private def current(spark: SparkSession, path: String)
-      : Option[(Long, Path, Long)] =
-    versions(spark, path).collect { case (n, p, Some(wm)) => (n, p, wm) }
+      : Option[(Long, Path, MarkerInfo)] =
+    versions(spark, path).collect { case (n, p, Some(mi)) => (n, p, mi) }
       .sortBy(_._1).lastOption
 
   /** The persisted watermark: the highest micro-batch id whose fold is
@@ -214,7 +302,7 @@ object StatsMaintenance {
     * this has already been absorbed — re-delivery must be skipped.
     */
   def lastFolded(spark: SparkSession, path: String): Option[Long] =
-    current(spark, path).map(_._3).filter(_ >= 0)
+    current(spark, path).map(_._3.watermark).filter(_ >= 0)
 
   /** The current maintained table — the highest COMMITTED version; a
     * torn directory from a crashed write is never visible here. None
@@ -276,16 +364,78 @@ object StatsMaintenance {
     * the marker landed — the version IS committed — so it must NOT be
     * replayed; see that type's scaladoc.
     *
-    * @param base the committed version `table` was derived from (None
-    *             when the store was empty); publishing against any
-    *             other newest-committed version is a lost update and
-    *             fails loudly
+    * @param base the committed version (number + parsed marker)
+    *             `table` was derived from (None when the store was
+    *             empty); publishing against any other newest-committed
+    *             version is a lost update and fails loudly. The base's
+    *             number and nonce are recorded in the new marker — the
+    *             lineage information the post-commit classifier reads.
     */
+  /** The VISIBLE LINEAGE of a committed-version listing: walk base
+    * refs down from the highest committed version, verifying each
+    * step's nonce against the listed marker. Returns
+    * `(onLineage, complete)` — onLineage maps every version number
+    * PROVEN on the visible lineage to its witnessed nonce (None when
+    * the ref was `legacy`, i.e. number witnessed but nonce
+    * unverifiable); complete is true iff the walk reached the
+    * empty-store root (`base=none`), so versions NOT in onLineage are
+    * definitely shadowed rather than merely unverifiable (legacy
+    * marker, pruned intermediate, or a re-used version slot all end
+    * the walk incomplete).
+    */
+  private[graft] def visibleLineage(committed: Map[Long, MarkerInfo])
+      : (Map[Long, Option[String]], Boolean) = {
+    if (committed.isEmpty) return (Map.empty, false)
+    val top = committed.keys.max
+    var on = Map[Long, Option[String]](top -> (committed(top) match {
+      case m: MarkerV1 => Some(m.nonce)
+      case _: LegacyMarker => None
+    }))
+    var cur = top
+    while (true) {
+      committed.get(cur) match {
+        case Some(MarkerV1(_, _, Some((bn, bnonce)))) =>
+          val verified = bnonce != LegacyNonce
+          on += bn -> (if (verified) Some(bnonce) else None)
+          committed.get(bn) match {
+            case Some(m: MarkerV1) if verified && m.nonce == bnonce =>
+              cur = bn // listed, nonce matches: keep walking
+            case _ => return (on, false) // pruned/legacy/re-used slot
+          }
+        case Some(MarkerV1(_, _, None)) => return (on, true) // root
+        case _ => return (on, false) // legacy marker: no lineage info
+      }
+    }
+    (on, false) // unreachable
+  }
+
+  /** One version's repair classification against the visible lineage —
+    * the [[PostCommitConflictException]] message builder.
+    */
+  private def classify(n: Long, committed: Map[Long, MarkerInfo],
+      onLineage: Map[Long, Option[String]], complete: Boolean): String = {
+    val nonceOf = committed.get(n).collect { case m: MarkerV1 => m.nonce }
+    if (committed.nonEmpty && n == committed.keys.max) "VISIBLE"
+    else onLineage.get(n) match {
+      case Some(Some(x)) if nonceOf.contains(x) =>
+        "absorbed into the visible lineage - no repair"
+      case Some(None) if nonceOf.isEmpty =>
+        "witnessed by number only (legacy) - verify before repair"
+      case _ if complete =>
+        "SHADOWED - repair: refoldBatch its delta"
+      case _ =>
+        "lineage unverifiable (legacy marker or pruned intermediate) - " +
+          "verify before repair"
+    }
+  }
+
   private def publish(spark: SparkSession, path: String, table: DataFrame,
-      watermark: Long, retain: Int, base: Option[Long]): Unit = {
+      watermark: Long, retain: Int, base: Option[(Long, MarkerInfo)])
+      : Unit = {
     require(retain >= 1, s"retain=$retain")
     val fs = fileSystem(spark, path)
     val existing = versions(spark, path)
+    val baseVersion = base.map(_._1)
     val (next, versionDir) =
       reserve(fs, path, existing.map(_._1).maxOption.getOrElse(-1L) + 1L)
     testCrashPoint("post-reserve")
@@ -295,18 +445,19 @@ object StatsMaintenance {
     testCrashPoint("post-parquet")
     val now = versions(spark, path)
     val committedNow = now.collect { case (n, _, Some(_)) => n }
-    if (committedNow.maxOption != base) {
+    if (committedNow.maxOption != baseVersion) {
       fs.delete(versionDir, true)
       throw new IllegalStateException(
         s"concurrent writer on stats store $path: derived from " +
-          s"base version $base but newest committed is now " +
+          s"base version $baseVersion but newest committed is now " +
           s"${committedNow.maxOption} - this publish is a lost update " +
           "and was aborted (single-writer contract violated)")
     }
+    val nonce = java.util.UUID.randomUUID().toString
     val out = fs.create(new Path(versionDir, Marker), false)
     try {
       testCrashPoint("marker-open")
-      out.write(watermark.toString.getBytes("UTF-8"))
+      out.write(renderMarker(watermark, nonce, base).getBytes("UTF-8"))
     } finally out.close()
     testCrashPoint("post-marker")
     // POST-COMMIT lost-update detector: the re-validate above closes
@@ -314,44 +465,89 @@ object StatsMaintenance {
     // landing. A writer that committed INSIDE that window is invisible
     // to the guard but visible now — one cheap re-list after our own
     // commit point converts the residual race from documented to
-    // DETECTED. Nothing is deleted (both versions are committed; which
-    // table readers see depends on the version numbers, and destroying
-    // either could discard the winner) — the store is flagged for
-    // operator repair: retract/refold one of the two deltas.
+    // DETECTED, and the v1 markers' base refs let it CLASSIFY the
+    // conflict (sibling = a delta is shadowed and needs repair;
+    // descendant = the foreign writer derived FROM this commit and no
+    // data was lost). Nothing committed is ever deleted here.
     val after = versions(spark, path)
-    // SELF check first: a foreign writer that listed our version while
-    // its marker was still empty judged it TORN and pruned the whole
-    // directory before our content landed (our open stream kept
-    // writing the unlinked file, so the close above still succeeded).
-    // In that interleave our delta did NOT commit — raising the
-    // post-commit type here would tell the operator a lie with repair
-    // consequences (they would retract a delta that never landed).
-    // This is an ordinary lost update: retryable.
-    val selfCommitted = after.exists {
-      case (n, _, Some(wm)) => n == next && wm == watermark
+    val committedAfter =
+      after.collect { case (n, _, Some(mi)) => n -> mi }.toMap
+    // SELF check first, BY NONCE (a re-reserved version number carrying
+    // the same watermark can no longer impersonate this commit): a
+    // foreign writer that listed our version while its marker was still
+    // empty judged it TORN and pruned the whole directory before our
+    // content landed (our open stream kept writing the unlinked file,
+    // so the close above still succeeded). In that interleave our delta
+    // did NOT commit — raising the post-commit type here would tell the
+    // operator a lie with repair consequences (they would retract a
+    // delta that never landed). This is an ordinary lost update:
+    // retryable. EXCEPTION: if a committed marker RECORDS our
+    // (version, nonce) as its base, a foreign writer witnessed our
+    // commit and derived from it before pruning our directory under its
+    // retention — our delta IS committed (absorbed downstream), and a
+    // retry would double-apply: that case raises the post-commit type.
+    val selfCommitted = committedAfter.get(next) match {
+      case Some(m: MarkerV1) => m.nonce == nonce
       case _ => false
     }
     if (!selfCommitted) {
-      fs.delete(versionDir, true)
+      val (onLineage, complete) = visibleLineage(committedAfter)
+      val witnessed = committedAfter.collect {
+        case (n, MarkerV1(_, _, Some((bn, bnonce))))
+          if bn == next && bnonce == nonce => n
+      }.toSeq.sorted
+      if (witnessed.nonEmpty) {
+        val absorbed = onLineage.get(next).contains(Some(nonce))
+        throw new PostCommitConflictException(
+          s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
+            s"this publish's version $next COMMITTED and was then " +
+            s"derived from and pruned by foreign writer(s) (version(s) " +
+            s"${witnessed.mkString(",")} record it as their base) - do " +
+            "NOT retry/refold this delta" +
+            (if (absorbed) ": it is absorbed into the visible lineage, " +
+              "no data lost"
+            else ": it is committed but its descendant branch may be " +
+              "shadowed - verify against the visible lineage before any " +
+              "repair") +
+            " (single-writer contract violated)")
+      }
+      // our dir was pruned as torn (delta never committed), or the slot
+      // now holds a FOREIGN writer's data. Delete NOTHING: our own
+      // debris is already gone in every interleave that reaches here,
+      // and anything now at this path belongs to another writer —
+      // committed data must never be destroyed, and a torn directory is
+      // its owner's in-flight publish or the next prune's business.
+      val occupant = committedAfter.get(next).map {
+        case m: MarkerV1 => s"a foreign committed version (nonce ${m.nonce})"
+        case _: LegacyMarker => "a foreign committed version (legacy marker)"
+      }
       throw new IllegalStateException(
         s"concurrent writer on stats store $path: version $next was " +
           "pruned as torn by a foreign writer before its marker content " +
-          "landed - this publish did NOT commit and may be retried " +
+          "landed - this publish did NOT commit and may be retried" +
+          occupant.fold("")(o => s"; the version slot is now occupied " +
+            s"by $o, which was left untouched") +
+          " (single-writer contract violated)")
+    }
+    val foreign = committedAfter.keySet
+      .filter(n => n != next && n > baseVersion.getOrElse(-1L))
+      .toSeq.sorted
+    if (foreign.nonEmpty) {
+      val (onLineage, complete) = visibleLineage(committedAfter)
+      val detail = (foreign :+ next).sorted.map(n =>
+        s"v$n[${if (n == next) "this publish: " else ""}" +
+          s"${classify(n, committedAfter, onLineage, complete)}]")
+      throw new PostCommitConflictException(
+        s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
+          s"version(s) ${foreign.mkString(",")} committed between this " +
+          s"publish's re-validation (base $baseVersion) and its marker " +
+          s"for version $next - readers see only the highest version; " +
+          s"classification: ${detail.mkString(", ")} " +
           "(single-writer contract violated)")
     }
-    val foreign = after
-      .collect { case (n, _, Some(_)) if n != next => n }
-      .filter(_ > base.getOrElse(-1L))
-    if (foreign.nonEmpty) throw new PostCommitConflictException(
-      s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
-        s"version(s) ${foreign.mkString(",")} committed between this " +
-        s"publish's re-validation (base $base) and its marker for " +
-        s"version $next - both deltas are committed but readers see " +
-        "only the highest version; repair by retracting/refolding one " +
-        "of them (single-writer contract violated)")
     val keep = (committedNow :+ next).sorted.takeRight(retain).toSet
-    now.foreach { case (n, p, wm) =>
-      val torn = wm.isEmpty
+    now.foreach { case (n, p, mi) =>
+      val torn = mi.isEmpty
       if (n != next && (torn || !keep.contains(n)))
         require(fs.delete(p, true),
           s"delete of superseded stats version $p failed - leaving it " +
@@ -382,7 +578,8 @@ object StatsMaintenance {
     require(batchId >= 0, s"negative batchId: $batchId")
     val spark = batch.sparkSession
     val cur = current(spark, path)
-    if (cur.map(_._3).filter(_ >= 0).exists(batchId <= _)) return false
+    if (cur.map(_._3.watermark).filter(_ >= 0).exists(batchId <= _))
+      return false
     val partial = partialOf(batch)
     val merged = cur match {
       case Some((_, p, _)) => CorpusStats.mergeStats(
@@ -391,7 +588,8 @@ object StatsMaintenance {
         partial.select(
           (keys ++ counts).map(org.apache.spark.sql.functions.col): _*)
     }
-    publish(spark, path, merged, batchId, retain, cur.map(_._1))
+    publish(spark, path, merged, batchId, retain,
+      cur.map(c => (c._1, c._3)))
     true
   }
 
@@ -414,7 +612,7 @@ object StatsMaintenance {
   def publishArtifact(spark: SparkSession, path: String, table: DataFrame,
       retain: Int = 2): Unit =
     publish(spark, path, table, watermark = -1L, retain,
-      current(spark, path).map(_._1))
+      current(spark, path).map(c => (c._1, c._3)))
 
   /** The current committed artifact version, or None before the first
     * publish (and after any number of torn ones).
@@ -443,8 +641,8 @@ object StatsMaintenance {
         s"retractBatch: no committed stats table at $path"))
     val table = spark.read.parquet(cur._2.toString)
     publish(spark, path,
-      CorpusStats.retractStats(table, partial, keys, counts), cur._3,
-      retain, Some(cur._1))
+      CorpusStats.retractStats(table, partial, keys, counts),
+      cur._3.watermark, retain, Some((cur._1, cur._3)))
   }
 
   /** OFFLINE repair maintenance — the REFOLD half of the
@@ -474,7 +672,7 @@ object StatsMaintenance {
     val table = spark.read.parquet(cur._2.toString)
     publish(spark, path,
       CorpusStats.mergeStats(Seq(table, partial), keys, counts),
-      math.max(cur._3, batchId), retain, Some(cur._1))
+      math.max(cur._3.watermark, batchId), retain, Some((cur._1, cur._3)))
   }
 
   /** Start the maintenance loop: every delivered micro-batch is folded

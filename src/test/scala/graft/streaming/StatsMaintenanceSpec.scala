@@ -106,6 +106,57 @@ class StatsMaintenanceSpec extends SparkSpec {
     try w.write(watermark.toString) finally w.close()
   }
 
+  private def markerContent(dir: String): String = {
+    val src = scala.io.Source.fromFile(
+      s"$dir/${StatsMaintenance.Marker}", "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("marker format v1: a publish records watermark, writer nonce, " +
+    "and the base ref; the first version records base=none") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    val m0 = markerContent(s"$path/v=0")
+    assert(m0.startsWith("v1 wm=0 nonce="), m0)
+    assert(m0.endsWith(" base=none"), m0)
+    val nonce0 = StatsMaintenance.parseMarker(m0) match {
+      case Some(StatsMaintenance.MarkerV1(0L, n, None)) => n
+      case other => fail(s"unexpected parse: $other")
+    }
+    assert(foldLines(batch2, 1L, path))
+    val m1 = markerContent(s"$path/v=1")
+    // lineage: the new marker witnesses the exact (version, nonce) it
+    // was derived from - what the post-commit classifier walks
+    assert(StatsMaintenance.parseMarker(m1) ==
+      Some(StatsMaintenance.MarkerV1(1L, StatsMaintenance.parseMarker(m1)
+        .collect { case v: StatsMaintenance.MarkerV1 => v.nonce }.get,
+        Some((0L, nonce0)))), m1)
+  }
+
+  test("format migration: a legacy (v0) store stays readable in place, " +
+    "a publish on top records base=<n>:legacy, and replay skips still " +
+    "work across mixed marker formats") {
+    val path = tmpDir()
+    // hand-build a v0-era store: bare-watermark markers
+    linePartial(batch1).write.mode("overwrite").parquet(s"$path/v=0")
+    writeMarker(s"$path/v=0", 0L)
+    linePartial(batch1 ++ batch2).write.mode("overwrite")
+      .parquet(s"$path/v=7")
+    writeMarker(s"$path/v=7", 1L)
+    // readable in place: newest committed version + its watermark
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(!foldLines(batch2, 1L, path), "replay must skip over v0 markers")
+    // a v1 publish lands on top and records the legacy base by number
+    assert(foldLines(batch3, 2L, path))
+    val m = markerContent(s"$path/v=8")
+    assert(m.startsWith("v1 wm=2 nonce="), m)
+    assert(m.endsWith(" base=7:legacy"), m)
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    assert(!foldLines(batch3, 2L, path))
+  }
+
   test("folds match the full recompute, and a re-delivered batch id is " +
     "skipped without touching the table (the double-count hazard)") {
     val path = tmpDir()
@@ -342,6 +393,17 @@ class StatsMaintenanceSpec extends SparkSpec {
       s"writer A: expected the post-commit type, got $aErr")
     assert(bErr.isInstanceOf[StatsMaintenance.PostCommitConflictException],
       s"writer B: expected the post-commit type, got $bErr")
+    // SIBLING topology, classified: both writers derived from the same
+    // base (v0), so the loser's version (v1, A's) is SHADOWED and the
+    // winner's (v2, B's) is VISIBLE - both messages must say which
+    // delta needs the refold, not just that a conflict exists
+    assert(aErr.getMessage.contains("v1[this publish: SHADOWED"),
+      s"A must learn its own delta is shadowed: ${aErr.getMessage}")
+    assert(aErr.getMessage.contains("v2[VISIBLE]"), aErr.getMessage)
+    assert(bErr.getMessage.contains("v1[SHADOWED"),
+      s"B must learn the foreign delta is shadowed: ${bErr.getMessage}")
+    assert(bErr.getMessage.contains("v2[this publish: VISIBLE]"),
+      bErr.getMessage)
     // readers see only the HIGHEST committed version = B's table,
     // which was derived from the shared base: batch2's committed
     // delta is SHADOWED - absent from every read - and the visible
@@ -365,6 +427,90 @@ class StatsMaintenanceSpec extends SparkSpec {
     // normal operation resumes
     assert(!foldLines(batch3, 2L, path))
     assert(foldLines(Seq((7L, "post repair doc")), 3L, path))
+  }
+
+  test("DESCENDANT topology, witnessed through the pruned directory: " +
+    "a fast foreign writer that derives FROM this commit and prunes " +
+    "its directory must yield the post-commit type (absorbed, no data " +
+    "lost), NOT the retryable lie that invites a double-apply") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    // A's marker content has landed (post-marker) when a foreign fold
+    // reads the store: it sees A's version COMMITTED, derives from it,
+    // publishes, and its retain=1 prune deletes A's directory - all
+    // before A's own post-commit re-list runs. Pre-v1 markers had no
+    // lineage, so this read as "your dir is gone, you did not commit,
+    // retry" - and the retry would double-apply a delta that IS in the
+    // visible table (via the descendant). The v1 base ref is the
+    // witness that survives the prune.
+    var fired = false
+    StatsMaintenance.testCrashPoint = p =>
+      if (p == "post-marker" && !fired) {
+        fired = true
+        assert(foldLines(batch3, 2L, path),
+          "the in-window descendant fold must land")
+      }
+    val e = try intercept[IllegalStateException] {
+        foldLines(batch2, 1L, path)
+      } finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(e.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"witnessed commit must raise the non-retryable type, got: $e")
+    assert(e.getMessage.contains("do NOT retry"), e.getMessage)
+    assert(e.getMessage.contains("absorbed into the visible lineage"),
+      e.getMessage)
+    assert(!e.getMessage.contains("did NOT commit"), e.getMessage)
+    // no data lost: the visible table holds base + A's delta + the
+    // descendant's delta, and the watermark covers both batches
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3),
+      "descendant topology lost a delta")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    // the contract-mandated reaction (do nothing) leaves a store that
+    // resumes normally; the forbidden reaction (refold) would
+    // double-apply - pinned by the BOTH-COMMIT same-batch drill
+    assert(!foldLines(batch2, 1L, path))
+    assert(foldLines(Seq((8L, "after the storm")), 3L, path))
+  }
+
+  test("slot re-use cannot impersonate this publish (nonce check), and " +
+    "a foreign COMMITTED version occupying the slot is never deleted") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    // A pauses with its marker created but EMPTY; a retraction commits
+    // and prunes A's torn v=1; then a third writer re-reserves the SAME
+    // version number and commits with the SAME watermark A was
+    // publishing (hand-built here). The pre-nonce self check compared
+    // (version, watermark) - it would have judged 'self committed'
+    // (wrong: A's delta is on an unlinked inode) or, on watermark
+    // mismatch, DELETED the third writer's committed version.
+    var fired = false
+    StatsMaintenance.testCrashPoint = p =>
+      if (p == "marker-open" && !fired) {
+        fired = true
+        StatsMaintenance.retractBatch(spark, path, linePartial(batch1),
+          Seq("line_key"), Seq("line_df"))
+        // third writer: same slot, same watermark, its own nonce
+        linePartial(batch3).write.mode("overwrite").parquet(s"$path/v=1")
+        val w = new java.io.FileWriter(
+          s"$path/v=1/${StatsMaintenance.Marker}")
+        try w.write("v1 wm=1 nonce=foreign-3rd-writer base=0:unknowable")
+        finally w.close()
+      }
+    val e = try intercept[IllegalStateException] {
+        foldLines(batch2, 1L, path)
+      } finally StatsMaintenance.testCrashPoint = _ => ()
+    // A's delta never committed (its marker content landed on the
+    // unlinked file): retryable, and NOT the post-commit type
+    assert(!e.isInstanceOf[StatsMaintenance.PostCommitConflictException],
+      s"impersonated slot must not read as self-committed: $e")
+    assert(e.getMessage.contains("did NOT commit"), e.getMessage)
+    assert(e.getMessage.contains("left untouched"), e.getMessage)
+    // the foreign committed version in the slot was NOT destroyed
+    assert(StatsMaintenance.parseMarker(markerContent(s"$path/v=1")) ==
+      Some(StatsMaintenance.MarkerV1(1L, "foreign-3rd-writer",
+        Some((0L, "unknowable")))),
+      "the foreign committed version was deleted or damaged")
+    // readers keep working off the highest committed version
+    assert(StatsMaintenance.readStats(spark, path).isDefined)
   }
 
   test("retraction racing a LIVE fold: a fold that commits under a " +
