@@ -3,17 +3,21 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Sampling}
+import graft.operators.{Bpe, CorpusStats, Packing, Sampling}
 import graft.streaming.StatsMaintenance
 
-/** The composed operational week across ALL EIGHT maintained shapes —
-  * one driver, eight stores, seven days of the Zipf decade, with the
-  * maintenance a real deployment performs and the faults it suffers:
+/** The composed operational week across ALL EIGHT maintained shapes
+  * PLUS the versioned tokenizer — one driver, nine stores, seven days
+  * of the Zipf decade, with the maintenance a real deployment performs
+  * and the faults it suffers:
   *
   *  - shapes 1–8 fold daily through the SAME generic store code path:
   *    line-df, token-df, bigram-LM counts, DSIR feature model,
   *    count-min sketch, exact token counts, per-source tallies,
   *    quality histogram;
+  *  - every day ALSO encodes under the CURRENT versioned tokenizer
+  *    (trained day 0, loaded from the artifact store each day) and
+  *    packs the id streams — 0 UNK ids and conserved bin mass daily;
   *  - day 4: a RETRACTION of day 1 runs against every store
   *    (deletion maintenance — watermarks must not move);
   *  - day 5: every store's fold is KILLED at a rotating crash point
@@ -21,7 +25,17 @@ import graft.streaming.StatsMaintenance
   *    store index) and redelivered — the at-least-once matrix: a kill
   *    BEFORE the marker content means the delta did not commit and
   *    the redelivery must FOLD; a kill AFTER (post-marker) means it
-  *    DID commit and the redelivery must SKIP;
+  *    DID commit and the redelivery must SKIP — and then the
+  *    TOKENIZER IS REFRESHED (+extra merges on the same training
+  *    corpus) under the growth contract, verified PRE-PUBLISH: the
+  *    old merge list must be a strict prefix of the grown one and old
+  *    vocab ids byte-stable, or every previously encoded day silently
+  *    renumbers (reference semantics preserved: the idempotent-replay
+  *    discipline of
+  *    `/root/reference/internal/repository/scraper_status.go:161-178`
+  *    — progress recorded WITH the write, replays absorbed). Days
+  *    5..6 encode under the refreshed tokenizer; days 0..4's encoded
+  *    ids stay valid;
   *  - end state: every store ≡ its own recompute over the surviving
   *    days, and every shape's CONSUMER — the line gate, bigram-LM
   *    scoring, DSIR weighting, count-min estimates, whole-stream
@@ -55,11 +69,15 @@ object AllShapesCycleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val dir = sys.env.getOrElse("PACK_DIR", "target/testdata/sf10z")
+    val nMerges = sys.env.getOrElse("AS_MERGES", "2000").toInt
+    val extraMerges = sys.env.getOrElse("AS_EXTRA_MERGES", "500").toInt
+    val packBudget = sys.env.getOrElse("AS_BUDGET", "2048").toInt
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
     val days = (0 to 6).map(d => docs.where(col("doc_id") % 7 === d))
-    println(s"[all-shapes] dir=$dir docs=${docs.count()} days=7 shapes=8")
+    println(s"[all-shapes] dir=$dir docs=${docs.count()} days=7 shapes=8 " +
+      s"+tokenizer(merges=$nMerges+$extraMerges budget=$packBudget)")
 
     def withQuality(df: DataFrame): DataFrame = df
       .withColumn("__st", graft.expressions.TokenStats.stats(col("text"),
@@ -104,10 +122,39 @@ object AllShapesCycleProbe {
     def tableEq(a: DataFrame, b: DataFrame): Boolean =
       a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
+    // the NINTH versioned store: the tokenizer artifact. Trained day 0,
+    // loaded fresh from the store every day (what a daily cron does),
+    // refreshed day 5 under the growth contract. Every day's encode
+    // must land 0 UNK ids and conserve id mass through packing.
+    val work = tmp("tok")
+    def encodeDay(day: Int): Long = {
+      val (m, v) = Bpe.loadTokenizerVersioned(spark, s"$work/tokenizer")
+      Bpe.encodeIds(days(day), "doc_id", "text", m, v)
+        .write.mode("overwrite").parquet(s"$work/enc/day$day")
+      val enc = spark.read.parquet(s"$work/enc/day$day")
+      val encIds = enc.agg(sum(col("n_ids"))).collect()(0).getLong(0)
+      val unk = enc.select(explode(col("ids")).as("id"))
+        .where(col("id") === -1).count()
+      require(unk == 0L, s"day $day: $unk UNK ids")
+      val packed = Packing
+        .binIdSequences(enc, "doc_id", packBudget, nShards = 16)
+        .agg(sum(col("n_ids"))).collect()(0).getLong(0)
+      require(packed == encIds,
+        s"day $day: packed id mass $packed != encoded $encIds")
+      encIds
+    }
+
     val points = Seq("post-reserve", "post-parquet", "marker-open",
       "post-marker")
     var t0 = System.nanoTime()
     (0 to 6).foreach { day =>
+      if (day == 0) {
+        val m = Bpe.trainMergesLocal(days(0), "text", nMerges)
+        val v = Bpe.vocab(days(0), "text", m)
+        Bpe.saveTokenizerVersioned(spark, m, v, s"$work/tokenizer")
+        println(s"[all-shapes] tokenizer v1 published: ${m.size} merges, " +
+          s"${v.size} vocab")
+      }
       if (day == 4) {
         // mid-week maintenance: day 1 is deleted from EVERY store
         shapes.foreach { s =>
@@ -134,9 +181,32 @@ object AllShapesCycleProbe {
         }
         println("[all-shapes] day-5 kill matrix: 8 stores x rotating " +
           "crash points, redelivery folds iff the delta had not committed")
+        // TOKENIZER REFRESH on the fault day itself: +extra merges on
+        // the SAME training corpus. GROWTH CONTRACT verified
+        // PRE-PUBLISH: the old merge list must be a strict prefix of
+        // the grown one and old vocab ids byte-stable, or every
+        // previously encoded day silently renumbers. The previous
+        // version stays servable (retain=2) for in-flight encodes.
+        val (oldM, oldV) =
+          Bpe.loadTokenizerVersioned(spark, s"$work/tokenizer")
+        val grown =
+          Bpe.trainMergesLocal(days(0), "text", nMerges + extraMerges)
+        require(grown.take(oldM.size) == oldM,
+          "tokenizer refresh BROKE the growth contract: old merge list " +
+            "is not a prefix of the grown one")
+        val grownV = Bpe.vocab(days(0), "text", grown)
+        require(grownV.take(oldV.size) == oldV,
+          "tokenizer refresh RENUMBERED existing vocab ids")
+        Bpe.saveTokenizerVersioned(spark, grown, grownV, s"$work/tokenizer")
+        println(s"[all-shapes] tokenizer REFRESHED on the fault day: " +
+          s"${oldM.size} -> ${grown.size} merges, ${oldV.size} -> " +
+          s"${grownV.size} vocab; growth contract verified pre-publish")
       } else {
         shapes.foreach(s => require(fold(s, day), s"${s.name} day $day"))
       }
+      val ids = encodeDay(day)
+      println(s"[all-shapes] day $day encoded $ids ids under the " +
+        "current tokenizer, 0 UNK, bin mass conserved")
     }
     println(f"[all-shapes] week folded (${(System.nanoTime() - t0) / 1e9}%.0f s)")
 
@@ -223,6 +293,22 @@ object AllShapesCycleProbe {
       "count-min estimates drifted")
     println(f"[all-shapes] all 8 consumers from maintained state == " +
       f"from recompute (${(System.nanoTime() - t0) / 1e9}%.0f s)")
+
+    // 9. the tokenizer week: the retracted day's docs (genuinely
+    //    out-of-history "today") encode under the REFRESHED tokenizer
+    //    with 0 UNK and the same ids as a fresh load — and the grown
+    //    vocabulary still id-stable vs a from-scratch recompute of the
+    //    day-0 training (determinism across the week's publishes)
+    val (mEnd, vEnd) = Bpe.loadTokenizerVersioned(spark, s"$work/tokenizer")
+    require(mEnd.size == nMerges + extraMerges,
+      s"expected ${nMerges + extraMerges} merges at end of week, got " +
+        s"${mEnd.size}")
+    val todayEnc = Bpe.encodeIds(today, "doc_id", "text", mEnd, vEnd)
+    require(todayEnc.select(explode(col("ids")).as("id"))
+        .where(col("id") === -1).count() == 0L,
+      "retracted-day docs must encode 0-UNK under the refreshed tokenizer")
+    println("[all-shapes] tokenizer week: refresh id-stable, " +
+      "out-of-history docs encode 0-UNK under the grown vocabulary")
 
     println("[all-shapes] ALL PASS")
     spark.stop()
