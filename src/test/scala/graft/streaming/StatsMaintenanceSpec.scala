@@ -157,6 +157,49 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(!foldLines(batch3, 2L, path))
   }
 
+  test("visibleLineage walks the nonce-verified base-ref chain: " +
+    "complete roots, pruned intermediates, legacy gaps, and a re-used " +
+    "slot all classify as documented") {
+    import StatsMaintenance.{LegacyMarker, MarkerV1, visibleLineage}
+    def v1(wm: Long, n: String, base: Option[(Long, String)]) =
+      MarkerV1(wm, n, base)
+    // full chain to the empty-store root: everything proven on-lineage
+    val full = Map[Long, StatsMaintenance.MarkerInfo](
+      0L -> v1(0, "n0", None),
+      1L -> v1(1, "n1", Some((0L, "n0"))),
+      2L -> v1(2, "n2", Some((1L, "n1"))))
+    assert(visibleLineage(full) ==
+      (Map(2L -> Some("n2"), 1L -> Some("n1"), 0L -> Some("n0")), true))
+    // pruned intermediate: the ref witnesses (1, n1) but the walk
+    // cannot continue below it - incomplete, so absences are UNKNOWN
+    val pruned = Map[Long, StatsMaintenance.MarkerInfo](
+      2L -> v1(2, "n2", Some((1L, "n1"))))
+    assert(visibleLineage(pruned) ==
+      (Map(2L -> Some("n2"), 1L -> Some("n1")), false))
+    // legacy marker at the top: no lineage info at all
+    assert(visibleLineage(Map[Long, StatsMaintenance.MarkerInfo](
+        2L -> LegacyMarker(5))) ==
+      (Map(2L -> None), false))
+    // legacy base ref: the base's NUMBER is witnessed, nonce is not,
+    // and the walk stops (cannot verify what sits below a v0 marker)
+    val viaLegacy = Map[Long, StatsMaintenance.MarkerInfo](
+      1L -> LegacyMarker(0),
+      2L -> v1(2, "n2", Some((1L, "legacy"))))
+    assert(visibleLineage(viaLegacy) ==
+      (Map(2L -> Some("n2"), 1L -> None), false))
+    // re-used slot mid-chain: version 1 was pruned and its number
+    // re-committed by another writer (nonce mismatch) - the witnessed
+    // ref stays, the LISTED impostor is not walked through, and the
+    // chain is incomplete (version 0 must NOT read as shadowed)
+    val reused = Map[Long, StatsMaintenance.MarkerInfo](
+      0L -> v1(0, "n0", None),
+      1L -> v1(1, "impostor", Some((0L, "n0"))),
+      2L -> v1(2, "n2", Some((1L, "n1"))))
+    assert(visibleLineage(reused) ==
+      (Map(2L -> Some("n2"), 1L -> Some("n1")), false))
+    assert(visibleLineage(Map.empty) == (Map.empty, false))
+  }
+
   test("folds match the full recompute, and a re-delivered batch id is " +
     "skipped without touching the table (the double-count hazard)") {
     val path = tmpDir()
