@@ -412,15 +412,21 @@ object Sampling {
     // (unquantized) score would unbound the "at most 1001 buckets"
     // claim this shape's constant-cost consumers depend on, and a
     // value ≥ 1001 would make [[quantileThresholdWith]]'s
-    // nothing-passes sentinel (1001) satisfiable. raise_error rides
-    // the key column so a violation fails the fold loudly instead of
-    // shipping a corrupt histogram (same style as
+    // nothing-passes sentinel (1001) satisfiable. The INTEGRALITY
+    // check matters as much as the range: the likeliest upstream
+    // mistake is an unquantized 0..1 fraction, which a bare
+    // cast("long") would silently truncate to bucket 0 — in range,
+    // histogram collapsed, threshold 0, selection keeps everything.
+    // raise_error rides the key column so a violation fails the fold
+    // loudly instead of shipping a corrupt histogram (same style as
     // [[CorpusStats.retractStats]]'s negative-count guard).
+    val raw = qualityPm.cast("double")
     val pm = qualityPm.cast("long")
-    val checked = when(pm.isNull || pm < 0 || pm > 1000,
+    val checked = when(
+        pm.isNull || pm < 0 || pm > 1000 || raw =!= pm.cast("double"),
         raise_error(concat(lit("qualityHistogram: quality_pm must be an " +
           "integer per-mille in [0, 1000], got "),
-          coalesce(pm.cast("string"), lit("NULL")))))
+          coalesce(qualityPm.cast("string"), lit("NULL")))))
       .otherwise(pm)
     docs.groupBy(checked.as("quality_pm"))
       .agg(count(lit(1)).as("n_docs"))

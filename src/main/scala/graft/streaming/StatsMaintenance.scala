@@ -395,6 +395,11 @@ object StatsMaintenance {
     while (true) {
       committed.get(cur) match {
         case Some(MarkerV1(_, _, Some((bn, bnonce)))) =>
+          // a base ref is always STRICTLY OLDER than the version that
+          // records it (reserve probes from max committed + 1): a ref
+          // at or above its own version is store tampering/corruption
+          // — stop unverifiable rather than walk a cycle forever
+          if (bn >= cur) return (on, false)
           val verified = bnonce != LegacyNonce
           on += bn -> (if (verified) Some(bnonce) else None)
           committed.get(bn) match {
@@ -491,13 +496,13 @@ object StatsMaintenance {
       case _ => false
     }
     if (!selfCommitted) {
-      val (onLineage, complete) = visibleLineage(committedAfter)
       val witnessed = committedAfter.collect {
         case (n, MarkerV1(_, _, Some((bn, bnonce))))
           if bn == next && bnonce == nonce => n
       }.toSeq.sorted
       if (witnessed.nonEmpty) {
-        val absorbed = onLineage.get(next).contains(Some(nonce))
+        val absorbed =
+          visibleLineage(committedAfter)._1.get(next).contains(Some(nonce))
         throw new PostCommitConflictException(
           s"concurrent writer on stats store $path DETECTED POST-COMMIT: " +
             s"this publish's version $next COMMITTED and was then " +

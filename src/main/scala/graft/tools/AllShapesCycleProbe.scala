@@ -294,11 +294,12 @@ object AllShapesCycleProbe {
     println(f"[all-shapes] all 8 consumers from maintained state == " +
       f"from recompute (${(System.nanoTime() - t0) / 1e9}%.0f s)")
 
-    // 9. the tokenizer week: the retracted day's docs (genuinely
-    //    out-of-history "today") encode under the REFRESHED tokenizer
-    //    with 0 UNK and the same ids as a fresh load — and the grown
-    //    vocabulary still id-stable vs a from-scratch recompute of the
-    //    day-0 training (determinism across the week's publishes)
+    // 9. the tokenizer week's end state: the artifact store serves the
+    //    grown tokenizer (exactly nMerges+extra merges), and the
+    //    retracted day's docs (genuinely out-of-history "today")
+    //    encode 0-UNK under it. Id stability of the refresh itself —
+    //    old merges a strict prefix, old vocab ids byte-stable against
+    //    a retrain — was verified PRE-PUBLISH in the day-5 leg above.
     val (mEnd, vEnd) = Bpe.loadTokenizerVersioned(spark, s"$work/tokenizer")
     require(mEnd.size == nMerges + extraMerges,
       s"expected ${nMerges + extraMerges} merges at end of week, got " +

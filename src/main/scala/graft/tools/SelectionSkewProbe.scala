@@ -99,6 +99,8 @@ object SelectionSkewProbe {
     // allocator sweep: identical from maintained state, and the
     // water-filling invariants hold at every budget even when one cap
     // dwarfs the rest (epoch cap 2000pm = each source at most 2 epochs)
+    val capacity = talRe
+      .agg(sum(expr("2000 * n_tokens DIV 1000"))).collect()(0).getLong(0)
     for (budget <- Seq(total / 100, total / 10, total / 2, total,
         2L * total)) {
       val got = Sampling.unimaxAllocWith(talStored, budget, 2000L)
@@ -106,8 +108,6 @@ object SelectionSkewProbe {
       require(rows(got) ==
         rows(Sampling.unimaxAllocWith(talRe, budget, 2000L)),
         s"unimax allocation drifted at budget=$budget")
-      val capacity = talRe
-        .agg(sum(expr("2000 * n_tokens DIV 1000"))).collect()(0).getLong(0)
       val allocSum = got.agg(sum(col("alloc_tokens"))).collect()(0)
         .getLong(0)
       require(allocSum == math.min(budget, capacity),

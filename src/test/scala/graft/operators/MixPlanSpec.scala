@@ -157,6 +157,19 @@ class MixPlanSpec extends SparkSpec {
       Sampling.qualityHistogram(withNull, col("q")).collect()
     }
     assert(eNull.getMessage.contains("per-mille"), eNull.getMessage)
+    // the likeliest upstream mistake: an UNQUANTIZED 0..1 fraction.
+    // cast("long") would truncate it to an in-range 0 and collapse the
+    // histogram — the integrality check must catch it
+    val fractional = Seq((0L, 0.25), (1L, 0.9)).toDF("doc_id", "q")
+    val eFrac = intercept[Exception] {
+      Sampling.qualityHistogram(fractional, col("q")).collect()
+    }
+    assert(eFrac.getMessage.contains("per-mille"), eFrac.getMessage)
+    // integral doubles are fine (the quantizer may emit double-typed
+    // per-milles); the histogram key is still a long
+    assert(Sampling.qualityHistogram(
+      Seq((0L, 250.0), (1L, 250.0)).toDF("doc_id", "q"), col("q"))
+      .as[(Long, Long)].collect().toSeq == Seq((250L, 2L)))
     // the full legal range still folds
     assert(hist((0L to 1000L)).count() == 1001L)
   }

@@ -198,6 +198,17 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(visibleLineage(reused) ==
       (Map(2L -> Some("n2"), 1L -> Some("n1")), false))
     assert(visibleLineage(Map.empty) == (Map.empty, false))
+    // tampered/corrupt store: a self-referential (or forward) base ref
+    // must STOP the walk unverifiable, not loop forever — honest
+    // writers always record a strictly older base (reserve probes from
+    // max committed + 1)
+    assert(visibleLineage(Map[Long, StatsMaintenance.MarkerInfo](
+        2L -> v1(5, "x", Some((2L, "x"))))) ==
+      (Map(2L -> Some("x")), false))
+    assert(visibleLineage(Map[Long, StatsMaintenance.MarkerInfo](
+        1L -> v1(1, "a", Some((2L, "b"))),
+        2L -> v1(2, "b", Some((1L, "a"))))) ==
+      (Map(2L -> Some("b"), 1L -> Some("a")), false))
   }
 
   test("folds match the full recompute, and a re-delivered batch id is " +
