@@ -156,11 +156,15 @@ object StatsMaintenance {
     extends IllegalStateException(msg)
 
   /** Commit marker created inside a version directory AFTER its
-    * parquet write completes; its PARSABLE content defines "committed"
-    * — a present but empty/garbled marker is a torn version, because
-    * creation and content write are separate steps on stores without
-    * atomic PUT. Our own file rather than Spark's `_SUCCESS`, which
-    * can be disabled by committer configuration.
+    * parquet write completes; "committed" = the marker's content
+    * PARSES **and** at least one data file sits beside it — a present
+    * but empty/garbled marker is a torn version (creation and content
+    * write are separate steps on stores without atomic PUT), and so is
+    * a marker-only directory (a foreign prune racing the seamless
+    * re-validate→create window can delete the parquet and let the
+    * marker create resurrect the path — see `versions`). Our own file
+    * rather than Spark's `_SUCCESS`, which can be disabled by
+    * committer configuration.
     *
     * MARKER FORMAT, version-gated:
     *  - v0 (legacy): the bare batch watermark as a decimal long —
@@ -288,7 +292,25 @@ object StatsMaintenance {
           // NumberFormatException on every subsequent read.)
           parseMarker(content)
         }
-        (n, p, mi)
+        // a parsable marker ALONE does not commit a version — there
+        // must be data beside it. The marker create can RESURRECT a
+        // directory a foreign prune deleted in the seamless window
+        // between this publish's re-validation and its fs.create: the
+        // parquet is gone, the create remakes the path, and the content
+        // lands on a live file — a committed-looking directory with no
+        // data, which as the max version would make every read throw
+        // (store bricked until manual repair) and the publish read as
+        // falsely VISIBLE. Marker-only directories are TORN: readers
+        // stay on the last real table, the owner's self check turns
+        // honestly retryable, and the next publish prunes the husk.
+        // (A genuinely empty TABLE still commits fine — Spark writes
+        // schema-bearing part files for zero rows, pinned in the
+        // retraction-to-empty tests.)
+        val committed = mi.filter(_ => fs.listStatus(p).exists { s =>
+          val f = s.getPath.getName
+          !f.startsWith("_") && !f.startsWith(".")
+        })
+        (n, p, committed)
       }
   }
 

@@ -483,6 +483,34 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(foldLines(Seq((7L, "post repair doc")), 3L, path))
   }
 
+  test("a marker-only directory (parquet pruned, path resurrected by " +
+    "the marker create) is TORN, not committed: readers stay on the " +
+    "last real table instead of throwing on the empty husk") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    // hand-build the end state of the seamless-window race: a foreign
+    // prune deleted this publish's parquet between its re-validation
+    // and its marker create, so fs.create resurrected v=1 and the
+    // marker content landed in a directory with NO data files. Before
+    // the data-beside-marker rule, v=1 was the max COMMITTED version
+    // and every readStats/foldBatch threw on it (store bricked until
+    // manual repair).
+    assert(new java.io.File(s"$path/v=1").mkdirs())
+    val w = new java.io.FileWriter(s"$path/v=1/${StatsMaintenance.Marker}")
+    try w.write("v1 wm=1 nonce=orphaned-writer base=0:whatever")
+    finally w.close()
+    assert(StatsMaintenance.lastFolded(spark, path).contains(0L),
+      "marker-only directory must read as torn, not as the watermark")
+    assert(stored(path) == lineDfOf(batch1),
+      "readers must stay on the last REAL table")
+    // the batch the orphaned writer was publishing is re-delivered
+    // (retryable per its self check) and folds past the husk, which is
+    // pruned like any torn debris
+    assert(foldLines(batch2, 1L, path))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(dirs(path) == Seq("v=2"), s"husk not pruned: ${dirs(path)}")
+  }
+
   test("DESCENDANT topology, witnessed through the pruned directory: " +
     "a fast foreign writer that derives FROM this commit and prunes " +
     "its directory must yield the post-commit type (absorbed, no data " +
