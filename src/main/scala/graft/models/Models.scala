@@ -99,7 +99,7 @@ object Schemas {
     StructField("executor_id", LongType, nullable = true)))
 
   /** State-table: scraper_status watermark
-    * (/root/reference/internal/repository/scraper_status.go:167-170).
+    * (/root/reference/internal/repository/scraper_status.go:16-19).
     */
   val scraperStatusTable: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = false),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Dates
 
 /** Watermark / incremental-progress operators (S5/S6/K6/A1,
-  * /root/reference/internal/repository/scraper_status.go:161-197 and
+  * /root/reference/internal/repository/scraper_status.go:10-46 and
   * tasks.go:79-127,165).
   *
   * In the streaming pipeline the Structured Streaming checkpoint

@@ -91,7 +91,7 @@ object ParityQueries {
       .select(col("c_custkey").as("id"), col("c_name").as("fullname"),
         col("c_mktsegment").as("position"))
 
-  /** S5/A1: latest watermark as ORDER BY … DESC LIMIT 1 (scraper_status.go:187). */
+  /** S5/A1: latest watermark as ORDER BY … DESC LIMIT 1 (scraper_status.go:36). */
   private def s5WatermarkLatest(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(date_trunc("SECOND", col("ts")).as("last_processed_date"),

@@ -65,7 +65,7 @@ object MergeSpecs {
       Preserve("geocoding_attempts", "address", "0"),
       Preserve("geocoding_error", "address", "NULL")))
 
-  /** scraper_status watermark — scraper_status.go:167-170. */
+  /** scraper_status watermark — scraper_status.go:16-19. */
   val scraperStatus: MergeSpec = MergeSpec(
     table = "scraper_status",
     keyCols = Seq("id"),

@@ -166,26 +166,54 @@ object StatsMaintenance {
     * rather than Spark's `_SUCCESS`, which can be disabled by
     * committer configuration.
     *
-    * MARKER FORMAT, version-gated:
-    *  - v0 (legacy): the bare batch watermark as a decimal long —
-    *    still read (old stores stay usable in place), never written.
-    *  - v1: one line `v1 wm=<long> nonce=<uuid> base=<n>:<nonce>|none`
-    *    — the WRITER NONCE makes ownership checkable (a re-reserved
-    *    version NUMBER with the same watermark can no longer
-    *    impersonate this publish's commit), and the BASE REF records
-    *    which committed version (number AND nonce) the table was
-    *    derived from, so a post-commit conflict can be classified as
-    *    sibling (delta shadowed — repair) vs descendant (delta
-    *    absorbed — no data lost). A v1 base built on a legacy-marker
-    *    version records `base=<n>:legacy` (number witnessed, nonce
-    *    unverifiable).
+    * MARKER FORMAT — two files, so every binary generation reads every
+    * store correctly and NO generation can destroy another's commits:
     *
-    * MIGRATION IS ONE-WAY: v1 markers read as torn to pre-v1 readers,
-    * whose next publish would PRUNE committed v1 versions — retire all
-    * pre-v1 binaries against a store before the first v1 publish (the
-    * standard format-version upgrade gate).
+    *  - `_GRAFT_COMMITTED` (this file, THE commit point): the bare
+    *    batch watermark as a decimal long — the original v0 format,
+    *    written FOREVER. A v0-era binary pointed at a store written by
+    *    this code parses every committed version exactly as it always
+    *    did: correct watermark, correct table, and its torn-prune never
+    *    fires on a committed version. The one-way-migration hazard the
+    *    r16 single-file format carried (a v1 marker reads as TORN to a
+    *    v0 binary, whose next publish then PRUNES committed versions —
+    *    silent data destruction by a correct-looking old binary) is
+    *    gone by construction.
+    *  - `_GRAFT_COMMITTED_V1` ([[MarkerV1File]], the lineage sidecar):
+    *    one line `v1 wm=<long> nonce=<uuid> base=<n>:<nonce>|none`,
+    *    written-and-closed BEFORE the commit marker is created, so a
+    *    committed version written by this code ALWAYS has its sidecar.
+    *    The WRITER NONCE makes ownership checkable (a re-reserved
+    *    version NUMBER with the same watermark cannot impersonate this
+    *    publish's commit), and the BASE REF records which committed
+    *    version (number AND nonce) the table was derived from, so a
+    *    post-commit conflict can be classified as sibling (delta
+    *    shadowed — repair) vs descendant (delta absorbed — no data
+    *    lost). A base built on a sidecar-less version records
+    *    `base=<n>:legacy` (number witnessed, nonce unverifiable). A
+    *    missing, unparsable, or watermark-mismatched sidecar NEVER
+    *    un-commits a version — it only degrades it to
+    *    [[LegacyMarker]] (committed, lineage unverifiable), because
+    *    the commit point is the marker file alone. Underscore prefix:
+    *    invisible to Spark's parquet reader and to the data-beside
+    *    check.
+    *
+    * READ COMPATIBILITY: the r16 interim format (the full
+    * `v1 wm=…` line written INTO `_GRAFT_COMMITTED` itself) is still
+    * parsed — those stores stay usable in place, and each new publish
+    * writes the two-file format, so retention migrates such a store
+    * back to full v0-readability within `retain` publishes. Only
+    * r16-format versions still carry the retire-old-binaries gate;
+    * stores written purely by this code need no gate at all.
     */
   val Marker = "_GRAFT_COMMITTED"
+
+  /** Lineage sidecar beside [[Marker]] — nonce + base ref; see the
+    * format notes on [[Marker]]. Written before the marker, read only
+    * for versions whose marker parses, never load-bearing for the
+    * commit decision itself.
+    */
+  val MarkerV1File = "_GRAFT_COMMITTED_V1"
 
   /** Parsed commit-marker content. [[LegacyMarker]] = format v0
     * (watermark only, no ownership or lineage info); [[MarkerV1]]
@@ -252,10 +280,19 @@ object StatsMaintenance {
 
   /** Test seam: invoked with a named point inside [[publish]] so crash
     * tests can kill a write at the REAL code-path windows
-    * ("post-reserve", "post-parquet", "marker-open", "post-marker")
-    * instead of hand-building post-crash layouts. No-op in production.
+    * ("post-reserve", "post-parquet", "post-sidecar", "marker-open",
+    * "post-marker") instead of hand-building post-crash layouts. No-op
+    * in production.
     */
   private[graft] var testCrashPoint: String => Unit = _ => ()
+
+  /** Test seam: invoked with each version directory just before its
+    * marker/data reads inside [[versions]], so the
+    * pruned-mid-listing race (a concurrent retention prune deleting
+    * the directory between the listing and the per-directory reads)
+    * can be manufactured at the real window. No-op in production.
+    */
+  private[graft] var testVersionsHook: Path => Unit = _ => ()
 
   private def fileSystem(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -275,43 +312,86 @@ object StatsMaintenance {
         .filter(_ => p.getName.startsWith(VersionPrefix))
         .map(n => (n, p)))
       .map { case (n, p) =>
-        val m = new Path(p, Marker)
-        val mi = if (!fs.exists(m)) None
-        else {
-          val in = fs.open(m)
-          val content =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          // an empty/unparsable marker IS a torn version: marker
-          // creation and content write are two steps on HDFS/local FS
-          // (not one atomic PUT), so a crash in between leaves an empty
-          // marker. Safe to discard — the commit point is the CONTENT
-          // landing, and a crash before it means the engine never
-          // committed the batch's offsets, so re-delivery refolds.
-          // (toLong here once bricked the store with
-          // NumberFormatException on every subsequent read.)
-          parseMarker(content)
+        // the whole per-directory read is racing a concurrent retention
+        // prune (the documented single WRITER beside independent
+        // READERS calling readStats/lastFolded): the directory — or any
+        // file inside it — can vanish between the listing above and the
+        // reads below. A vanished directory is a SUPERSEDED version
+        // mid-delete, which is exactly what a torn version looks like
+        // to a reader: classify it torn instead of crashing the scan.
+        try {
+          testVersionsHook(p)
+          (n, p, readCommitted(fs, p))
+        } catch {
+          case _: java.io.FileNotFoundException => (n, p, None)
         }
-        // a parsable marker ALONE does not commit a version — there
-        // must be data beside it. The marker create can RESURRECT a
-        // directory a foreign prune deleted in the seamless window
-        // between this publish's re-validation and its fs.create: the
-        // parquet is gone, the create remakes the path, and the content
-        // lands on a live file — a committed-looking directory with no
-        // data, which as the max version would make every read throw
-        // (store bricked until manual repair) and the publish read as
-        // falsely VISIBLE. Marker-only directories are TORN: readers
-        // stay on the last real table, the owner's self check turns
-        // honestly retryable, and the next publish prunes the husk.
-        // (A genuinely empty TABLE still commits fine — Spark writes
-        // schema-bearing part files for zero rows, pinned in the
-        // retraction-to-empty tests.)
-        val committed = mi.filter(_ => fs.listStatus(p).exists { s =>
-          val f = s.getPath.getName
-          !f.startsWith("_") && !f.startsWith(".")
-        })
-        (n, p, committed)
       }
+  }
+
+  /** The parsed marker of one version directory, or None if torn. See
+    * [[Marker]] for the commit rule: content parses AND data beside it.
+    */
+  private def readCommitted(fs: org.apache.hadoop.fs.FileSystem, p: Path)
+      : Option[MarkerInfo] = {
+    val m = new Path(p, Marker)
+    val mi = if (!fs.exists(m)) None
+    else {
+      // an empty/unparsable marker IS a torn version: marker
+      // creation and content write are two steps on HDFS/local FS
+      // (not one atomic PUT), so a crash in between leaves an empty
+      // marker. Safe to discard — the commit point is the CONTENT
+      // landing, and a crash before it means the engine never
+      // committed the batch's offsets, so re-delivery refolds.
+      // (toLong here once bricked the store with
+      // NumberFormatException on every subsequent read.)
+      parseMarker(readSmallFile(fs, m)) match {
+        case Some(LegacyMarker(wm)) =>
+          // v0-format marker: the lineage, if any, lives in the
+          // sidecar. A missing/unparsable/mismatched sidecar degrades
+          // to LegacyMarker — the marker alone is the commit point, so
+          // sidecar damage may cost lineage info but can never
+          // un-commit a version or invite a destructive repair.
+          val sc = new Path(p, MarkerV1File)
+          // any sidecar READ failure (vanished, checksum/bit rot)
+          // degrades the same way as unparsable content: the sidecar
+          // is supplementary, and crashing the whole scan on it would
+          // brick reads over a file the commit rule never needed
+          val upgraded =
+            try {
+              if (!fs.exists(sc)) None
+              else parseMarker(readSmallFile(fs, sc)).collect {
+                case v: MarkerV1 if v.watermark == wm => v
+              }
+            } catch { case _: java.io.IOException => None }
+          Some(upgraded.getOrElse(LegacyMarker(wm)))
+        case other => other // r16 single-file v1, or unparsable (torn)
+      }
+    }
+    // a parsable marker ALONE does not commit a version — there
+    // must be data beside it. The marker create can RESURRECT a
+    // directory a foreign prune deleted in the seamless window
+    // between this publish's re-validation and its fs.create: the
+    // parquet is gone, the create remakes the path, and the content
+    // lands on a live file — a committed-looking directory with no
+    // data, which as the max version would make every read throw
+    // (store bricked until manual repair) and the publish read as
+    // falsely VISIBLE. Marker-only directories are TORN: readers
+    // stay on the last real table, the owner's self check turns
+    // honestly retryable, and the next publish prunes the husk.
+    // (A genuinely empty TABLE still commits fine — Spark writes
+    // schema-bearing part files for zero rows, pinned in the
+    // retraction-to-empty tests.)
+    mi.filter(_ => fs.listStatus(p).exists { s =>
+      val f = s.getPath.getName
+      !f.startsWith("_") && !f.startsWith(".")
+    })
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      f: Path): String = {
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   private def current(spark: SparkSession, path: String)
@@ -481,10 +561,20 @@ object StatsMaintenance {
           "and was aborted (single-writer contract violated)")
     }
     val nonce = java.util.UUID.randomUUID().toString
+    // lineage sidecar FIRST, fully written and closed before the
+    // marker exists: a committed version written by this code always
+    // has its sidecar (a crash between the two leaves a marker-less —
+    // torn — directory), and the marker itself stays in the v0
+    // bare-watermark format so pre-v1 binaries read and prune this
+    // store correctly. See the format notes on [[Marker]].
+    val side = fs.create(new Path(versionDir, MarkerV1File), false)
+    try side.write(renderMarker(watermark, nonce, base).getBytes("UTF-8"))
+    finally side.close()
+    testCrashPoint("post-sidecar")
     val out = fs.create(new Path(versionDir, Marker), false)
     try {
       testCrashPoint("marker-open")
-      out.write(renderMarker(watermark, nonce, base).getBytes("UTF-8"))
+      out.write(watermark.toString.getBytes("UTF-8"))
     } finally out.close()
     testCrashPoint("post-marker")
     // POST-COMMIT lost-update detector: the re-validate above closes
@@ -575,11 +665,25 @@ object StatsMaintenance {
     val keep = (committedNow :+ next).sorted.takeRight(retain).toSet
     now.foreach { case (n, p, mi) =>
       val torn = mi.isEmpty
-      if (n != next && (torn || !keep.contains(n)))
-        require(fs.delete(p, true),
-          s"delete of superseded stats version $p failed - leaving it " +
-            "cannot double-count (readers take the max committed version) " +
-            "but the store would grow without bound")
+      if (n != next && (torn || !keep.contains(n))) {
+        // the prune runs AFTER the commit point, so a failure here must
+        // never surface as a retryable-looking exception: the failure
+        // taxonomy tells callers "not PostCommitConflictException =>
+        // not committed, retry", and a retried fold whose first publish
+        // COMMITTED double-applies the delta. A delete returning false
+        // because the directory is ALREADY GONE (a foreign prune racing
+        // this one — found by the cross-process storm probe) is simply
+        // cleanup won by someone else; a directory that persistently
+        // refuses deletion is deferred to the next publish's prune
+        // (supersession cannot double-count — readers take the max
+        // committed version) and only warned about, because no
+        // exception we could throw here would be classified correctly
+        // by a taxonomy-following caller.
+        if (!fs.delete(p, true) && fs.exists(p))
+          System.err.println(s"[graft] WARN: prune of superseded stats " +
+            s"version $p failed post-commit; deferring to the next " +
+            "publish's prune (the publish itself IS committed)")
+      }
     }
   }
 

@@ -32,7 +32,8 @@ import graft.streaming.StatsMaintenance
   *    vocab ids byte-stable, or every previously encoded day silently
   *    renumbers (reference semantics preserved: the idempotent-replay
   *    discipline of
-  *    `/root/reference/internal/repository/scraper_status.go:161-178`
+  *    `/root/reference/internal/repository/scraper_status.go:10-27`
+  *    (the ON CONFLICT DO UPDATE upsert)
   *    — progress recorded WITH the write, replays absorbed). Days
   *    5..6 encode under the refreshed tokenizer; days 0..4's encoded
   *    ids stay valid;

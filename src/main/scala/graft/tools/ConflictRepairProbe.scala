@@ -39,7 +39,7 @@ import graft.streaming.StatsMaintenance
   *     watermark backwards.
   *
   * Reference semantics preserved: the K6 idempotent-replay watermark
-  * contract (`/root/reference/internal/repository/scraper_status.go:161-178`)
+  * contract (`/root/reference/internal/repository/scraper_status.go:10-27`)
   * — progress recorded WITH the write — which is exactly why the
   * watermark cannot double as the repair mechanism: it proves a batch
   * id's publish WON a race, not that its delta is in the visible

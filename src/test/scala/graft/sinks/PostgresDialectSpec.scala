@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - K3 conditional geo-preserve upsert → task.go:81-113
   *  - K4 dimension insert-if-absent → task.go:25-29
   *  - K5 bridge delete+insert → task.go:132-140
-  *  - K6 watermark upsert → scraper_status.go:167-170
+  *  - K6 watermark upsert → scraper_status.go:16-19
   */
 class PostgresDialectSpec extends AnyFunSuite {
 

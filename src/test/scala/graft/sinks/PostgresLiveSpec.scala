@@ -99,7 +99,7 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Table shapes mirroring the reference store (employee.go,
-    * task.go:81-140, scraper_status.go:167-170): conflict targets are
+    * task.go:81-140, scraper_status.go:16-19): conflict targets are
     * the PKs / the task_types.type_name unique key.
     */
   private val Ddl = """

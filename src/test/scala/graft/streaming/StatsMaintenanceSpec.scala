@@ -34,10 +34,10 @@ class StatsMaintenanceSpec extends SparkSpec {
       .as[(String, Long)].collect().sortBy(_._1).toSeq
 
   private def foldLines(rows: Seq[(Long, String)], id: Long,
-      path: String): Boolean =
+      path: String, retain: Int = 1): Boolean =
     StatsMaintenance.foldBatch(rows.toDF("doc_id", "text"), id, path,
       Seq("line_key"), Seq("line_df"),
-      b => CorpusStats.lineDf(b, "doc_id", "text"))
+      b => CorpusStats.lineDf(b, "doc_id", "text"), retain)
 
   private def linePartial(rows: Seq[(Long, String)]): DataFrame =
     CorpusStats.lineDf(rows.toDF("doc_id", "text"), "doc_id", "text")
@@ -106,31 +106,40 @@ class StatsMaintenanceSpec extends SparkSpec {
     try w.write(watermark.toString) finally w.close()
   }
 
-  private def markerContent(dir: String): String = {
-    val src = scala.io.Source.fromFile(
-      s"$dir/${StatsMaintenance.Marker}", "UTF-8")
+  private def fileContent(f: String): String = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
     try src.mkString finally src.close()
   }
 
-  test("marker format v1: a publish records watermark, writer nonce, " +
-    "and the base ref; the first version records base=none") {
+  private def markerContent(dir: String): String =
+    fileContent(s"$dir/${StatsMaintenance.Marker}")
+
+  private def sidecarContent(dir: String): String =
+    fileContent(s"$dir/${StatsMaintenance.MarkerV1File}")
+
+  test("marker format: the commit marker is the bare v0 watermark " +
+    "long; the sidecar records watermark, writer nonce, and base ref " +
+    "(base=none for the first version)") {
     val path = tmpDir()
     assert(foldLines(batch1, 0L, path))
-    val m0 = markerContent(s"$path/v=0")
-    assert(m0.startsWith("v1 wm=0 nonce="), m0)
-    assert(m0.endsWith(" base=none"), m0)
-    val nonce0 = StatsMaintenance.parseMarker(m0) match {
+    assert(markerContent(s"$path/v=0") == "0",
+      "the commit marker must stay in the v0 bare-long format")
+    val s0 = sidecarContent(s"$path/v=0")
+    assert(s0.startsWith("v1 wm=0 nonce="), s0)
+    assert(s0.endsWith(" base=none"), s0)
+    val nonce0 = StatsMaintenance.parseMarker(s0) match {
       case Some(StatsMaintenance.MarkerV1(0L, n, None)) => n
       case other => fail(s"unexpected parse: $other")
     }
     assert(foldLines(batch2, 1L, path))
-    val m1 = markerContent(s"$path/v=1")
-    // lineage: the new marker witnesses the exact (version, nonce) it
+    assert(markerContent(s"$path/v=1") == "1")
+    val s1 = sidecarContent(s"$path/v=1")
+    // lineage: the new sidecar witnesses the exact (version, nonce) it
     // was derived from - what the post-commit classifier walks
-    assert(StatsMaintenance.parseMarker(m1) ==
-      Some(StatsMaintenance.MarkerV1(1L, StatsMaintenance.parseMarker(m1)
+    assert(StatsMaintenance.parseMarker(s1) ==
+      Some(StatsMaintenance.MarkerV1(1L, StatsMaintenance.parseMarker(s1)
         .collect { case v: StatsMaintenance.MarkerV1 => v.nonce }.get,
-        Some((0L, nonce0)))), m1)
+        Some((0L, nonce0)))), s1)
   }
 
   test("format migration: a legacy (v0) store stays readable in place, " +
@@ -147,14 +156,194 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
     assert(stored(path) == lineDfOf(batch1 ++ batch2))
     assert(!foldLines(batch2, 1L, path), "replay must skip over v0 markers")
-    // a v1 publish lands on top and records the legacy base by number
+    // a new publish lands on top and records the legacy base by number
     assert(foldLines(batch3, 2L, path))
-    val m = markerContent(s"$path/v=8")
+    assert(markerContent(s"$path/v=8") == "2")
+    val m = sidecarContent(s"$path/v=8")
     assert(m.startsWith("v1 wm=2 nonce="), m)
     assert(m.endsWith(" base=7:legacy"), m)
     assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
     assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
     assert(!foldLines(batch3, 2L, path))
+  }
+
+  test("v0 binary on a new-format store: every committed version reads " +
+    "as committed with the right watermark under v0 parse rules, so a " +
+    "v0 reader is correct and a v0 publisher's torn-prune never " +
+    "touches committed data (the one-way-migration hazard is gone)") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    assert(foldLines(batch2, 1L, path, retain = 2))
+    // leave a genuinely torn dir beside the committed ones — the only
+    // thing a v0 prune may delete
+    assert(new java.io.File(s"$path/v=9").mkdirs())
+    assert(new java.io.File(s"$path/v=9/_GRAFT_RESERVED").createNewFile())
+    // a faithful simulation of the v0 binary's read semantics: a
+    // version is committed iff its _GRAFT_COMMITTED content parses as
+    // a bare long (the original format; no sidecar, no data-beside)
+    def v0Read(dir: java.io.File): Option[Long] = {
+      val m = new java.io.File(dir, StatsMaintenance.Marker)
+      if (!m.exists) None else fileContent(m.toString).trim.toLongOption
+    }
+    val byDir = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> v0Read(d)).toMap
+    assert(byDir == Map("v=0" -> Some(0L), "v=1" -> Some(1L),
+      "v=9" -> None), s"v0 parse of a new-format store drifted: $byDir")
+    // v0 reader: current = max committed = v=1 with watermark 1 — and
+    // its table read skips underscore files (the sidecar is invisible)
+    assert(spark.read.parquet(s"$path/v=1")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+      lineDfOf(batch1 ++ batch2))
+    // v0 publisher: its prune deletes torn + superseded dirs only —
+    // under v0 rules NOTHING committed reads as torn, so the committed
+    // set it would preserve is exactly the real committed set
+    val v0Torn = byDir.collect { case (d, None) => d }.toSet
+    assert(v0Torn == Set("v=9"),
+      "a committed version read as torn under v0 rules - a v0 " +
+        "publisher would destroy committed data")
+    // and a v0-style publish ON TOP of the new-format store (parquet +
+    // bare marker, no sidecar) reads back as committed-legacy here,
+    // with the next new-format fold recording base=<n>:legacy
+    linePartial(batch1 ++ batch2 ++ batch3).write.mode("overwrite")
+      .parquet(s"$path/v=2")
+    writeMarker(s"$path/v=2", 2L)
+    assert(StatsMaintenance.lastFolded(spark, path).contains(2L))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2 ++ batch3))
+    // the reservation probe starts past the torn v=9, so the fold
+    // lands at v=10
+    assert(foldLines(Seq((9L, "newer day")), 3L, path))
+    assert(sidecarContent(s"$path/v=10").endsWith(" base=2:legacy"))
+  }
+
+  test("r16 interim single-file v1 markers stay readable in place, and " +
+    "each new publish migrates the store toward full v0-readability " +
+    "(retention prunes the interim-format versions)") {
+    val path = tmpDir()
+    // hand-build an r16-era store: the full v1 line INSIDE the marker
+    linePartial(batch1).write.mode("overwrite").parquet(s"$path/v=0")
+    val w = new java.io.FileWriter(s"$path/v=0/${StatsMaintenance.Marker}")
+    try w.write("v1 wm=0 nonce=r16-writer base=none") finally w.close()
+    assert(StatsMaintenance.lastFolded(spark, path).contains(0L))
+    assert(stored(path) == lineDfOf(batch1))
+    assert(!foldLines(batch1, 0L, path), "replay must skip r16 markers")
+    // a new fold records the r16 version's REAL nonce as its base (the
+    // single-file parse still yields full lineage info)...
+    assert(foldLines(batch2, 1L, path))
+    assert(sidecarContent(s"$path/v=1").endsWith(" base=0:r16-writer"))
+    // ...writes the two-file format, and retention (retain=1) has
+    // pruned the interim-format version: the store is now fully
+    // v0-parsable (every marker a bare long)
+    assert(dirs(path) == Seq("v=1"), s"got: ${dirs(path)}")
+    assert(markerContent(s"$path/v=1") == "1")
+  }
+
+  test("sidecar damage degrades to committed-legacy, never to torn or " +
+    "a destructive repair: missing, garbled, and watermark-mismatched " +
+    "sidecars all keep the version committed at the marker's watermark") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    val table = stored(path)
+    val side = s"$path/v=0/${StatsMaintenance.MarkerV1File}"
+    def asserts(): Unit = {
+      assert(StatsMaintenance.lastFolded(spark, path).contains(0L))
+      assert(stored(path) == table)
+      assert(!foldLines(batch1, 0L, path), "replay skip must survive")
+    }
+    // the local ChecksumFileSystem keeps a .crc sibling; rewriting the
+    // sidecar out-of-band makes its read throw ChecksumException —
+    // which IS one of the damage modes (bit rot on a long-lived
+    // store): first pin that the read failure itself degrades...
+    val w1 = new java.io.FileWriter(side)
+    try w1.write("v1 wm=trunca") finally w1.close()
+    asserts()
+    // ...then drop the stale checksum so the PARSE paths are exercised:
+    // garbled content (a truncated foreign write)
+    def dropCrc(): Unit =
+      new java.io.File(s"$path/v=0/.${StatsMaintenance.MarkerV1File}.crc")
+        .delete(): Unit
+    dropCrc()
+    asserts()
+    // watermark mismatch (stale/foreign sidecar): the MARKER is the
+    // commit point - its watermark wins, lineage is dropped
+    val w2 = new java.io.FileWriter(side)
+    try w2.write("v1 wm=7 nonce=imposter base=none") finally w2.close()
+    dropCrc()
+    asserts()
+    // missing entirely (written by a v0 binary)
+    assert(new java.io.File(side).delete())
+    asserts()
+    // a publish on top still lands, recording the unverifiable base
+    assert(foldLines(batch2, 1L, path))
+    assert(sidecarContent(s"$path/v=1").endsWith(" base=0:legacy"))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+  }
+
+  test("a version directory pruned mid-listing (the reader/prune race) " +
+    "classifies as torn instead of crashing the scan") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    assert(foldLines(batch2, 1L, path, retain = 2))
+    // the race: a concurrent retention prune deletes v=0 between the
+    // store listing and the per-directory marker/data reads
+    StatsMaintenance.testVersionsHook = p =>
+      if (p.getName == "v=0") {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$path/v=0"))
+      }
+    try {
+      assert(StatsMaintenance.lastFolded(spark, path).contains(1L),
+        "vanished directory must read as torn, not crash the scan")
+      assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    } finally StatsMaintenance.testVersionsHook = _ => ()
+  }
+
+  test("crash after the sidecar lands but before the marker: the " +
+    "version is torn (no marker = no commit) and re-delivery resumes") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    final class Killed extends RuntimeException("injected crash")
+    StatsMaintenance.testCrashPoint =
+      p => if (p == "post-sidecar") throw new Killed
+    try intercept[Killed] { foldLines(batch2, 1L, path) }
+    finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(new java.io.File(
+      s"$path/v=1/${StatsMaintenance.MarkerV1File}").exists,
+      "test setup: expected the sidecar to have landed")
+    assert(!new java.io.File(
+      s"$path/v=1/${StatsMaintenance.Marker}").exists)
+    assert(StatsMaintenance.lastFolded(spark, path).contains(0L))
+    assert(stored(path) == lineDfOf(batch1))
+    assert(foldLines(batch2, 1L, path))
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(dirs(path) == Seq("v=2"), s"torn sidecar debris: ${dirs(path)}")
+  }
+
+  test("a superseded directory already deleted by a foreign prune does " +
+    "not fail the publish POST-COMMIT: any exception there reads as " +
+    "retryable under the failure taxonomy and would invite a " +
+    "double-apply (found by the cross-process storm probe)") {
+    val path = tmpDir()
+    assert(foldLines(batch1, 0L, path))
+    // this fold's marker has landed when a foreign prune deletes the
+    // superseded v=0 under it — the fold's own prune then targets an
+    // already-gone directory (fs.delete returns false)
+    var fired = false
+    StatsMaintenance.testCrashPoint = p =>
+      if (p == "post-marker" && !fired) {
+        fired = true
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$path/v=0"))
+      }
+    try assert(foldLines(batch2, 1L, path),
+      "publish must complete cleanly when its prune target is already gone")
+    finally StatsMaintenance.testCrashPoint = _ => ()
+    assert(stored(path) == lineDfOf(batch1 ++ batch2))
+    assert(dirs(path) == Seq("v=1"), s"got: ${dirs(path)}")
+    assert(StatsMaintenance.lastFolded(spark, path).contains(1L))
   }
 
   test("visibleLineage walks the nonce-verified base-ref chain: " +

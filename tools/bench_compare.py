@@ -5,6 +5,7 @@ repeatable script.
 
 Usage:
     python3 tools/bench_compare.py OLD.json NEW.json [--alarm 1.25]
+        [--control SAME_CODE_A.json SAME_CODE_B.json]
 
 Same-session A/B protocol (the box-weather control): when the raw
 common sum moves >15%, do NOT adjudicate from the two artifacts alone
@@ -22,6 +23,23 @@ factor - a uniformly warmer/cooler box moves every query together), and
 ranks per-query ratios with the session-normalized ratio alongside for
 context. Exits 1 if any RAW ratio exceeds the alarm (the judge's
 per-round method), ignoring sub-0.15s noise-class queries.
+
+A/A control (--control): two artifacts of the SAME code run twice band
+each flagged query against same-code drift - the scripted form of the
+r16 hand adjudication (5-run isolated probes with an accidental A/A
+pair). Per flagged query, the session-normalized A/B ratio is compared
+against the MAXIMUM normalized drift any non-noise query showed in the
+control pair: a full sweep flags the extremes among ~122 queries, so
+the only sound artifacts-alone test is "could a same-code sweep have
+produced a value this extreme?" - i.e. the control sample's max, not a
+mid quantile (p90/p95 are printed for context). A flag inside the band
+is adjudicated "within same-code drift"; a flag beyond it is REAL as
+far as the artifacts can tell, and the right next step is an isolated
+multi-run probe of that one query (the r16 method) before reverting
+code. The exit code reflects only the flags that survive adjudication.
+The control pair should be same-box and same scale factor;
+cross-session control pairs are fine (they band session weather too,
+which is the point - a tighter same-session A/A gives a tighter band).
 """
 import argparse
 import json
@@ -55,6 +73,11 @@ def main():
                    help="free-text adjudication note (e.g. the "
                         "same-session old-HEAD control result) echoed "
                         "into the report")
+    p.add_argument("--control", nargs=2, metavar=("SAME_A", "SAME_B"),
+                   default=None,
+                   help="two artifacts of the SAME code run twice; "
+                        "flagged queries inside the same-code drift "
+                        "band are adjudicated as not-real")
     ns = p.parse_args()
     alarm = ns.alarm
     old, new = load(ns.old_json), load(ns.new_json)
@@ -98,6 +121,50 @@ def main():
         flag = " <-- REGRESSION" if q in regressions else ""
         print(f"  {ratio:5.2f}x (norm {ratio / session:4.2f}x)  {q}  "
               f"({old[q]:.2f}s -> {new[q]:.2f}s){flag}")
+
+    if regressions and ns.control:
+        ca, cb = load(ns.control[0]), load(ns.control[1])
+        cc = sorted(set(ca) & set(cb))
+        cratios = {q: cb[q] / ca[q] for q in cc if ca[q] > 0}
+        if not cratios:
+            sys.exit("control pair shares no queries")
+        csession = statistics.median(cratios.values())
+        # normalized symmetric drift: how far one same-code run strays
+        # from the other once each pair's session factor is divided out
+        def drift(r, s):
+            rn = r / s
+            return max(rn, 1.0 / rn)
+        cdrift = {q: drift(cratios[q], csession) for q in cratios
+                  if max(ca[q], cb[q]) > noise_floor}
+        ranked_drift = sorted(cdrift.values())
+        band = ranked_drift[-1]
+        p90 = ranked_drift[int(0.9 * (len(ranked_drift) - 1))]
+        p95 = ranked_drift[int(0.95 * (len(ranked_drift) - 1))]
+        print(f"\nA/A control    : {len(cdrift)} non-noise queries, "
+              f"control session factor {csession:.3f}, normalized "
+              f"drift p90 {p90:.3f}x / p95 {p95:.3f}x / max {band:.3f}x")
+        survive = set()
+        for q in sorted(regressions):
+            norm = ratios[q] / session
+            own = cdrift.get(q, float("nan"))
+            if norm <= band:
+                print(f"  {q}: norm {norm:.2f}x <= same-code max drift "
+                      f"{band:.2f}x (own A/A {own:.2f}x) - within "
+                      "same-code drift, NOT a real regression")
+            else:
+                survive.add(q)
+                print(f"  {q}: norm {norm:.2f}x > ALL same-code drift "
+                      f"in the control (max {band:.2f}x, own A/A "
+                      f"{own:.2f}x) - REAL as far as the artifacts can "
+                      "tell; confirm with an isolated multi-run probe "
+                      "of this query before reverting code")
+        if survive:
+            print(f"\n{len(survive)} regression(s) survive the A/A "
+                  "adjudication")
+            sys.exit(1)
+        print("\nall flags adjudicated within same-code drift - "
+              "no real regressions")
+        return
 
     if regressions:
         print(f"\n{len(regressions)} regression(s) beyond {alarm}x")
