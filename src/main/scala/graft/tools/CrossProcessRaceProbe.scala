@@ -33,17 +33,26 @@ import graft.streaming.StatsMaintenance
   *     windows overlap repeatedly, with NO seams. What this observes
   *     in practice: clean folds, replay skips, lost-update aborts,
   *     torn-prunes ("retryable" — the foreign winner prunes the
-  *     in-flight loser's unmarked dir), and raw filesystem races
+  *     in-flight loser's unmarked dir), raw filesystem races
   *     surfacing as Spark job failures (FileNotFoundException /
   *     ExitCodeException) — which the documented failure taxonomy
   *     classifies retryable, and the probe proves that retrying plus
-  *     the runbook repair restores exact recompute equality. The
-  *     BOTH-COMMIT post-commit interleave is NOT reliably reachable
-  *     without seams (the foreign winner's prune almost always kills
-  *     the loser's torn dir before its marker content lands — the
-  *     same reason the in-JVM drills manufacture it with latches);
-  *     when it does land here it is tallied and its classification
+  *     the runbook repair restores exact recompute equality — and,
+  *     run-dependently, NATURAL post-commit detections (observed 0
+  *     in one 40-fold run, 5 in another: the window is the
+  *     sidecar+marker-create sliver, so hits depend on phase
+  *     alignment); each is printed, tallied, and its classification
   *     checked against ground truth like every other outcome.
+  *  1c. BOTH-COMMIT ACROSS REAL PROCESSES: the in-JVM drill's
+  *     interleave (A paused with an empty marker, B commits and
+  *     pauses pre-check, A's content lands, both classifiers run)
+  *     executed by two child JVMs coordinated with latch FILES on the
+  *     real filesystem — the crash-point seam only POSITIONS each
+  *     pause; every reserve, parquet write, sidecar, marker, re-list,
+  *     and classification runs cross-process. Both writers must raise
+  *     the post-commit type with the correct SHADOWED/VISIBLE
+  *     classification, and the runbook refold must restore exact
+  *     recompute equality.
   *  2. DEAD-JVM TORN DIR: a child halts (Runtime.halt — no shutdown
   *     hooks, no stream close) mid-publish after its parquet write but
   *     before its marker, leaving a REAL torn directory from a dead
@@ -186,6 +195,39 @@ object CrossProcessRaceProbe {
   }
 
   // ---------------------------------------------------------------
+  // pause mode: fold ONE batch, pausing at a named publish window
+  // until a latch FILE appears — the in-JVM both-commit drill's
+  // topology, but the two writers are real processes and the latch
+  // travels through the real filesystem. The seam only POSITIONS the
+  // pause; reserve/parquet/sidecar/marker/classify all run
+  // cross-process.
+  // ---------------------------------------------------------------
+  private def pauseMain(store: String, outFile: String, name: String,
+      id: Long, pausePoint: String, latchFile: String): Unit = {
+    val spark = localSession(4)
+    StatsMaintenance.testCrashPoint = p =>
+      if (p == pausePoint) {
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (!new java.io.File(latchFile).exists()) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(s"latch $latchFile never set")
+          Thread.sleep(100)
+        }
+      }
+    val (tag, msg) =
+      try { if (fold(spark, store, name, id)) ("folded", "") else ("skipped", "") }
+      catch {
+        case e: StatsMaintenance.PostCommitConflictException =>
+          ("post_commit", e.getMessage)
+        case e: Exception => ("other:" + e.getClass.getSimpleName,
+          String.valueOf(e.getMessage))
+      }
+    Files.write(Paths.get(outFile),
+      (tag + "\n" + msg).getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------
   // crash mode: halt the JVM mid-publish at a real code-path window
   // ---------------------------------------------------------------
   private def crashMain(store: String, crashPoint: String, id: Long)
@@ -233,6 +275,9 @@ object CrossProcessRaceProbe {
         childMain(args(1), args(2), args(3), args(4)); return
       case Some("hunt") =>
         huntMain(args(1), args(2), args(3), args(4).toInt); return
+      case Some("pause") =>
+        pauseMain(args(1), args(2), args(3), args(4).toLong, args(5),
+          args(6)); return
       case Some("crash") =>
         crashMain(args(1), args(2), args(3).toLong); return
       case _ => ()
@@ -334,6 +379,8 @@ object CrossProcessRaceProbe {
     println(s"[crossproc]   hunt outcome tally: " +
       tally.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }
         .mkString(", "))
+    hlines.filter(_.contains("|post_commit"))
+      .foreach(l => println(s"[crossproc]   natural post-commit: $l"))
     check(hparsed.forall(r => r._3.startsWith("retryable_other:") ||
       Set("folded", "skipped", "retryable", "absorbed", "shadowed",
         "verify").contains(r._3.stripPrefix("post_commit:"))),
@@ -377,6 +424,77 @@ object CrossProcessRaceProbe {
       .toSeq.sortBy(_._1)
     check(hrepaired == hrecompute,
       "hunt: repaired store equals the attempted-deltas recompute exactly")
+
+    // ----- phase 1c: BOTH-COMMIT across real processes -------------
+    // writer A (child JVM) pauses with its marker created but EMPTY;
+    // writer B (second child JVM) publishes through its commit point
+    // and pauses BEFORE its post-commit check (so its prune cannot
+    // delete A's torn dir); A's marker content lands (A committed);
+    // then both post-commit classifiers run — all coordination via
+    // latch FILES on the real filesystem.
+    val store1c = s"$base/bothcommit"
+    check(fold(spark, store1c, "S", 0L), "phase 1c seed fold")
+    val latchA = s"$base/latchA"
+    val latchB = s"$base/latchB"
+    val outPA = s"$base/pa.out"
+    val outPB = s"$base/pb.out"
+    println(s"[crossproc] phase 1c: cross-process both-commit on $store1c")
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!cond) {
+        require(System.nanoTime() < deadline, s"timeout waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    val ppa = spawn("pause",
+      Seq(store1c, outPA, "A", "1", "marker-open", latchA))
+    // A at marker-open: its v=1 marker exists and is still empty
+    waitFor("A at marker-open") {
+      val m = new java.io.File(s"$store1c/v=1/${StatsMaintenance.Marker}")
+      m.exists && m.length == 0
+    }
+    val ppb = spawn("pause",
+      Seq(store1c, outPB, "B", "2", "post-marker", latchB))
+    // B committed v=2 (marker content landed), paused pre-check
+    waitFor("B committed") {
+      val m = new java.io.File(s"$store1c/v=2/${StatsMaintenance.Marker}")
+      m.exists && m.length > 0
+    }
+    Files.write(Paths.get(latchA), Array.emptyByteArray)
+    check(ppa.waitFor() == 0, "pause child A exited 0")
+    Files.write(Paths.get(latchB), Array.emptyByteArray)
+    check(ppb.waitFor() == 0, "pause child B exited 0")
+    val aOut = new String(Files.readAllBytes(Paths.get(outPA)),
+      StandardCharsets.UTF_8).split("\n", 2)
+    val bOut = new String(Files.readAllBytes(Paths.get(outPB)),
+      StandardCharsets.UTF_8).split("\n", 2)
+    check(aOut(0) == "post_commit",
+      s"A raised the post-commit type (got ${aOut(0)})")
+    check(bOut(0) == "post_commit",
+      s"B raised the post-commit type (got ${bOut(0)})")
+    check(aOut(1).contains("v1[this publish: SHADOWED") &&
+      aOut(1).contains("v2[VISIBLE]"),
+      "A's classifier names its own delta shadowed and B's visible")
+    check(bOut(1).contains("v1[SHADOWED") &&
+      bOut(1).contains("v2[this publish: VISIBLE]"),
+      "B's classifier names the foreign delta shadowed and its own visible")
+    // ground truth + runbook repair
+    val t1c = StatsMaintenance.readStats(spark, store1c).get
+      .as[(String, Long)].collect().toMap
+    check(!t1c.contains("cA-b1-k0"), "A's shadowed delta absent pre-repair")
+    check(t1c.contains("cB-b2-k0"), "B's visible delta present")
+    StatsMaintenance.refoldBatch(spark, store1c, deltaDf(spark, "A", 1L),
+      Keys, Counts, 1L)
+    val r1c = StatsMaintenance.readStats(spark, store1c).get
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val w1c = (deltaRows("S", 0L) ++ deltaRows("A", 1L) ++
+      deltaRows("B", 2L))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    check(r1c == w1c,
+      "phase 1c repaired store equals the 3-delta recompute exactly")
+    check(StatsMaintenance.lastFolded(spark, store1c).contains(2L),
+      "phase 1c watermark stays at the max folded id after repair")
 
     // ----- phase 2: dead JVM leaves a torn (markerless) dir --------
     val store2 = s"$base/tornparquet"
