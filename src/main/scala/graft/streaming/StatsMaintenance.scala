@@ -77,8 +77,8 @@ import graft.operators.CorpusStats
   * don't have (Delta's log-entry-create trick buys it only by making
   * data files immutable-append, a different store design), but a race
   * landing inside it is now detected AND classified, not merely
-  * documented: each committed version's marker records its writer
-  * nonce and base ref ([[Marker]] format v1), so the detector tells
+  * documented: each committed version's lineage sidecar records its
+  * writer nonce and base ref (see [[Marker]]), so the detector tells
   * the operator whether a conflicting delta is SHADOWED (sibling —
   * refold it) or ABSORBED (descendant — no data lost). Under the
   * documented single-writer operation none of this triggers at all.
@@ -258,7 +258,7 @@ object StatsMaintenance {
     }
   }
 
-  private def renderMarker(watermark: Long, nonce: String,
+  private def renderSidecar(watermark: Long, nonce: String,
       base: Option[(Long, MarkerInfo)]): String = {
     val baseField = base match {
       case None => "none"
@@ -568,7 +568,7 @@ object StatsMaintenance {
     // bare-watermark format so pre-v1 binaries read and prune this
     // store correctly. See the format notes on [[Marker]].
     val side = fs.create(new Path(versionDir, MarkerV1File), false)
-    try side.write(renderMarker(watermark, nonce, base).getBytes("UTF-8"))
+    try side.write(renderSidecar(watermark, nonce, base).getBytes("UTF-8"))
     finally side.close()
     testCrashPoint("post-sidecar")
     val out = fs.create(new Path(versionDir, Marker), false)
