@@ -166,10 +166,21 @@ object TextFunctions {
     * shuffle a chunking job ever needs is whatever the caller does
     * with the chunks afterwards.
     */
-  def tokenChunks(text: Column, chunk: Int, stride: Int): Column = {
+  def tokenChunks(text: Column, chunk: Int, stride: Int): Column =
+    tokenChunksOf(tokens(text), chunk, stride)
+
+  /** [[tokenChunks]] over an ALREADY-TOKENIZED array column. Callers on
+    * a hot path should project the token array to a named column first
+    * and pass that: the window lambda below references `toks` once per
+    * WINDOW, so handing it an inline `tokens(text)` expression re-runs
+    * the regex split per window (~n_tokens/stride times per document —
+    * the round-11 per-reference re-evaluation pitfall, see
+    * `CorpusStats.charGramsOf`), while a projected column is computed
+    * once per row and each reference is a cheap attribute read.
+    */
+  def tokenChunksOf(toks: Column, chunk: Int, stride: Int): Column = {
     require(chunk > 0 && stride > 0,
       s"chunk=$chunk and stride=$stride must be positive")
-    val toks = tokens(text)
     val starts = when(size(toks) > 0,
       sequence(lit(0), size(toks) - 1, lit(stride)))
       .otherwise(array().cast("array<int>"))

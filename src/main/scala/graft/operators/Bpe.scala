@@ -352,16 +352,52 @@ object Bpe {
     */
   def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
       maxBatch: Int = 64, topK: Int = 512): Seq[(Int, String, String)] = {
+    val words = wordTable(docs, textCol)
+    batchedLoop(words, nMerges, maxBatch, topK)._1
+  }
+
+  /** One BPE training run's full artifact set, shared so downstream
+    * stages never re-scan the corpus for what training already
+    * computed: the merge list, the training ALPHABET (every distinct
+    * single-code-point symbol, UTF-8 byte order — exactly [[vocab]]'s
+    * alphabet leg, which used to cost a second corpus pass), and the
+    * MATERIALIZED word-frequency table (localCheckpoint — vocab-sized
+    * blocks, auto-cleaned by the ContextCleaner once unreferenced) for
+    * [[encodeIds]]/[[subwordCounts]] to use as their distinct-word set
+    * instead of re-shuffling the corpus token stream.
+    */
+  final case class TrainedBpe(merges: Seq[(Int, String, String)],
+      alphabet: Seq[String], words: DataFrame)
+
+  /** [[trainMergesBatched]] returning the full [[TrainedBpe]] artifact:
+    * same merge list (one shared loop), plus the alphabet and the
+    * checkpointed word table. Callers composing train → vocab → encode
+    * save one full corpus pass (the [[vocab]] alphabet scan) and one
+    * corpus-token shuffle (the encode-side word distinct) per run.
+    */
+  def trainBpe(docs: DataFrame, textCol: String, nMerges: Int,
+      maxBatch: Int = 64, topK: Int = 512): TrainedBpe = {
+    val words = wordTable(docs, textCol).localCheckpoint(true)
+    val (merges, alphabet) = batchedLoop(words, nMerges, maxBatch, topK)
+    TrainedBpe(merges, alphabet, words)
+  }
+
+  /** The batched learner's shared loop over a prepared word table.
+    * Returns (merges, alphabet in UTF-8 byte order).
+    */
+  private def batchedLoop(words: DataFrame, nMerges: Int,
+      maxBatch: Int, topK: Int): (Seq[(Int, String, String)], Seq[String]) = {
     require(nMerges >= 1, s"nMerges=$nMerges")
     require(maxBatch >= 1, s"maxBatch=$maxBatch")
     require(topK >= maxBatch, s"topK=$topK < maxBatch=$maxBatch")
-    var syms = charSyms(wordTable(docs, textCol))
+    var syms = charSyms(words)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // symbol universe = initial alphabet ∪ {a+b of merges applied};
     // the alphabet is one tiny distinct over 1-char symbols
-    val known = scala.collection.mutable.Set[String](
-      syms.select(explode(col("syms")).as("s")).distinct()
-        .collect().map(_.getString(0)).toIndexedSeq: _*)
+    val alphabet = syms.select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+      .sortWith(cmpCodePoints(_, _) < 0)
+    val known = scala.collection.mutable.Set[String](alphabet: _*)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     try {
       var pass = 0
@@ -415,7 +451,7 @@ object Bpe {
         }
       }
     } finally syms.unpersist(blocking = false)
-    merges.toSeq
+    (merges.toSeq, alphabet)
   }
 
   /** Deterministic symbol → id vocabulary assembly — the artifact a
@@ -447,7 +483,18 @@ object Bpe {
         .as("s"))
       .distinct().collect().map(_.getString(0))
       .sortWith(cmpCodePoints(_, _) < 0)
-    val ordered = alphabet.toSeq ++ merges.sortBy(_._1).map(m => m._2 + m._3)
+    vocabFromAlphabet(alphabet.toSeq, merges)
+  }
+
+  /** [[vocab]] assembly from an ALREADY-KNOWN alphabet (e.g.
+    * [[TrainedBpe.alphabet]] — training collects exactly this set), so
+    * composed train → vocab pipelines skip [[vocab]]'s second corpus
+    * pass. Pure driver-side; `alphabet` must be the training corpus's
+    * distinct single-code-point symbols in UTF-8 byte order.
+    */
+  def vocabFromAlphabet(alphabet: Seq[String],
+      merges: Seq[(Int, String, String)]): Seq[(Int, String)] = {
+    val ordered = alphabet ++ merges.sortBy(_._1).map(m => m._2 + m._3)
     val seen = scala.collection.mutable.Set.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     ordered.foreach { s =>
@@ -455,6 +502,15 @@ object Bpe {
     }
     out.toSeq
   }
+
+  /** [[vocabWithBytes]] from an already-known alphabet — see
+    * [[vocabFromAlphabet]].
+    */
+  def vocabWithBytesFromAlphabet(alphabet: Seq[String],
+      merges: Seq[(Int, String, String)]): Seq[(Int, String)] =
+    ByteTokens ++ vocabFromAlphabet(alphabet, merges).map {
+      case (i, s) => (i + 256, s)
+    }
 
   /** The 256 reserved byte tokens of a byte-fallback vocabulary —
     * ids 0..255, symbol strings `<0x00>`..`<0xFF>` (the SentencePiece
@@ -522,7 +578,8 @@ object Bpe {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String)],
       vocabIds: Seq[(Int, String)],
-      byteFallback: Boolean = false): DataFrame = {
+      byteFallback: Boolean = false,
+      distinctWords: Option[DataFrame] = None): DataFrame = {
     require(vocabIds.nonEmpty, "empty vocabulary")
     require(vocabIds.map(_._2).distinct.size == vocabIds.size,
       "duplicate symbol in vocabulary")
@@ -535,21 +592,29 @@ object Bpe {
         vocabIds.drop(256)
       }
     val byteBase = if (byteFallback) 0 else -1
+    // OUTER explode: a doc with no words survives as one null-word row,
+    // so per-doc reassembly needs no second corpus scan + join-back —
+    // null/unmatched rows are excluded inside the aggregate instead
+    // (same semantics as the inner join + final left join they replace)
     val docWords = docs.select(col(idCol),
-        posexplode(T.tokens(col(textCol))).as(Seq("__wpos", "word")))
-      .where(length(col("word")) > 0)
-    val wordIds = applySyms(docWords.select("word").distinct(), merges)
+      posexplode_outer(filter(T.tokens(col(textCol)),
+        w => length(w) > 0)).as(Seq("__wpos", "word")))
+    // the word universe: a caller-provided distinct-word table (e.g.
+    // [[TrainedBpe.words]] — MUST contain every word of `docs`, extra
+    // rows are harmless) skips one corpus-token shuffle per encode
+    val words = distinctWords.getOrElse(docWords.select("word")
+        .where(col("word").isNotNull).distinct())
+      .select(col("word")).where(length(col("word")) > 0)
+    val wordIds = applySyms(words, merges)
       .select(col("word"),
         graft.expressions.VocabIds.ids(col("syms"), lookup, byteBase)
           .as("__ids"))
-    val agg = docWords.join(wordIds, Seq("word"))
+    docWords.join(wordIds, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__wpos"), col("__ids")))),
+        array_sort(collect_list(when(col("__ids").isNotNull,
+          struct(col("__wpos"), col("__ids"))))),
         s => s.getField("__ids"))).as("ids"))
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
       .select(col(idCol), size(col("ids")).cast("long").as("n_ids"),
         col("ids"))
   }
@@ -590,20 +655,25 @@ object Bpe {
     * with zero counts.
     */
   def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(Int, String, String)]): DataFrame = {
+      merges: Seq[(Int, String, String)],
+      distinctWords: Option[DataFrame] = None): DataFrame = {
+    // outer explode + in-aggregate null handling: word-less docs
+    // survive the one groupBy with zero counts, so no second corpus
+    // scan + join-back (see [[encodeIds]]); a caller-provided
+    // distinct-word table (e.g. [[TrainedBpe.words]] — must cover every
+    // word of `docs`) skips the corpus-token distinct shuffle
     val docWords = docs.select(col(idCol),
-        explode(T.tokens(col(textCol))).as("word"))
-      .where(length(col("word")) > 0)
-    val vocab = applySyms(docWords.select("word").distinct(), merges)
+      explode_outer(filter(T.tokens(col(textCol)),
+        w => length(w) > 0)).as("word"))
+    val words = distinctWords.getOrElse(docWords.select("word")
+        .where(col("word").isNotNull).distinct())
+      .select(col("word")).where(length(col("word")) > 0)
+    val vocab = applySyms(words, merges)
       .select(col("word"), size(col("syms")).as("__nsub"))
-    val agg = docWords.join(vocab, Seq("word"))
+    docWords.join(vocab, Seq("word"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("__nsub").cast("long")).as("bpe_tokens"))
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+      .agg(count(col("__nsub")).as("n_words"),
+        coalesce(sum(col("__nsub").cast("long")), lit(0L)).as("bpe_tokens"))
   }
 
   /** Publish the TOKENIZER ARTIFACT — the learned merge list and its

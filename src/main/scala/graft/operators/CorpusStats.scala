@@ -76,18 +76,21 @@ object CorpusStats {
     */
   def meanTokenDfWith(docs: DataFrame, idCol: String, textCol: String,
       stats: DataFrame): DataFrame = {
+    // OUTER explode: token-less docs survive as one null-token row and
+    // the conditional aggregates reproduce the old join-back's shape
+    // (n = 0, NULL df_sum/mean) — no second corpus scan, no doc-sized
+    // join-back
     val toks = docs.select(col(idCol).as("__id"),
-        explode(array_distinct(T.tokens(col(textCol)))).as("__tok"))
-    val perDoc = toks.join(
+        explode_outer(array_distinct(T.tokens(col(textCol)))).as("__tok"))
+    toks.join(
         stats.select(col("token").as("__tok"), col("token_df").as("__df")),
         Seq("__tok"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_distinct_toks"),
-        sum(coalesce(col("__df"), lit(0L))).as("df_sum"))
-    docs.select(col(idCol))
-      .join(perDoc, col(idCol) === col("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("n_distinct_toks"), lit(0L)).as("n_distinct_toks"),
+      .agg(count(col("__tok")).as("n_distinct_toks"),
+        sum(when(col("__tok").isNotNull, coalesce(col("__df"), lit(0L))))
+          .as("df_sum"))
+      .select(col("__id").as(idCol),
+        col("n_distinct_toks"),
         col("df_sum"),
         round(col("df_sum").cast("double") /
           col("n_distinct_toks").cast("double"), 6).as("mean_token_df"))
@@ -207,27 +210,30 @@ object CorpusStats {
     val c12 = model.select(col("bg").as("__bg"), col("n").as("__c12"))
     val c1 = model.groupBy(col("w1").as("__w1"))
       .agg(sum(col("n")).as("__c1"))
+    // OUTER explode: <2-token docs survive as one null-bigram row
+    // (zero/NULL aggregates below), so no second corpus scan +
+    // doc-sized join-back
     val bg = docs
       .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"), explode(bigramPairs(col("__toks"))).as("__p"))
+      .select(col("__id"), explode_outer(bigramPairs(col("__toks"))).as("__p"))
       .select(col("__id"), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
-    val perDoc = bg
+    bg
       .join(c12, Seq("__bg"), "left")
       .join(c1, Seq("__w1"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(col("__bg")).as("n_bigrams"),
         count(col("__c12")).as("__hits"),
-        sum(coalesce(col("__c12"), lit(0L))).as("__c12_sum"),
-        sum(coalesce(col("__c1"), lit(0L))).as("__c1_sum"))
-    docs.select(col(idCol))
-      .join(perDoc, col(idCol) === col("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(null))
+        coalesce(sum(coalesce(col("__c12"), lit(0L))), lit(0L))
+          .as("__c12_sum"),
+        coalesce(sum(coalesce(col("__c1"), lit(0L))), lit(0L))
+          .as("__c1_sum"))
+      .select(col("__id").as(idCol),
+        col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(null))
           .otherwise(round((col("n_bigrams") - col("__hits")).cast("double") /
             col("n_bigrams").cast("double"), 6))
           .as("oov_bigram_frac"),
-        when(coalesce(col("__c1_sum"), lit(0L)) === 0, lit(null))
+        when(col("__c1_sum") === 0, lit(null))
           .otherwise(round(col("__c12_sum").cast("double") /
             col("__c1_sum").cast("double"), 6))
           .as("lm_score"))
@@ -386,11 +392,13 @@ object CorpusStats {
         element_at(array_sort(arr, cmp), 1))
       .select(col("__id"), col("__best.lang").as("lang"),
         col("__best.s").as("__score"))
-    val perDoc = ng.join(best, Seq("__id"), "left")
-    docs.select(col(idCol))
-      .join(perDoc, col(idCol) === col("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    // `ng` already carries EVERY input doc (it is a map-only projection
+    // of `docs`), so it IS the join-back spine — the former extra
+    // `docs.select(idCol)` left join re-scanned the corpus and paid a
+    // doc-sized sort-merge join for rows `ng` already had
+    ng.join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("n_grams"),
         coalesce(col("lang"), lit("und")).as("lang_pred"),
         round(col("__score"), 6).as("lang_score"))
   }
@@ -606,25 +614,28 @@ object CorpusStats {
   def dropDuplicateLinesWith(docs: DataFrame, idCol: String,
       textCol: String, stats: DataFrame, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq")
+    // `split` never yields an empty array, so every doc survives the
+    // posexplode and ONE aggregate computes n_lines (all rows), n_kept
+    // and the rebuild (keep-predicate folded into the aggregates as
+    // conditional counts/collects) — the former where + second corpus
+    // scan + doc-sized join-back are gone, same output by construction
     val lines = docs.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__ix", "__line")))
       .withColumn("__k", trim(col("__line")))
-    val kept = lines
+    val keep = col("__k") === "" || col("__df").isNull ||
+      col("__df") <= maxDocFreq
+    lines
       .join(stats.select(col("line_key").as("__k"),
         col("line_df").as("__df")), Seq("__k"), "left")
-      .where(col("__k") === "" || col("__df").isNull ||
-        col("__df") <= maxDocFreq)
-    val rebuilt = kept.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(keep, lit(1))).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("__ix"), col("__line")))),
+          array_sort(collect_list(when(keep,
+            struct(col("__ix"), col("__line"))))),
           s => s.getField("__line")), "\n").as("clean_text"))
-    docs.select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
-      .join(rebuilt, col(idCol) === col("__id"), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
+        col("clean_text"))
   }
 
   /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05)

@@ -936,22 +936,26 @@ object Dedup {
       .select(col("__id"),
         explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__cp"))
       .distinct()
+    // OUTER posexplode keeps token-less docs; the covered-position drop
+    // is a left join + conditional aggregates instead of an anti-join,
+    // so one aggregate yields n_tokens (all rows), the kept rebuild and
+    // the removal count — no second corpus scan, no doc-sized join-back
     val tokPos = toks.select(col("__id"),
-      posexplode(col("__toks")).as(Seq("__tp", "__tok")))
-    val kept = tokPos.join(covered,
-      tokPos("__id") === covered("__id") && col("__tp") === col("__cp"),
-      "left_anti")
-    val rebuilt = kept.groupBy(col("__id"))
-      .agg(count(lit(1)).as("__nkept"),
+      posexplode_outer(col("__toks")).as(Seq("__tp", "__tok")))
+    val keep = col("__tok").isNotNull && col("__cp").isNull
+    tokPos.join(covered,
+        tokPos("__id") === covered("__id") && col("__tp") === col("__cp"),
+        "left")
+      .groupBy(tokPos("__id"))
+      .agg(count(col("__tok")).as("n_tokens"),
+        count(when(keep, lit(1))).as("__nkept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          array_sort(collect_list(when(keep,
+            struct(col("__tp"), col("__tok"))))),
           s => s.getField("__tok")), " ").as("clean_text"))
-    toks.select(col("__id"), size(col("__toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nkept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(tokPos("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - col("__nkept")).as("n_removed"),
+        col("clean_text"))
   }
 
   /** Embedding near-dup pairs, brute O(n²) — the correctness baseline

@@ -563,27 +563,28 @@ object Sampling {
       textCol: String, model: org.apache.spark.sql.DataFrame,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
+    // OUTER explode: a doc with no features survives as one null-bucket
+    // row (left-joining the model on NULL matches nothing, the
+    // conditional aggregates see it as zero mass), so the per-doc
+    // re-aggregation needs no second corpus scan + doc-sized join-back
     val feats = docs.select(col(idCol).as("__id"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
-        explode(dsirFeatures(col("__toks"), buckets)).as("bucket"))
+        explode_outer(dsirFeatures(col("__toks"), buckets)).as("bucket"))
     val totals = model.agg(sum(col("tgt_n")).as("__nt"),
       sum(col("raw_n")).as("__nr"))
-    val perDoc = feats
+    feats
       .join(model, Seq("bucket"), "left")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("tgt_n"), lit(0L))).as("tgt_mass"),
-        sum(coalesce(col("raw_n"), lit(0L))).as("raw_mass"))
-    docs.select(col(idCol))
-      .join(perDoc, col(idCol) === col("__id"), "left")
+      .agg(count(col("bucket")).as("n_feats"),
+        coalesce(sum(coalesce(col("tgt_n"), lit(0L))), lit(0L))
+          .as("tgt_mass"),
+        coalesce(sum(coalesce(col("raw_n"), lit(0L))), lit(0L))
+          .as("raw_mass"))
       .crossJoin(broadcast(totals))
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("tgt_mass"), lit(0L)).as("tgt_mass"),
-        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
-        when(coalesce(col("raw_mass"), lit(0L)) === 0 ||
-            col("__nt") === 0, lit(null))
+      .select(col("__id").as(idCol),
+        col("n_feats"), col("tgt_mass"), col("raw_mass"),
+        when(col("raw_mass") === 0 || col("__nt") === 0, lit(null))
           .otherwise(round(
             (col("tgt_mass").cast("double") * col("__nr").cast("double")) /
             (col("raw_mass").cast("double") * col("__nt").cast("double")), 6))

@@ -129,19 +129,30 @@ object ExtensionQueries {
     */
   private def xTextGopher(s: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{LineStats, TokenStats}
-    val lines = transform(T.tokenChunks(col("text"), 8, 8),
+    // every lined-rendition stage is PROJECTED before the next consumes
+    // it: each is non-cheap and referenced 2-4× (both branches of its
+    // `when`), so inlining used to duplicate the whole upstream tree
+    // per reference — the token split re-ran per window element and the
+    // duplication compounded stage over stage (~16× the split work)
+    val lines = transform(T.tokenChunksOf(col("__toks"), 8, 8),
       c => array_join(c.getField("toks"), " "))
-    val withDup = when(col("doc_id") % 3 === 0 && size(lines) > 0,
-      concat(lines, slice(lines, 1, 1))).otherwise(lines)
+    val withDup = when(col("doc_id") % 3 === 0 && size(col("__lines")) > 0,
+      concat(col("__lines"), slice(col("__lines"), 1, 1)))
+      .otherwise(col("__lines"))
     val withBullet = when(col("doc_id") % 5 === 0,
-      concat(withDup, array(lit("- bullet item")))).otherwise(withDup)
+      concat(col("__wd"), array(lit("- bullet item")))).otherwise(col("__wd"))
     val withEll = when(col("doc_id") % 7 === 0,
-      concat(withBullet, array(lit("to be continued...")))).otherwise(withBullet)
+      concat(col("__wb"), array(lit("to be continued..."))))
+      .otherwise(col("__wb"))
     def frac(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(den === 0, lit(0.0)).otherwise(
         num.cast("double") / den.cast("double"))
     Tables.documents(s, dir)
+      .withColumn("__toks", T.tokens(col("text")))
+      .withColumn("__lines", lines)
+      .withColumn("__wd", withDup)
+      .withColumn("__wb", withBullet)
       .withColumn("__t2", array_join(withEll, "\n"))
       .withColumn("__l", LineStats.stats(col("__t2")))
       .withColumn("__t", TokenStats.stats(col("__t2"), T.EnWords))
@@ -189,7 +200,9 @@ object ExtensionQueries {
     * survivor verdict and the cleaned text's md5.
     */
   private def xTextC4(s: SparkSession, dir: String): DataFrame = {
-    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+    // token array projected once (the window lambda re-ran the regex
+    // split per 8-token window when handed the inline expression)
+    val lines0 = transform(T.tokenChunksOf(col("__toks"), 8, 8),
       c => array_join(c.getField("toks"), " "))
     val planted = transform(lines0, (l, i) =>
       when((col("doc_id") + i) % 2 === 0, concat(l, lit(".")))
@@ -200,7 +213,9 @@ object ExtensionQueries {
       when(col("doc_id") % 17 === 0,
         lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")))
     Tables.documents(s, dir)
-      .withColumn("__c", T.c4Clean(t2))
+      .withColumn("__toks", T.tokens(col("text")))
+      .withColumn("__t2", t2)
+      .withColumn("__c", T.c4Clean(col("__t2")))
       .select(col("doc_id"),
         col("__c.n_lines").cast("long").as("n_lines"),
         col("__c.n_kept").cast("long").as("n_kept"),
@@ -254,7 +269,8 @@ object ExtensionQueries {
     * counts and the cleaned text's md5.
     */
   private def xTextLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+    // token array projected once — see xTextC4
+    val lines0 = transform(T.tokenChunksOf(col("__toks"), 8, 8),
       c => array_join(c.getField("toks"), " "))
     val t2 = concat(
       when(col("doc_id") % 3 === 0,
@@ -263,7 +279,9 @@ object ExtensionQueries {
       when(col("doc_id") % 5 === 0,
         lit("\nall rights reserved")).otherwise(lit("")))
     graft.operators.CorpusStats.dropDuplicateLines(
-        Tables.documents(s, dir).withColumn("__t2", t2),
+        Tables.documents(s, dir)
+          .withColumn("__toks", T.tokens(col("text")))
+          .withColumn("__t2", t2),
         "doc_id", "__t2", maxDocFreq = 10)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("clean_text")).as("clean_md5"))
@@ -288,7 +306,8 @@ object ExtensionQueries {
     * dropped a partial could not match.
     */
   private def xLinedfIncremental(s: SparkSession, dir: String): DataFrame = {
-    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+    // token array projected once — see xTextC4
+    val lines0 = transform(T.tokenChunksOf(col("__toks"), 8, 8),
       c => array_join(c.getField("toks"), " "))
     val t2 = concat(
       when(col("doc_id") % 3 === 0,
@@ -296,7 +315,9 @@ object ExtensionQueries {
       array_join(lines0, "\n"),
       when(col("doc_id") % 5 === 0,
         lit("\nall rights reserved")).otherwise(lit("")))
-    val docs = Tables.documents(s, dir).withColumn("__t2", t2)
+    val docs = Tables.documents(s, dir)
+      .withColumn("__toks", T.tokens(col("text")))
+      .withColumn("__t2", t2)
     val parts = (0 to 2).map(r =>
       graft.operators.CorpusStats.lineDf(
         docs.where(col("doc_id") % 3 === r), "doc_id", "__t2"))
@@ -315,7 +336,8 @@ object ExtensionQueries {
     * dropped) rather than lingering at zero.
     */
   private def xLinedfRetract(s: SparkSession, dir: String): DataFrame = {
-    val lines0 = transform(T.tokenChunks(col("text"), 8, 8),
+    // token array projected once — see xTextC4
+    val lines0 = transform(T.tokenChunksOf(col("__toks"), 8, 8),
       c => array_join(c.getField("toks"), " "))
     val t2 = concat(
       when(col("doc_id") % 3 === 0,
@@ -323,7 +345,9 @@ object ExtensionQueries {
       array_join(lines0, "\n"),
       when(col("doc_id") % 5 === 0,
         lit("\nall rights reserved")).otherwise(lit("")))
-    val docs = Tables.documents(s, dir).withColumn("__t2", t2)
+    val docs = Tables.documents(s, dir)
+      .withColumn("__toks", T.tokens(col("text")))
+      .withColumn("__t2", t2)
     val full = graft.operators.CorpusStats.lineDf(docs, "doc_id", "__t2")
     val part0 = graft.operators.CorpusStats.lineDf(
       docs.where(col("doc_id") % 3 === 0), "doc_id", "__t2")
@@ -397,9 +421,11 @@ object ExtensionQueries {
         docs.where(col("doc_id") % 4 === r), "text", depth, width))
     val sketch = graft.operators.CorpusStats.mergeStats(
       parts, Seq("d", "bucket"), Seq("n"))
+    // Σ size(tokens) ≡ count of the exploded rows (explode drops empty
+    // arrays; they add 0 to the sum) without generating the row mass
     val total = docs
-      .select(explode(T.tokens(col("text"))).as("t"))
-      .count()
+      .agg(coalesce(sum(size(T.tokens(col("text"))).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
     val threshold = (total + 63L) / 64L
     graft.operators.CorpusStats.heavyHittersWith(
         docs, "text", sketch, depth, width, math.max(threshold, 1L))
@@ -436,9 +462,10 @@ object ExtensionQueries {
         _, "text", depth, width)),
       Seq("d", "bucket"), Seq("n"))
     val today = docs.where(col("doc_id") % 4 === 3)
+    // Σ size(tokens) ≡ exploded-row count — see xSketchHeavy
     val total = docs
-      .select(explode(T.tokens(col("text"))).as("t"))
-      .count()
+      .agg(coalesce(sum(size(T.tokens(col("text"))).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
     val threshold = math.max((total + 63L) / 64L, 1L)
     graft.operators.CorpusStats.heavyHittersOverStream(
         today, "text", histCounts, sketch, depth, width, threshold)
@@ -559,8 +586,10 @@ object ExtensionQueries {
     */
   private def xTextChunks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("__toks", T.tokens(col("text")))
       .select(col("doc_id"),
-        posexplode(T.tokenChunks(col("text"), 64, 48)).as(Seq("chunk_ix", "c")))
+        posexplode(T.tokenChunksOf(col("__toks"), 64, 48))
+          .as(Seq("chunk_ix", "c")))
       .select(col("doc_id"),
         col("chunk_ix").cast("long").as("chunk_ix"),
         col("c.start").cast("long").as("chunk_start"),
@@ -769,10 +798,12 @@ object ExtensionQueries {
     val docs = Tables.documents(s, dir)
     // batched learner: identical list to the sequential reference
     // (pinned in BpeSpec), so the oracle gate exercises the production
-    // training path end-to-end
-    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
-    bpeTokenMerges = merges
-    graft.operators.Bpe.subwordCounts(docs, "doc_id", "text", merges)
+    // training path end-to-end; the trained word table feeds the
+    // encode's distinct-word set (one corpus-token shuffle saved)
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 10)
+    bpeTokenMerges = trained.merges
+    graft.operators.Bpe.subwordCounts(docs, "doc_id", "text",
+        trained.merges, distinctWords = Some(trained.words))
       .orderBy("doc_id")
   }
 
@@ -798,11 +829,16 @@ object ExtensionQueries {
     */
   private def xBpeIds(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
-    val voc = graft.operators.Bpe.vocab(docs, "text", merges)
-    bpeIdMerges = merges
+    // train → vocab → encode share one corpus pass: the vocab assembles
+    // from the trained alphabet (no second scan) and the encode reuses
+    // the trained word table (no corpus-token distinct)
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabFromAlphabet(
+      trained.alphabet, trained.merges)
+    bpeIdMerges = trained.merges
     bpeIdVocab = voc
-    graft.operators.Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+    graft.operators.Bpe.encodeIds(docs, "doc_id", "text",
+        trained.merges, voc, distinctWords = Some(trained.words))
       .select(col("doc_id"), col("n_ids"),
         array_join(transform(col("ids"), i => i.cast("string")), " ")
           .as("ids_str"))
@@ -841,11 +877,24 @@ object ExtensionQueries {
     * vocab ids shifted +256 and one extra replace per out-of-alphabet
     * code point rewriting its anchor to the literal byte ids.
     */
+  /** The augmented corpus's distinct-word set: the trained word table
+    * plus the probe token (appended whitespace-separated to every doc,
+    * so it is always its own word) — covers every word of `aug` by
+    * construction, letting the encode skip its corpus-token distinct.
+    */
+  private def wordsWithProbe(s: SparkSession,
+      trained: graft.operators.Bpe.TrainedBpe): DataFrame = {
+    import s.implicits._
+    trained.words.select(col("word"))
+      .union(Seq(bpeBfProbe).toDF("word")).distinct()
+  }
+
   private def xBpeByteFallback(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
-    val voc = graft.operators.Bpe.vocabWithBytes(docs, "text", merges)
-    bpeBfMerges = merges
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabWithBytesFromAlphabet(
+      trained.alphabet, trained.merges)
+    bpeBfMerges = trained.merges
     bpeBfVocab = voc.drop(256)
     val known = voc.map(_._2).toSet
     bpeBfUnknown = bpeBfProbe.codePoints().toArray.toSeq
@@ -854,8 +903,9 @@ object ExtensionQueries {
       .map(c => (c, c.getBytes("UTF-8").toSeq.map(_ & 0xFF)))
     val aug = docs.withColumn("text",
       concat_ws(" ", col("text"), lit(bpeBfProbe)))
-    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", merges, voc,
-        byteFallback = true)
+    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", trained.merges,
+        voc, byteFallback = true,
+        distinctWords = Some(wordsWithProbe(s, trained)))
       .select(col("doc_id"), col("n_ids"),
         array_join(transform(col("ids"), i => i.cast("string")), " ")
           .as("ids_str"))
@@ -874,12 +924,14 @@ object ExtensionQueries {
     */
   private def xBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
-    val voc = graft.operators.Bpe.vocabWithBytes(docs, "text", merges)
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabWithBytesFromAlphabet(
+      trained.alphabet, trained.merges)
     val aug = docs.withColumn("text",
       concat_ws(" ", col("text"), lit(bpeBfProbe)))
-    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", merges, voc,
-        byteFallback = true)
+    graft.operators.Bpe.encodeIds(aug, "doc_id", "text", trained.merges,
+        voc, byteFallback = true,
+        distinctWords = Some(wordsWithProbe(s, trained)))
       .select(col("doc_id"),
         graft.operators.Bpe.decodeCol(col("ids"), voc, byteFallback = true)
           .as("decoded"))
@@ -908,14 +960,16 @@ object ExtensionQueries {
     */
   private def xBpeBinIds(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMergesBatched(docs, "text", 10)
-    val voc = graft.operators.Bpe.vocab(docs, "text", merges)
-    bpeBinMerges = merges
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 10)
+    val voc = graft.operators.Bpe.vocabFromAlphabet(
+      trained.alphabet, trained.merges)
+    bpeBinMerges = trained.merges
     bpeBinVocab = voc
     // materialized: binIdSequences references enc twice (placement +
     // ids join); a lazy encode DAG would run twice. A real pipeline
     // stores the encoded corpus; the oracle harness checkpoints it.
-    val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", merges, voc)
+    val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text",
+        trained.merges, voc, distinctWords = Some(trained.words))
       .localCheckpoint(true)
     graft.operators.Packing.binIdSequences(enc, "doc_id",
         budget = 64, nShards = 4)
