@@ -54,6 +54,20 @@ object CorpusStats {
         explode(array_distinct(T.tokens(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("token_df"))
 
+  /** Every batch's [[tokenDf]] partial in ONE corpus pass: group by
+    * (token, batch) instead of scanning the corpus once per batch.
+    * `where(batch === r)` slices are byte-identical to
+    * `tokenDf(docs.where(batch === r), …)` when `batch` assigns each
+    * document exactly one value — MATERIALIZE the (vocab × batches)
+    * result (localCheckpoint) before slicing, or each slice re-runs
+    * the pass it was built to share.
+    */
+  def tokenDfBy(docs: DataFrame, idCol: String, textCol: String,
+      batch: Column): DataFrame =
+    docs.select(col(idCol).as("__id"), batch.as("batch"),
+        explode(array_distinct(T.tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"), col("batch")).agg(count(lit(1)).as("token_df"))
+
   /** Additive merge of per-batch [[tokenDf]] partials — exact iff the
     * batches partition the document space (each document counted in
     * exactly one batch). Oracle-checked as `x_tokendf_incremental`
@@ -186,6 +200,18 @@ object CorpusStats {
       .select(explode(bigramPairs(col("__toks"))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.bg").as("bg"))
       .groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("n"))
+
+  /** Every batch's [[bigramCounts]] partial in ONE reference pass —
+    * group by (w1, bg, batch). Same materialize-before-slicing
+    * contract as [[tokenDfBy]].
+    */
+  def bigramCountsBy(refDocs: DataFrame, textCol: String,
+      batch: Column): DataFrame =
+    refDocs.select(batch.as("batch"), T.tokens(col(textCol)).as("__toks"))
+      .select(col("batch"), explode(bigramPairs(col("__toks"))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.bg").as("bg"), col("batch"))
+      .groupBy(col("w1"), col("bg"), col("batch"))
+      .agg(count(lit(1)).as("n"))
 
   /** Additive merge of per-batch [[bigramCounts]] partials — exact iff
     * the batches partition the reference-document space. Plain
@@ -527,6 +553,20 @@ object CorpusStats {
       .groupBy(col("line_key"))
       .agg(countDistinct(col("__id")).as("line_df"))
 
+  /** Every batch's [[lineDf]] partial in ONE corpus pass — group by
+    * (line_key, batch); per-batch distinct-doc counts stay exact
+    * because a document carries exactly one batch value. Same
+    * materialize-before-slicing contract as [[tokenDfBy]].
+    */
+  def lineDfBy(docs: DataFrame, idCol: String, textCol: String,
+      batch: Column): DataFrame =
+    docs.select(col(idCol).as("__id"), batch.as("batch"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__id"), col("batch"), trim(col("__line")).as("line_key"))
+      .where(col("line_key") =!= "")
+      .groupBy(col("line_key"), col("batch"))
+      .agg(countDistinct(col("__id")).as("line_df"))
+
   /** Additive merge of per-batch [[lineDf]] partials — one union +
     * one sum per line key. EXACT precondition: the batches must
     * PARTITION the document space (every document in exactly one
@@ -682,6 +722,16 @@ object CorpusStats {
     docs.select(explode(T.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
+  /** Every batch's [[tokenCounts]] partial in ONE corpus pass — group
+    * by (token, batch). Same materialize-before-slicing contract as
+    * [[tokenDfBy]]; the full-corpus table is the slices' per-token sum.
+    */
+  def tokenCountsBy(docs: DataFrame, textCol: String,
+      batch: Column): DataFrame =
+    docs.select(batch.as("batch"),
+        explode(T.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("batch")).agg(count(lit(1)).as("n"))
+
   /** Per-source corpus-composition tallies — the SEVENTH maintained
     * shape, and the one the SELECTION family consumes: doc count,
     * token mass, and character mass per source, additive over disjoint
@@ -710,10 +760,29 @@ object CorpusStats {
         sum(T.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(col(charsCol).cast("long")).as("char_mass"))
 
+  /** Every batch's [[sourceTallies]] partial in ONE corpus pass —
+    * group by (source, batch). Same materialize-before-slicing
+    * contract as [[tokenDfBy]].
+    */
+  def sourceTalliesBy(docs: DataFrame, sourceCol: String, textCol: String,
+      charsCol: String, batch: Column): DataFrame =
+    docs.groupBy(col(sourceCol).as("source"), batch.as("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(col(charsCol).cast("long")).as("char_mass"))
+
   def countMinSketch(docs: DataFrame, textCol: String, depth: Int,
+      width: Int): DataFrame =
+    countMinSketchOf(tokenCounts(docs, textCol), depth, width)
+
+  /** [[countMinSketch]] from an ALREADY-AGGREGATED (token, n) table —
+    * the vocab-sized half, factored so callers that maintain exact
+    * token counts anyway (e.g. per-batch [[tokenCountsBy]] partials)
+    * build the sketch without a second corpus tokenization.
+    */
+  def countMinSketchOf(tokCnt: DataFrame, depth: Int,
       width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2, s"countMinSketch($depth, $width)")
-    val tokCnt = tokenCounts(docs, textCol)
+    require(depth >= 1 && width >= 2, s"countMinSketchOf($depth, $width)")
     val base = H.md5Mod(col("token"))
     tokCnt
       .select(col("n"), posexplode(array(
@@ -793,15 +862,24 @@ object CorpusStats {
     *         the plain `HAVING count ≥ threshold` on any input
     */
   def heavyHittersWith(docs: DataFrame, textCol: String, sketch: DataFrame,
+      depth: Int, width: Int, threshold: Long): DataFrame =
+    heavyHittersWithCounts(tokenCounts(docs, textCol), sketch,
+      depth, width, threshold)
+
+  /** [[heavyHittersWith]] from an ALREADY-AGGREGATED exact (token, n)
+    * table of the SAME corpus: the sketch screen keeps its
+    * no-false-negative shape (est ≥ exact, so `n_est ≥ threshold`
+    * passes every true heavy hitter) and the exact confirm is the
+    * table's own count — the former distinct + semi-join + recount
+    * collapse into one vocab-sized filter. Output is the plain
+    * `HAVING n ≥ threshold` on any input, exactly as before.
+    */
+  def heavyHittersWithCounts(tokCnt: DataFrame, sketch: DataFrame,
       depth: Int, width: Int, threshold: Long): DataFrame = {
     require(threshold >= 1, s"threshold=$threshold")
-    val toks = docs.select(explode(T.tokens(col(textCol))).as("token"))
-    val cands = countMinEstimateWith(toks.distinct(), "token",
-        sketch, depth, width)
-      .where(col("n_est") >= threshold).select(col("token"))
-    toks.join(cands, Seq("token"), "left_semi")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= threshold)
+    countMinEstimateWith(tokCnt, "token", sketch, depth, width)
+      .where(col("n_est") >= threshold && col("n") >= threshold)
+      .select(col("token"), col("n"))
   }
 
   /** Heavy hitters OVER THE WHOLE STREAM — the honest all-history
@@ -858,9 +936,19 @@ object CorpusStats {
     */
   def heavyHittersOverStream(docs: DataFrame, textCol: String,
       history: DataFrame, sketch: DataFrame, depth: Int, width: Int,
+      threshold: Long): DataFrame =
+    heavyHittersOverStreamCounts(tokenCounts(docs, textCol), history,
+      sketch, depth, width, threshold)
+
+  /** [[heavyHittersOverStream]] from the batch's ALREADY-AGGREGATED
+    * exact (token, n) table — for callers whose fold already computed
+    * it (e.g. a [[tokenCountsBy]] slice), saving the batch
+    * tokenization. Identical composition from there on.
+    */
+  def heavyHittersOverStreamCounts(batch: DataFrame,
+      history: DataFrame, sketch: DataFrame, depth: Int, width: Int,
       threshold: Long): DataFrame = {
     require(threshold >= 1, s"threshold=$threshold")
-    val batch = tokenCounts(docs, textCol)
     val batchCands = countMinEstimateWith(batch, "token", sketch,
         depth, width)
       .where(col("n_est") + col("n") >= threshold)

@@ -540,6 +540,25 @@ object Sampling {
         count(lit(1)).as("raw_n"))
   }
 
+  /** Every batch's [[dsirModel]] partial in ONE corpus pass — group by
+    * (bucket, batch). `where(batch === r)` slices are byte-identical
+    * to per-batch [[dsirModel]] calls when `batch` assigns each doc
+    * exactly one value; MATERIALIZE (localCheckpoint) before slicing
+    * or each slice re-runs the shared pass.
+    */
+  def dsirModelBy(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, targetPredicate: Column, batch: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    docs.select(targetPredicate.as("__is_tgt"), batch.as("batch"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__is_tgt"), col("batch"),
+        explode(dsirFeatures(col("__toks"), buckets)).as("bucket"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("tgt_n"),
+        count(lit(1)).as("raw_n"))
+  }
+
   /** Additive merge of per-batch [[dsirModel]] partials — exact iff
     * the batches partition the document space. Union + two sums over
     * a ≤ `buckets`-row table.

@@ -318,9 +318,15 @@ object ExtensionQueries {
     val docs = Tables.documents(s, dir)
       .withColumn("__toks", T.tokens(col("text")))
       .withColumn("__t2", t2)
+    // all three per-batch partials from ONE corpus pass, materialized
+    // vocab-sized ([[CorpusStats.lineDfBy]]) — the slices are
+    // byte-identical to per-batch lineDf calls, so the fold path under
+    // proof is untouched; the corpus just isn't rescanned per batch
+    val byBatch = graft.operators.CorpusStats.lineDfBy(
+      docs, "doc_id", "__t2", col("doc_id") % 3).localCheckpoint(true)
     val parts = (0 to 2).map(r =>
-      graft.operators.CorpusStats.lineDf(
-        docs.where(col("doc_id") % 3 === r), "doc_id", "__t2"))
+      byBatch.where(col("batch") === r).select(col("line_key"),
+        col("line_df")))
     graft.operators.CorpusStats.mergeLineDf(parts)
       .where(col("line_df") >= 2)
       .orderBy("line_key")
@@ -348,10 +354,17 @@ object ExtensionQueries {
     val docs = Tables.documents(s, dir)
       .withColumn("__toks", T.tokens(col("text")))
       .withColumn("__t2", t2)
-    val full = graft.operators.CorpusStats.lineDf(docs, "doc_id", "__t2")
-    val part0 = graft.operators.CorpusStats.lineDf(
-      docs.where(col("doc_id") % 3 === 0), "doc_id", "__t2")
-    graft.operators.CorpusStats.retractStats(full, part0,
+    // full table and the retracted batch share ONE corpus pass
+    // ([[CorpusStats.lineDfBy]]): full = the three disjoint partials
+    // folded (≡ lineDf(docs) — per-batch distinct-doc counts add),
+    // part0 = the batch-0 slice (≡ lineDf(batch 0))
+    val byBatch = graft.operators.CorpusStats.lineDfBy(
+      docs, "doc_id", "__t2", col("doc_id") % 3).localCheckpoint(true)
+    val parts = (0 to 2).map(r =>
+      byBatch.where(col("batch") === r).select(col("line_key"),
+        col("line_df")))
+    val full = graft.operators.CorpusStats.mergeLineDf(parts)
+    graft.operators.CorpusStats.retractStats(full, parts(0),
         Seq("line_key"), Seq("line_df"))
       .where(col("line_df") >= 2)
       .orderBy("line_key")
@@ -366,9 +379,13 @@ object ExtensionQueries {
     */
   private def xTokendfIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // four per-batch partials from ONE corpus pass — see
+    // xLinedfIncremental for the shape and the equivalence argument
+    val byBatch = graft.operators.CorpusStats.tokenDfBy(
+      docs, "doc_id", "text", col("doc_id") % 4).localCheckpoint(true)
     val parts = (0 to 3).map(r =>
-      graft.operators.CorpusStats.tokenDf(
-        docs.where(col("doc_id") % 4 === r), "doc_id", "text"))
+      byBatch.where(col("batch") === r).select(col("token"),
+        col("token_df")))
     graft.operators.CorpusStats.mergeTokenDf(parts)
       .orderBy("token")
   }
@@ -389,13 +406,22 @@ object ExtensionQueries {
   private def xSketchCountmin(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (depth, width) = (3, 64)
+    // the four per-batch sketches AND the exact counts all derive from
+    // ONE materialized (token, batch, n) pass ([[CorpusStats
+    // .tokenCountsBy]]): each batch slice is byte-identical to the
+    // per-batch tokenization it replaces, sketches build from the
+    // vocab-sized slices ([[CorpusStats.countMinSketchOf]]), and the
+    // exact table is the slices' sum — 5 corpus tokenizations → 1
+    val byBatch = graft.operators.CorpusStats.tokenCountsBy(
+      docs, "text", col("doc_id") % 4).localCheckpoint(true)
     val parts = (0 to 3).map(r =>
-      graft.operators.CorpusStats.countMinSketch(
-        docs.where(col("doc_id") % 4 === r), "text", depth, width))
+      graft.operators.CorpusStats.countMinSketchOf(
+        byBatch.where(col("batch") === r).select(col("token"), col("n")),
+        depth, width))
     val sketch = graft.operators.CorpusStats.mergeStats(
       parts, Seq("d", "bucket"), Seq("n"))
-    val exact = docs.select(explode(T.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val exact = byBatch.groupBy(col("token"))
+      .agg(sum(col("n")).as("n_exact"))
     graft.operators.CorpusStats.countMinEstimateWith(
         exact, "token", sketch, depth, width)
       .select(col("token"), col("n_est"), col("n_exact"))
@@ -416,19 +442,25 @@ object ExtensionQueries {
   private def xSketchHeavy(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (depth, width) = (3, 64)
+    // sketches, corpus token total AND the screen/confirm counts all
+    // derive from ONE materialized (token, batch, n) pass — see
+    // xSketchCountmin; the total is the table's Σn (≡ exploded-row
+    // count), and the confirm reads exact counts instead of
+    // re-tokenizing ([[CorpusStats.heavyHittersWithCounts]])
+    val byBatch = graft.operators.CorpusStats.tokenCountsBy(
+      docs, "text", col("doc_id") % 4).localCheckpoint(true)
     val parts = (0 to 3).map(r =>
-      graft.operators.CorpusStats.countMinSketch(
-        docs.where(col("doc_id") % 4 === r), "text", depth, width))
+      graft.operators.CorpusStats.countMinSketchOf(
+        byBatch.where(col("batch") === r).select(col("token"), col("n")),
+        depth, width))
     val sketch = graft.operators.CorpusStats.mergeStats(
       parts, Seq("d", "bucket"), Seq("n"))
-    // Σ size(tokens) ≡ count of the exploded rows (explode drops empty
-    // arrays; they add 0 to the sum) without generating the row mass
-    val total = docs
-      .agg(coalesce(sum(size(T.tokens(col("text"))).cast("long")), lit(0L)))
+    val total = byBatch.agg(coalesce(sum(col("n")), lit(0L)))
       .collect()(0).getLong(0)
     val threshold = (total + 63L) / 64L
-    graft.operators.CorpusStats.heavyHittersWith(
-        docs, "text", sketch, depth, width, math.max(threshold, 1L))
+    val exact = byBatch.groupBy(col("token")).agg(sum(col("n")).as("n"))
+    graft.operators.CorpusStats.heavyHittersWithCounts(
+        exact, sketch, depth, width, math.max(threshold, 1L))
       .orderBy("token")
   }
 
@@ -453,22 +485,25 @@ object ExtensionQueries {
   private def xSketchHeavyStream(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (depth, width) = (3, 64)
-    val hist = (0 to 2).map(r => docs.where(col("doc_id") % 4 === r))
+    // the three history tokenCounts partials, the three history
+    // sketches, today's batch counts and the stream total all derive
+    // from ONE materialized (token, batch, n) pass — see
+    // xSketchCountmin for the slice-equivalence argument
+    val byBatch = graft.operators.CorpusStats.tokenCountsBy(
+      docs, "text", col("doc_id") % 4).localCheckpoint(true)
+    def slice(r: Int) = byBatch.where(col("batch") === r)
+      .select(col("token"), col("n"))
     val histCounts = graft.operators.CorpusStats.mergeStats(
-      hist.map(graft.operators.CorpusStats.tokenCounts(_, "text")),
-      Seq("token"), Seq("n"))
+      (0 to 2).map(slice), Seq("token"), Seq("n"))
     val sketch = graft.operators.CorpusStats.mergeStats(
-      hist.map(graft.operators.CorpusStats.countMinSketch(
-        _, "text", depth, width)),
+      (0 to 2).map(r => graft.operators.CorpusStats.countMinSketchOf(
+        slice(r), depth, width)),
       Seq("d", "bucket"), Seq("n"))
-    val today = docs.where(col("doc_id") % 4 === 3)
-    // Σ size(tokens) ≡ exploded-row count — see xSketchHeavy
-    val total = docs
-      .agg(coalesce(sum(size(T.tokens(col("text"))).cast("long")), lit(0L)))
+    val total = byBatch.agg(coalesce(sum(col("n")), lit(0L)))
       .collect()(0).getLong(0)
     val threshold = math.max((total + 63L) / 64L, 1L)
-    graft.operators.CorpusStats.heavyHittersOverStream(
-        today, "text", histCounts, sketch, depth, width, threshold)
+    graft.operators.CorpusStats.heavyHittersOverStreamCounts(
+        slice(3), histCounts, sketch, depth, width, threshold)
       .orderBy("token")
   }
 
@@ -485,10 +520,14 @@ object ExtensionQueries {
     */
   private def xBigramlmIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // three per-batch model partials from ONE reference pass — see
+    // xLinedfIncremental for the shape and the equivalence argument
+    val byBatch = graft.operators.CorpusStats.bigramCountsBy(
+      docs.where(col("lang") === "en"), "text", col("doc_id") % 3)
+      .localCheckpoint(true)
     val parts = (0 to 2).map(r =>
-      graft.operators.CorpusStats.bigramCounts(
-        docs.where(col("lang") === "en" && col("doc_id") % 3 === r),
-        "doc_id", "text"))
+      byBatch.where(col("batch") === r).select(col("w1"), col("bg"),
+        col("n")))
     graft.operators.CorpusStats.bigramLmWith(docs, "doc_id", "text",
         graft.operators.CorpusStats.mergeBigramCounts(parts))
       .orderBy("doc_id")
@@ -536,6 +575,12 @@ object ExtensionQueries {
     */
   private def xLangidTrained(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // per-batch partials DELIBERATELY kept as separate passes (unlike
+    // xLinedfIncremental's shared-pass rewrite): here no partial is
+    // referenced twice and the merged model is already materialized
+    // once, so a (lang, gram, batch) checkpoint only ADDS a second
+    // vocab-sized materialization — measured +60% on the isolated
+    // A/B/A probe (bench_evidence/r17_b2_langid_probe_*.json), reverted
     val parts = (0 to 2).map(r =>
       graft.operators.CorpusStats.langProfiles(
         docs.where(col("doc_id") % 3 === r), "lang", "text"))
@@ -1058,9 +1103,14 @@ object ExtensionQueries {
     val docs = Tables.documents(s, dir)
     val keys = Seq("source")
     val counts = Seq("n_docs", "n_tokens", "char_mass")
+    // four per-batch tally partials from ONE corpus pass — see
+    // xLinedfIncremental for the shape and the equivalence argument
+    val byBatch = graft.operators.CorpusStats.sourceTalliesBy(
+      docs, "source", "text", "n_chars", col("doc_id") % 4)
+      .localCheckpoint(true)
     val parts = (0 to 3).map(r =>
-      graft.operators.CorpusStats.sourceTallies(
-        docs.where(col("doc_id") % 4 === r), "source", "text", "n_chars"))
+      byBatch.where(col("batch") === r)
+        .select((keys ++ counts).map(col): _*))
     val folded = graft.operators.CorpusStats.mergeStats(parts, keys, counts)
     val maintained = graft.operators.CorpusStats.retractStats(
       folded, parts(1), keys, counts)
@@ -1108,6 +1158,12 @@ object ExtensionQueries {
     */
   private def xSelectQuantileIncremental(s: SparkSession,
       dir: String): DataFrame = {
+    // (doc_id, quality_pm) materialized ONCE (narrow, doc-count-sized):
+    // the four histogram partials and the final classification used to
+    // each re-run the TokenStats kernel over the corpus — 5 quality
+    // passes → 1. The fold path (qualityHistogram with its per-mille
+    // guard, mergeStats, retractStats, quantileThresholdWith) is
+    // untouched.
     val q = Tables.documents(s, dir)
       .withColumn("__st",
         graft.expressions.TokenStats.stats(col("text"), T.EnWords))
@@ -1115,6 +1171,8 @@ object ExtensionQueries {
         when(col("__st.n_tokens") === 0, lit(0L)).otherwise(
           floor(col("__st.n_dict").cast("double") * 1000.0 /
             col("__st.n_tokens").cast("double")).cast("long")))
+      .select(col("doc_id"), col("quality_pm"))
+      .localCheckpoint(true)
     val parts = (0 to 3).map(r =>
       graft.operators.Sampling.qualityHistogram(
         q.where(col("doc_id") % 4 === r), col("quality_pm")))
@@ -1177,10 +1235,14 @@ object ExtensionQueries {
     */
   private def xDsirIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // four per-batch model partials from ONE corpus feature pass — see
+    // xLinedfIncremental for the shape and the equivalence argument
+    val byBatch = graft.operators.Sampling.dsirModelBy(
+      docs, "text", col("lang") === "en", col("doc_id") % 4,
+      buckets = 4096).localCheckpoint(true)
     val parts = (0 to 3).map(r =>
-      graft.operators.Sampling.dsirModel(
-        docs.where(col("doc_id") % 4 === r), "doc_id", "text",
-        col("lang") === "en", buckets = 4096))
+      byBatch.where(col("batch") === r).select(col("bucket"),
+        col("tgt_n"), col("raw_n")))
     graft.operators.Sampling.dsirWeightsWith(docs, "doc_id", "text",
         graft.operators.Sampling.mergeDsirModel(parts), buckets = 4096)
       .orderBy("doc_id")

@@ -416,20 +416,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian products")
   }
 
-  test("incremental stats merge: per-batch partials keep their two-phase " +
-    "count-distinct, the merge partial-sums, nothing single-partitions") {
+  test("incremental stats merge: partials come from ONE materialized " +
+    "shared pass, the merge partial-sums, nothing single-partitions") {
     for (name <- Seq("x_linedf_incremental", "x_tokendf_incremental")) {
       val p = plan(name)
-      // each disjoint batch's df partial is two-phase with a map-side
-      // partial before the key exchange; lineDf dedups docs via
-      // count-distinct, tokenDf dedups IN-ROW (array_distinct before
-      // the explode) so its partial is a plain count
-      if (name == "x_linedf_incremental")
-        assert(p.contains("partial_count(distinct"),
-          s"$name: batch partial lost its two-phase count-distinct:\n$p")
-      else
-        assert(p.contains("partial_count(1)") && p.contains("array_distinct"),
-          s"$name: batch partial lost in-row dedup + two-phase count:\n$p")
+      // round-17: the per-batch partials are slices of one materialized
+      // (key, batch, n) pass — the final plan reads the checkpoint
+      // (ExistingRDD), never re-derives a batch from the corpus
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: partials must slice the materialized shared pass:\n$p")
+      assert(!p.contains("FileScan parquet"),
+        s"$name: the merge must not rescan the corpus per batch:\n$p")
       // the additive merge is union + partial-summed aggregation
       assert(p.contains("Union"), s"$name: merge lost its union:\n$p")
       assert(p.contains("partial_sum"),
@@ -440,6 +437,22 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: nothing in the merge may single-partition:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: no cartesian products")
     }
+    // the shared pass itself keeps the partials' aggregation shape:
+    // lineDfBy dedups docs via two-phase count-distinct per (key,
+    // batch); tokenDfBy dedups IN-ROW (array_distinct before the
+    // explode) so its partial is a plain count
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val lp = graft.operators.CorpusStats
+      .lineDfBy(docs, "doc_id", "text", col("doc_id") % 3)
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("partial_count(distinct"),
+      s"lineDfBy lost its two-phase count-distinct:\n$lp")
+    val tp = graft.operators.CorpusStats
+      .tokenDfBy(docs, "doc_id", "text", col("doc_id") % 4)
+      .queryExecution.executedPlan.toString
+    assert(tp.contains("partial_count(1)") && tp.contains("array_distinct"),
+      s"tokenDfBy lost in-row dedup + two-phase count:\n$tp")
   }
 
   test("bm25 search: the corpus never hash-shuffles — top-k via " +
