@@ -383,25 +383,27 @@ object CorpusStats {
     val langs = totals.keys.toSeq.sorted
     val piv = model.groupBy(col("gram"))
       .pivot("lang", langs).sum("n").na.fill(0L)
+    // OUTER gram explode: a too-short doc survives as one null-gram
+    // row, so ONE aggregate yields n_grams (count of real grams — the
+    // same len-(n-1) arithmetic the former map-only leg computed) AND
+    // the per-language hit sums; the former separate n_grams corpus
+    // pass and the doc-sized join between the two legs are gone. The
+    // model join is LEFT so un-modeled grams still count toward
+    // n_grams; they add no hit mass (their pivot columns are NULL,
+    // which sum() skips), exactly like the inner join they replace.
     val grams = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .where(length(col("__t")) >= n)
       .select(col("__id"), split(col("__t"), "").as("__cs"),
         length(col("__t")).as("__len"))
       .select(col("__id"),
-        explode(charGramsOf(col("__cs"), col("__len"), n)).as("gram"))
-    // n_grams is pure arithmetic — len - (n-1) for len ≥ n, else 0 —
-    // so the doc-count leg needs NO gram explode (removes one full
-    // corpus pass from every scoring run; the pivot-hit leg below is
-    // the only explode)
-    val ng = docs.select(col(idCol).as("__id"),
-      when(length(col(textCol)) >= n,
-        (length(col(textCol)) - (n - 1)).cast("long"))
-        .otherwise(lit(0L)).as("n_grams"))
-    val sums = grams.join(piv, Seq("gram"))
+        explode_outer(when(col("__len") >= n,
+          charGramsOf(col("__cs"), col("__len"), n))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val aggs = count(col("gram")).as("n_grams") +:
+      langs.zipWithIndex.map { case (l, i) =>
+        sum(col(s"`$l`")).as(s"__h_$i") }
+    val sums = grams.join(piv, Seq("gram"), "left")
       .groupBy(col("__id"))
-      .agg(sum(col(s"`${langs.head}`")).as("__h_0"),
-        langs.tail.zipWithIndex.map { case (l, i) =>
-          sum(col(s"`$l`")).as(s"__h_${i + 1}") }: _*)
+      .agg(aggs.head, aggs.tail: _*)
     val scored = langs.indices.foldLeft(sums) { (df, i) =>
       df.withColumn(s"__s_$i",
         col(s"__h_$i").cast("double") / lit(totals(langs(i))).cast("double"))
@@ -414,19 +416,17 @@ object CorpusStats {
         .when(a.getField("lang") < b.getField("lang"), -1)
         .when(a.getField("lang") > b.getField("lang"), 1)
         .otherwise(0)
-    val best = scored.withColumn("__best",
+    // a doc with NO model hit has every __h_i NULL (all-or-nothing:
+    // one hit row fills every pivot column via na.fill(0)) — it
+    // predicts 'und' with a NULL score, as before
+    scored.withColumn("__best",
         element_at(array_sort(arr, cmp), 1))
-      .select(col("__id"), col("__best.lang").as("lang"),
-        col("__best.s").as("__score"))
-    // `ng` already carries EVERY input doc (it is a map-only projection
-    // of `docs`), so it IS the join-back spine — the former extra
-    // `docs.select(idCol)` left join re-scanned the corpus and paid a
-    // doc-sized sort-merge join for rows `ng` already had
-    ng.join(best, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         col("n_grams"),
-        coalesce(col("lang"), lit("und")).as("lang_pred"),
-        round(col("__score"), 6).as("lang_score"))
+        when(col("__h_0").isNull, lit("und"))
+          .otherwise(col("__best.lang")).as("lang_pred"),
+        round(when(col("__h_0").isNull, lit(null))
+          .otherwise(col("__best.s")), 6).as("lang_score"))
   }
 
   /** [[langClassifyWith]] against profiles trained on the input's own
