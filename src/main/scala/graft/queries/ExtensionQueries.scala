@@ -1197,6 +1197,11 @@ object ExtensionQueries {
     * three-level cum decomposition is exercised even at sf0.001.
     */
   private def xSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    // narrow (doc_id, quality, tokens) projection materialized ONCE —
+    // the operator scans its input 4× by documented design (pre-flight
+    // strata count + stratum sums + bucket sums + rows), which re-ran
+    // the TokenStats kernel corpus-wide each time; its own cost note
+    // says to pre-materialize an expensive quality signal
     val base = Tables.documents(s, dir)
       .withColumn("__st",
         graft.expressions.TokenStats.stats(col("text"), T.EnWords))
@@ -1204,8 +1209,11 @@ object ExtensionQueries {
         when(col("__st.n_tokens") === 0, lit(0L)).otherwise(
           floor(col("__st.n_dict").cast("double") * 1000.0 /
             col("__st.n_tokens").cast("double")).cast("long")))
+      .select(col("doc_id"), col("__q"),
+        col("__st.n_tokens").cast("long").as("__nt"))
+      .localCheckpoint(true)
     graft.operators.Sampling.tokenBudgetSelect(base, "doc_id",
-        col("__q"), col("__st.n_tokens").cast("long"),
+        col("__q"), col("__nt"),
         budget = 10000L, buckets = 64)
       .orderBy("doc_id")
   }
