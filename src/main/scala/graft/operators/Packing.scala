@@ -105,22 +105,28 @@ object Packing {
     * deterministic under any partitioning (same trick as the line-
     * dedup rebuild).
     *
-    * `enc` is referenced TWICE (inside the placement and in the ids
-    * join), so pass a MATERIALIZED frame — a stored encoded corpus
-    * (what a real pipeline writes anyway: encode once, pack from
-    * storage) or a checkpointed frame; a lazy encode DAG would run
-    * twice (the same multi-reference class as
-    * `CorpusStats.langClassifyWith`'s model — measured 25.7 → 4.8 s
-    * on the oracle query when its encode was materialized).
+    * `enc` is referenced ONCE (round 17): the ids array RIDES the
+    * placement window instead of being re-attached by a corpus-sized
+    * self-join on idCol — the offsets are identical (empty docs still
+    * occupy their order position and move nothing), the shard shuffle
+    * was carrying the id mass either way, and the former
+    * materialize-`enc`-first requirement disappears with the second
+    * reference (a lazy encode DAG now runs exactly once).
     */
   def binIdSequences(enc: DataFrame, idCol: String, budget: Int,
       nShards: Int): DataFrame = {
     require(budget > 0, s"budget=$budget")
     require(nShards > 0, s"nShards=$nShards")
-    val placed = packPlacement(enc, idCol, col("n_ids"), budget, nShards)
-    placed.join(enc.select(col(idCol), col("ids")), Seq(idCol))
-      .where(col("n_tokens") > 0)
-      .select(col("shard"), col("token_offset"),
+    // packPlacement's window, inlined so `ids` rides it (packPlacement
+    // itself stays the narrow-output placement operator)
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    enc
+      .withColumn("__shard", Sampling.hashBucket(col(idCol), nShards))
+      .withColumn("__nt", coalesce(col("n_ids").cast("long"), lit(0L)))
+      .withColumn("__off", coalesce(sum(col("__nt")).over(w), lit(0L)))
+      .where(col("__nt") > 0)
+      .select(col("__shard").as("shard"), col("__off").as("token_offset"),
         posexplode(col("ids")).as(Seq("__p", "__tid")))
       .select(col("shard"), (col("token_offset") + col("__p")).as("__g"),
         col("__tid"))

@@ -1010,12 +1010,10 @@ object ExtensionQueries {
       trained.alphabet, trained.merges)
     bpeBinMerges = trained.merges
     bpeBinVocab = voc
-    // materialized: binIdSequences references enc twice (placement +
-    // ids join); a lazy encode DAG would run twice. A real pipeline
-    // stores the encoded corpus; the oracle harness checkpoints it.
+    // no materialization needed since round 17: binIdSequences
+    // references enc exactly once (the ids ride the placement window)
     val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text",
         trained.merges, voc, distinctWords = Some(trained.words))
-      .localCheckpoint(true)
     graft.operators.Packing.binIdSequences(enc, "doc_id",
         budget = 64, nShards = 4)
       .select(col("shard"), col("bin"), col("n_ids"),
