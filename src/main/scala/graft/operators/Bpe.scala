@@ -579,6 +579,35 @@ object Bpe {
       merges: Seq[(Int, String, String)],
       vocabIds: Seq[(Int, String)],
       byteFallback: Boolean = false,
+      distinctWords: Option[DataFrame] = None): DataFrame =
+    encodeWordIds(docs, idCol, textCol, merges, vocabIds, byteFallback,
+        distinctWords)
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(when(col("__ids").isNotNull,
+          struct(col("__wpos"), col("__ids"))))),
+        s => s.getField("__ids"))).as("ids"))
+      .select(col(idCol), size(col("ids")).cast("long").as("n_ids"),
+        col("ids"))
+
+  /** WORD-granularity encode rows — [[encodeIds]] before its per-doc
+    * reassembly aggregate: one row per (doc, word position) carrying
+    * that word's id sub-sequence, `(idCol, __wpos, __ids)`. The OUTER
+    * explode keeps a doc with no words as one null-word row
+    * (`__wpos`/`__ids` NULL), so [[encodeIds]]' aggregate needs no
+    * second corpus scan + join-back; a word absent from
+    * `distinctWords` also yields NULL `__ids` (excluded downstream).
+    *
+    * Factored out (round 18) for consumers that never need the per-doc
+    * arrays: [[graft.operators.Packing.binIdSequencesEncoded]] lays
+    * the id stream into context bins directly from these rows, so the
+    * token mass skips [[encodeIds]]' doc-keyed exchange + collect_list
+    * reassembly entirely and crosses ONE shard exchange instead.
+    */
+  def encodeWordIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)],
+      vocabIds: Seq[(Int, String)],
+      byteFallback: Boolean = false,
       distinctWords: Option[DataFrame] = None): DataFrame = {
     require(vocabIds.nonEmpty, "empty vocabulary")
     require(vocabIds.map(_._2).distinct.size == vocabIds.size,
@@ -610,13 +639,7 @@ object Bpe {
         graft.expressions.VocabIds.ids(col("syms"), lookup, byteBase)
           .as("__ids"))
     docWords.join(wordIds, Seq("word"), "left")
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(when(col("__ids").isNotNull,
-          struct(col("__wpos"), col("__ids"))))),
-        s => s.getField("__ids"))).as("ids"))
-      .select(col(idCol), size(col("ids")).cast("long").as("n_ids"),
-        col("ids"))
+      .select(col(idCol), col("__wpos"), col("__ids"))
   }
 
   /** DECODE: token ids back to the text they encode —

@@ -331,33 +331,35 @@ object CorpusStats {
     * on language code ascending. A document with no gram in any
     * profile (or shorter than `n`) predicts 'und' with a NULL score.
     *
-    * Shape at scale — MODEL-PIVOT (round-13, measured at the 500k-doc
-    * decade against the (lang, gram) join form it replaces: 35.3 s vs
-    * 72.0 s cold, 39.9 vs 43.3 warm, outputs bit-identical —
-    * `bench_evidence/r13_langid_pivot_probe.txt`): the model is
-    * pivoted ONCE to one row per gram with one count column per
-    * language (vocab-bounded), so the corpus-gram join emits ONE row
-    * per hit instead of one per (hit × matching language) and the
-    * per-doc aggregate sums |langs| integer columns instead of
-    * shuffling a |langs|×-multiplied row mass — the win GROWS with
-    * model language count (a real langid model carries 50–100+
-    * languages; the joined form multiplies the gram mass by each).
+    * Shape at scale — MAP-ONLY KERNEL (round 18, succeeding the
+    * round-13 model-pivot form, which had already beaten the
+    * (lang, gram) join form 35.3 s vs 72.0 s at the 500k-doc decade —
+    * `bench_evidence/r13_langid_pivot_probe.txt`): the vocab-bounded
+    * model — the same table the pivot shipped to every executor as a
+    * broadcast relation — is collected into one gram → per-language
+    * count map, and every document folds its own grams in ONE
+    * compiled pass ([[graft.expressions.LangGramHits]]). The pivot
+    * form still exploded one row per corpus CHARACTER and re-grouped
+    * them by doc — the kernel deletes that explode, the join, and the
+    * doc-keyed exchange outright; the corpus is scored in a single
+    * map-only scan, and the win GROWS with model language count
+    * (per-gram work is |langs| array adds, no row mass anywhere).
     * The per-doc argmax is an in-row array_sort over |langs| structs
-    * (score desc, language asc — same tie-break as before). One
-    * map-only gram explode; the corpus never shuffles on a skewed
-    * key. Language list and per-language totals are collected
-    * driver-side — model-bounded (|languages| rows), the same class
-    * as a tokenizer's merge list. `model` is still referenced twice
-    * (totals + pivot), so pass a MATERIALIZED table — the maintained
-    * store ([[graft.streaming.StatsMaintenance.readStats]]) or a
-    * checkpointed frame; an expensive lazy training plan would be
+    * (score desc, language asc — same tie-break as before).
+    * Language list, per-language totals and the gram map are
+    * collected driver-side — model-bounded, the same class as a
+    * tokenizer's merge list. `model` is still referenced twice
+    * (totals + gram map), so pass a MATERIALIZED table — the
+    * maintained store ([[graft.streaming.StatsMaintenance.readStats]])
+    * or a checkpointed frame; an expensive lazy training plan would be
     * derived twice (measured 2× at the 500k-doc decade —
     * [[langClassify]] materializes for exactly this reason).
     *
-    * Integer sums are order-independent, so the pivoted aggregation
-    * produces the SAME per-(doc, lang) hit counts — and therefore the
-    * same scores and argmax — as the join form; the swap is proven
-    * output-identical in the probe and re-gated against the oracle.
+    * Integer sums are order-independent, so the kernel fold produces
+    * the SAME per-(doc, lang) hit counts — and therefore the same
+    * scores and argmax — as the pivot and join forms; the swap is
+    * equivalence-pinned in KernelCodegenSpec and re-gated against the
+    * oracle.
     *
     * @return ONLY (idCol, n_grams, lang_pred, lang_score) — join back
     *         on idCol to re-attach other columns.
@@ -381,29 +383,41 @@ object CorpusStats {
         "are not valid language codes ([A-Za-z0-9_-]+) - refusing to " +
         "pivot on them")
     val langs = totals.keys.toSeq.sorted
-    val piv = model.groupBy(col("gram"))
-      .pivot("lang", langs).sum("n").na.fill(0L)
-    // OUTER gram explode: a too-short doc survives as one null-gram
-    // row, so ONE aggregate yields n_grams (count of real grams — the
-    // same len-(n-1) arithmetic the former map-only leg computed) AND
-    // the per-language hit sums; the former separate n_grams corpus
-    // pass and the doc-sized join between the two legs are gone. The
-    // model join is LEFT so un-modeled grams still count toward
-    // n_grams; they add no hit mass (their pivot columns are NULL,
-    // which sum() skips), exactly like the inner join they replace.
-    val grams = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .select(col("__id"), split(col("__t"), "").as("__cs"),
-        length(col("__t")).as("__len"))
-      .select(col("__id"),
-        explode_outer(when(col("__len") >= n,
-          charGramsOf(col("__cs"), col("__len"), n))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-    val aggs = count(col("gram")).as("n_grams") +:
-      langs.zipWithIndex.map { case (l, i) =>
-        sum(col(s"`$l`")).as(s"__h_$i") }
-    val sums = grams.join(piv, Seq("gram"), "left")
-      .groupBy(col("__id"))
-      .agg(aggs.head, aggs.tail: _*)
+    // MAP-ONLY scoring (round 18): the model — vocab-bounded, the same
+    // table the round-13 pivot already shipped to every executor as a
+    // broadcast hash relation — is COLLECTED into one gram → per-lang
+    // count map, and each document folds its own grams in ONE compiled
+    // kernel pass ([[graft.expressions.LangGramHits]]): no corpus
+    // char-gram explode (≈ one row per character of the corpus
+    // existed only to sum |langs| map lookups), no join, and no
+    // doc-keyed exchange — the one corpus-mass shuffle this query had
+    // left. Kernel semantics (too-short/empty docs → n_grams 0 with
+    // NULL hits; un-modeled grams count toward n_grams but add no hit
+    // mass; hits all-or-nothing like the left join + na.fill pivot)
+    // are documented and equivalence-pinned in KernelCodegenSpec; the
+    // r17 interpreted-HOF form of this idea lost 45% — the compiled
+    // fold is the shape that wins (VERDICT r17 item 2).
+    val langIdx = langs.zipWithIndex.toMap
+    val gramMap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    model.select(col("lang"), col("gram"), col("n").cast("long")).collect()
+      .foreach { r =>
+        val i = langIdx(r.getString(0))
+        val g = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))
+        var a = gramMap.get(g)
+        if (a == null) { a = new Array[Long](langs.size); gramMap.put(g, a) }
+        a(i) += r.getLong(2) // duplicate (lang, gram) rows sum, as the pivot did
+      }
+    val sums = docs.select(col(idCol).as("__id"),
+        // coalesce: a NULL text scored as n_grams 0 / 'und' before
+        // (split(NULL) → NULL → the otherwise(array()) arm) — "" takes
+        // the same too-short path through the kernel
+        graft.expressions.LangGramHits.hits(
+          coalesce(col(textCol), lit("")), n, langs.size, gramMap).as("__lh"))
+      .select(col("__id") +:
+        col("__lh.n_grams").as("n_grams") +:
+        langs.indices.map(i =>
+          col("__lh.hits").getItem(i).as(s"__h_$i")): _*)
     val scored = langs.indices.foldLeft(sums) { (df, i) =>
       df.withColumn(s"__s_$i",
         col(s"__h_$i").cast("double") / lit(totals(langs(i))).cast("double"))
@@ -837,6 +851,45 @@ object CorpusStats {
       .agg(min(coalesce(col("__n"), lit(0L))).as("n_est"))
   }
 
+  /** MAP-ONLY [[countMinEstimateWith]] (round 18): the sketch —
+    * bounded at depth·width counters by construction, count-min's
+    * whole contract — is COLLECTED once (same bounded footprint the
+    * broadcast hash relation cost) and `est(t)` evaluates per probe
+    * row inside the compiled [[graft.expressions.CountMinEstimate]]
+    * kernel: no ×depth explode, no join, and no re-aggregation — the
+    * probe table paid a vocab-sized exchange there just to regroup its
+    * own rows. Absent counters read 0 via the array default, exactly
+    * like the left join's coalesce; a NULL probe token estimates 0,
+    * like the old all-NULL-bucket group.
+    *
+    * UNLIKE [[countMinEstimateWith]] this does NOT collapse duplicate
+    * probe rows (map-only: one output row per input row); every
+    * in-repo consumer probes an already-aggregated (hence distinct)
+    * token table, where the two forms are identical — oracle-pinned
+    * through x_sketch_countmin / x_sketch_heavy / x_sketch_heavy_stream.
+    * Duplicate (d, bucket) sketch rows sum, the additive
+    * [[mergeStats]] reading; rows outside the declared geometry fail
+    * loudly (a foreign sketch must never silently mis-bucket).
+    */
+  def countMinEstimateMapOnly(tokens: DataFrame, tokenCol: String,
+      sketch: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"countMinEstimateMapOnly($depth, $width)")
+    require(!tokens.columns.contains("n_est"),
+      "countMinEstimateMapOnly: probe column n_est clashes with the output")
+    val counters = new Array[Long](depth * width)
+    sketch.select(col("d").cast("int"), col("bucket").cast("long"),
+        col("n").cast("long")).collect()
+      .foreach { r =>
+        val (d, b) = (r.getInt(0), r.getLong(1))
+        require(d >= 0 && d < depth && b >= 0 && b < width,
+          s"sketch row outside geometry depth=$depth width=$width: d=$d bucket=$b")
+        counters(d * width + b.toInt) += r.getLong(2)
+      }
+    tokens.withColumn("n_est", coalesce(
+      graft.expressions.CountMinEstimate.est(col(tokenCol), depth, width,
+        counters), lit(0L)))
+  }
+
   /** Heavy hitters through the sketch — the count-min's canonical
     * composition: SCREEN every distinct token of `docs` against a
     * (maintained) [[countMinSketch]] (`est ≥ threshold` — no false
@@ -877,7 +930,11 @@ object CorpusStats {
   def heavyHittersWithCounts(tokCnt: DataFrame, sketch: DataFrame,
       depth: Int, width: Int, threshold: Long): DataFrame = {
     require(threshold >= 1, s"threshold=$threshold")
-    countMinEstimateWith(tokCnt, "token", sketch, depth, width)
+    // map-only screen (round 18): the input is an aggregated (token, n)
+    // table — distinct by construction — so the collapsing join form
+    // and the compiled-kernel form are identical, minus one vocab-sized
+    // exchange and the ×depth explode
+    countMinEstimateMapOnly(tokCnt, "token", sketch, depth, width)
       .where(col("n_est") >= threshold && col("n") >= threshold)
       .select(col("token"), col("n"))
   }
@@ -949,7 +1006,9 @@ object CorpusStats {
       history: DataFrame, sketch: DataFrame, depth: Int, width: Int,
       threshold: Long): DataFrame = {
     require(threshold >= 1, s"threshold=$threshold")
-    val batchCands = countMinEstimateWith(batch, "token", sketch,
+    // map-only screen (round 18): `batch` is an aggregated (token, n)
+    // table — see heavyHittersWithCounts
+    val batchCands = countMinEstimateMapOnly(batch, "token", sketch,
         depth, width)
       .where(col("n_est") + col("n") >= threshold)
       .select(col("token"))

@@ -48,6 +48,12 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
+    // the two evaluations of `g` (one per self-join side) are
+    // DELIBERATE: materializing the aggregate once per invocation
+    // (localCheckpoint) lost the isolated A/B/A probe, min 0.53 →
+    // 0.78 s (bench_evidence/r18_probe5_*) — the synchronous
+    // checkpoint barrier costs more than the second parallel
+    // scan+md5+agg pass at bench scale
     val g = docs.groupBy(md5(col(textCol)).as("__h"),
         col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__c"))
@@ -869,9 +875,23 @@ object Dedup {
       n: Int = 20, maxDf: Int = 64, minShared: Int = 1): DataFrame = {
     require(n >= 2 && maxDf >= 2 && minShared >= 1,
       s"n=$n maxDf=$maxDf minShared=$minShared")
-    val spans = docs.select(col(idCol).as("__id"),
+    // ONE scan + tokenize (round 18): the df-count leg, the anti-join
+    // probe, and BOTH self-join sides consume `spans`, and Spark reused
+    // none of them — the before-plan ran the parquet scan + regex
+    // tokenize + 60-bit shingle kernel FOUR times
+    // (plans/r18/x_dedup_spans_before.txt, Generate nodes 3/5/16/18; an
+    // explicit repartition did not share either — column pruning
+    // specialized each exchange copy, and checkpointing the exploded
+    // span mass lost to recompute: bench_evidence/r18_probe1_*/
+    // r18_probe2_*). The TOKEN ARRRAYS are materialized once per
+    // invocation (text-sized blocks, ContextCleaner-collected); each
+    // consumer re-runs only the cheap rolling-hash explode over them.
+    val toksS = docs.select(col(idCol).as("__id"),
+        T.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
+    val spans = toksS.select(col("__id"),
         explode(graft.expressions.WordShingleHashes64(
-          T.tokens(col(textCol)), n)).as("__h"))
+          col("__toks"), n)).as("__h"))
     // df-thin via groupBy + broadcast anti-join of the over-cap sliver
     // (see dropOverCapKeys: the count-over-window form was convicted
     // by the viral-key anchor — OOM at planted df 10M); the self-join
@@ -920,8 +940,20 @@ object Dedup {
   def dropDuplicateSubstrings(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 50, minOcc: Int = 2): DataFrame = {
     require(n >= 2 && minOcc >= 2, s"n=$n minOcc=$minOcc")
+    // ONE scan + tokenize (round 18): `toks` is consumed three times
+    // (thinning count, sliver semi-join probe, rebuild leg) — the
+    // before-plan re-ran the parquet scan + regex tokenize for every
+    // leg (plans/r18/x_dedup_substring_before.txt). The token arrays
+    // are localCheckpoint'ed once per invocation (text-sized blocks,
+    // ContextCleaner-collected); the two window-hash legs re-run only
+    // the cheap O(len) rolling hash over the materialized arrays.
+    // Rejected alternatives, both probed: an explicit repartition did
+    // NOT share the subtree (column pruning specialized each exchange
+    // copy), and checkpointing the exploded window mass as well lost
+    // to recompute (bench_evidence/r18_probe1_*/r18_probe2_*).
     val toks = docs.select(col(idCol).as("__id"),
       T.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
     val wins = toks.select(col("__id"),
       posexplode(graft.expressions.WordShingleHashesPos(col("__toks"), n))
         .as(Seq("__p", "__h")))

@@ -113,6 +113,52 @@ object Packing {
     * materialize-`enc`-first requirement disappears with the second
     * reference (a lazy encode DAG now runs exactly once).
     */
+  /** [[binIdSequences]] FUSED with the encode at WORD granularity —
+    * consumes [[graft.operators.Bpe.encodeWordIds]] rows
+    * `(idCol, __wpos, __ids)` and assembles the identical
+    * (shard, bin, n_ids, ids) table with the token mass crossing ONE
+    * exchange (round 18; the VERDICT-r17 "encode-into-placement
+    * fusion"). [[binIdSequences]]∘[[graft.operators.Bpe.encodeIds]]
+    * pays a doc-keyed exchange + collect_list/array_sort reassembly
+    * JUST to flatten per-word id runs into per-doc arrays, then
+    * re-shuffles that token mass by shard; here each word's GLOBAL
+    * start offset is one exclusive prefix sum over (idCol, __wpos)
+    * within the shard — same exchange the placement window needs
+    * anyway — so no per-doc array is ever built.
+    *
+    * Equivalence (pinned in `PackingSpec`): a word's start offset =
+    * Σ id-counts of every earlier (doc, wpos) row in the shard, which
+    * equals the doc's packing offset (Σ n_ids of earlier docs — docs
+    * with no encodable words contribute 0 rows here and 0 tokens
+    * there) plus the in-doc prefix (the reassembly flattens in __wpos
+    * order); null `__ids` rows (word-less docs, unmatched words) are
+    * filtered exactly as the reassembly aggregate excludes them. The
+    * final (shard, bin) aggregate reuses the shard partitioning, and
+    * each output row stays bounded at `budget` ids.
+    */
+  def binIdSequencesEncoded(wordIds: DataFrame, idCol: String,
+      budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    require(nShards > 0, s"nShards=$nShards")
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col(idCol), col("__wpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    wordIds
+      .where(col("__ids").isNotNull && size(col("__ids")) > 0)
+      .withColumn("__shard", Sampling.hashBucket(col(idCol), nShards))
+      .withColumn("__nt", size(col("__ids")).cast("long"))
+      .withColumn("__off", coalesce(sum(col("__nt")).over(w), lit(0L)))
+      .select(col("__shard").as("shard"), col("__off").as("token_offset"),
+        posexplode(col("__ids")).as(Seq("__p", "__tid")))
+      .select(col("shard"), (col("token_offset") + col("__p")).as("__g"),
+        col("__tid"))
+      .withColumn("bin", expr(s"__g div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_ids"),
+        transform(array_sort(collect_list(struct(col("__g"), col("__tid")))),
+          s => s.getField("__tid")).as("ids"))
+  }
+
   def binIdSequences(enc: DataFrame, idCol: String, budget: Int,
       nShards: Int): DataFrame = {
     require(budget > 0, s"budget=$budget")

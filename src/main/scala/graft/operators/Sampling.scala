@@ -582,31 +582,50 @@ object Sampling {
       textCol: String, model: org.apache.spark.sql.DataFrame,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
-    // OUTER explode: a doc with no features survives as one null-bucket
-    // row (left-joining the model on NULL matches nothing, the
-    // conditional aggregates see it as zero mass), so the per-doc
-    // re-aggregation needs no second corpus scan + doc-sized join-back
-    val feats = docs.select(col(idCol).as("__id"),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"),
-        explode_outer(dsirFeatures(col("__toks"), buckets)).as("bucket"))
-    val totals = model.agg(sum(col("tgt_n")).as("__nt"),
-      sum(col("raw_n")).as("__nr"))
-    feats
-      .join(model, Seq("bucket"), "left")
-      .groupBy(col("__id"))
-      .agg(count(col("bucket")).as("n_feats"),
-        coalesce(sum(coalesce(col("tgt_n"), lit(0L))), lit(0L))
-          .as("tgt_mass"),
-        coalesce(sum(coalesce(col("raw_n"), lit(0L))), lit(0L))
-          .as("raw_mass"))
-      .crossJoin(broadcast(totals))
+    // MAP-ONLY scoring (round 18): the model is BOUNDED at `buckets`
+    // rows by construction (DSIR's fixed-size representation is its
+    // point), so it is COLLECTED into two bucket-indexed count arrays —
+    // the same bounded footprint the broadcast hash relation cost —
+    // and each doc folds its own features in ONE compiled kernel pass
+    // ([[graft.expressions.DsirMass]]): no feature explode (≈ 2·tokens
+    // rows per doc existed only to sum two array lookups), no join, no
+    // doc-keyed re-aggregation. The round-17 interpreted-HOF attempt at
+    // this shape lost 45% (bench_evidence/r17_b3_dsir_maponly_*);
+    // the compiled fold is the form that wins. Buckets absent from the
+    // model contribute zero mass (array default), exactly like the old
+    // left join; model rows outside [0, buckets) never matched any
+    // pmod-hashed feature before, so they are skipped here — but still
+    // count toward the totals, as the old model-wide aggregate did.
+    var nt = 0L
+    var nr = 0L
+    val tgt = new Array[Long](buckets)
+    val raw = new Array[Long](buckets)
+    val seen = new java.util.HashSet[Long]()
+    model.select(col("bucket").cast("long"), col("tgt_n").cast("long"),
+        col("raw_n").cast("long")).collect()
+      .foreach { r =>
+        val b = r.getLong(0)
+        require(seen.add(b),
+          s"dsirWeightsWith: duplicate bucket $b in model (the join form " +
+            "would multiply features; refuse instead of diverging)")
+        val t = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val n = if (r.isNullAt(2)) 0L else r.getLong(2)
+        nt += t
+        nr += n
+        if (b >= 0 && b < buckets) { tgt(b.toInt) += t; raw(b.toInt) += n }
+      }
+    docs.select(col(idCol).as("__id"),
+        graft.expressions.DsirMass.mass(
+          coalesce(graft.functions.TextFunctions.tokens(col(textCol)),
+            array().cast("array<string>")), buckets, tgt, raw).as("__m"))
       .select(col("__id").as(idCol),
-        col("n_feats"), col("tgt_mass"), col("raw_mass"),
-        when(col("raw_mass") === 0 || col("__nt") === 0, lit(null))
+        col("__m.n_feats").as("n_feats"),
+        col("__m.tgt_mass").as("tgt_mass"),
+        col("__m.raw_mass").as("raw_mass"),
+        when(col("__m.raw_mass") === 0 || lit(nt) === 0, lit(null))
           .otherwise(round(
-            (col("tgt_mass").cast("double") * col("__nr").cast("double")) /
-            (col("raw_mass").cast("double") * col("__nt").cast("double")), 6))
+            (col("__m.tgt_mass").cast("double") * lit(nr).cast("double")) /
+            (col("__m.raw_mass").cast("double") * lit(nt).cast("double")), 6))
           .as("dsir_weight"))
   }
 }

@@ -253,6 +253,11 @@ object ExtensionQueries {
         concat(substring(col("nm"), 1, 6),
           substring(col("nm"), 8, 100)).as("nm"))
     graft.operators.Dedup.editDistancePairs(
+        // the 6 scan+md5 evaluations of `base` are DELIBERATE:
+        // checkpointing the narrow (doc_id, nm) union once lost the
+        // isolated A/B/A probe (bench_evidence/r18_probe5_*) — the
+        // materialization barrier beats the parallel rescans of this
+        // already-filtered (doc_id % 17) slice
         base.unionByName(sub).unionByName(del), "doc_id", "nm", k = 2)
       .orderBy("i", "j")
   }
@@ -422,7 +427,11 @@ object ExtensionQueries {
       parts, Seq("d", "bucket"), Seq("n"))
     val exact = byBatch.groupBy(col("token"))
       .agg(sum(col("n")).as("n_exact"))
-    graft.operators.CorpusStats.countMinEstimateWith(
+    // map-only estimate (round 18): `exact` is token-grouped (distinct),
+    // so the compiled-kernel form ([[CorpusStats.countMinEstimateMapOnly]])
+    // is identical to the collapsing join form, minus one vocab-sized
+    // exchange and the ×depth explode
+    graft.operators.CorpusStats.countMinEstimateMapOnly(
         exact, "token", sketch, depth, width)
       .select(col("token"), col("n_est"), col("n_exact"))
       .orderBy("token")
@@ -1010,11 +1019,13 @@ object ExtensionQueries {
       trained.alphabet, trained.merges)
     bpeBinMerges = trained.merges
     bpeBinVocab = voc
-    // no materialization needed since round 17: binIdSequences
-    // references enc exactly once (the ids ride the placement window)
-    val enc = graft.operators.Bpe.encodeIds(docs, "doc_id", "text",
+    // round 18: encode fused INTO placement — word-granularity encode
+    // rows go straight to the shard window (one token-mass exchange);
+    // the per-doc reassembly aggregate (doc-keyed exchange +
+    // collect_list/array_sort) existed only to be re-flattened here
+    val encW = graft.operators.Bpe.encodeWordIds(docs, "doc_id", "text",
         trained.merges, voc, distinctWords = Some(trained.words))
-    graft.operators.Packing.binIdSequences(enc, "doc_id",
+    graft.operators.Packing.binIdSequencesEncoded(encW, "doc_id",
         budget = 64, nShards = 4)
       .select(col("shard"), col("bin"), col("n_ids"),
         array_join(transform(col("ids"), i => i.cast("string")), " ")
@@ -1048,6 +1059,12 @@ object ExtensionQueries {
       expr("phash ^ shiftleft(CAST(15 AS BIGINT), CAST(doc_id % 57 AS INT))")
         .as("phash"))
     graft.operators.Multimodal.phashPairs(
+        // the 6 scan+md5 evaluations of `base` (3 union legs × the
+        // pair self-join) are DELIBERATE: checkpointing the narrow
+        // (doc_id, phash) union once lost the isolated A/B/A probe —
+        // the synchronous materialization barrier costs more than the
+        // parallel rescans here (bench_evidence/r18_probe5_*, min
+        // 0.57 → 0.70 s)
         base.unionByName(flip1).unionByName(flip4), "doc_id", "phash",
         maxHamming = 3)
       .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))

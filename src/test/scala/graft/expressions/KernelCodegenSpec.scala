@@ -28,6 +28,19 @@ class KernelCodegenSpec extends SparkSpec {
       case (g: ArrayData, w: ArrayData) =>
         val et = expr.dataType.asInstanceOf[ArrayType].elementType
         assert(g.toObjectArray(et).toSeq == w.toObjectArray(et).toSeq)
+      case (g: InternalRow, w: InternalRow) =>
+        // an UnsafeRow never equals a GenericInternalRow — compare fields
+        // (array fields element-wise: Unsafe vs Generic array data)
+        val st = expr.dataType.asInstanceOf[StructType]
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          (g.get(i, f.dataType), w.get(i, f.dataType)) match {
+            case (ga: ArrayData, wa: ArrayData) =>
+              val et = f.dataType.asInstanceOf[ArrayType].elementType
+              assert(ga.toObjectArray(et).toSeq == wa.toObjectArray(et).toSeq,
+                s"struct field ${f.name}")
+            case (gv, wv) =>
+              assert(gv == wv, s"struct field ${f.name}")
+          } }
       case (g, w) => assert(g == w)
     }
   }
@@ -46,6 +59,140 @@ class KernelCodegenSpec extends SparkSpec {
     compiledVsInterpreted(s, InternalRow(UTF8String.fromString("shingle text")))
     val b = Md5Prefix60(BoundReference(0, BinaryType, nullable = true))
     compiledVsInterpreted(b, InternalRow("shingle text".getBytes("UTF-8")))
+  }
+
+  test("CountMinEstimate compiles, matches interpreted, and equals the " +
+    "seeded-hash SQL composition on real tokens") {
+    val counters = Array.tabulate(3 * 64)(i => (i * 37L + 5L) % 1000L)
+    val e = CountMinEstimate(
+      BoundReference(0, StringType, nullable = true), 3, 64, counters)
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("hephaestus")))
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("")))
+    // SQL cross-check: the kernel must equal the explode + min fold over
+    // the portable seeded family, bit for bit, token by token
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = Seq("the", "quick", "brown", "", "caf\u00e9", "\ud83d\ude00",
+      "x" * 300).toDF("token")
+    val base = graft.functions.HashFunctions.md5Mod(col("token"))
+    val sql = toks.select(col("token"), least(
+      (0 until 3).map(d => element_at(
+        typedLit(counters.slice(d * 64, d * 64 + 64).toSeq),
+        (graft.functions.HashFunctions.seeded(base, d) % 64).cast("int") + 1)
+      ): _*).as("want"))
+    val got = sql.withColumn("got",
+      CountMinEstimate.est(col("token"), 3, 64, counters))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (t, want, g) => assert(g == want, s"token '$t'") }
+  }
+
+  test("DsirMass compiles, matches interpreted, and equals the " +
+    "dsirFeatures explode + sum composition") {
+    val buckets = 128
+    val tgt = Array.tabulate(buckets)(i => (i * 13L) % 29L)
+    val raw = Array.tabulate(buckets)(i => (i * 7L + 3L) % 31L)
+    val toks = ArrayData.toArrayData(
+      Array("to", "be", "or", "not", "to", "be").map(UTF8String.fromString))
+    val e = DsirMass(
+      BoundReference(0, ArrayType(StringType, containsNull = true),
+        nullable = true), buckets, tgt, raw)
+    compiledVsInterpreted(e, InternalRow(toks))
+    compiledVsInterpreted(e, InternalRow(ArrayData.toArrayData(
+      Array.empty[UTF8String])))
+    // SQL cross-check against the composition the kernel replaces:
+    // explode(dsirFeatures) + per-doc count/sum of model lookups
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "to be or not to be"),
+      (2L, ""),
+      (3L, "  "),
+      (4L, "one"),
+      (5L, "caf\u00e9 \ud83d\ude00 caf\u00e9"))
+      .toDF("id", "text")
+    val feats = docs.select(col("id"), explode_outer(
+      graft.operators.Sampling.dsirFeatures(
+        graft.functions.TextFunctions.tokens(col("text")), buckets))
+      .as("bucket"))
+    // the reference is the OLD dsirWeightsWith composition verbatim:
+    // left join against the model table (a NULL bucket matches nothing)
+    val model = tgt.indices.map(i => (i.toLong, tgt(i), raw(i)))
+      .toDF("bucket", "tgt_n", "raw_n")
+    val want = feats.join(model, Seq("bucket"), "left")
+      .groupBy("id").agg(
+        count(col("bucket")).as("n_feats"),
+        coalesce(sum(coalesce(col("tgt_n"), lit(0L))), lit(0L)).as("tgt_mass"),
+        coalesce(sum(coalesce(col("raw_n"), lit(0L))), lit(0L)).as("raw_mass"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    val got = docs.select(col("id"), DsirMass.mass(
+        coalesce(graft.functions.TextFunctions.tokens(col("text")),
+          array().cast("array<string>")), buckets, tgt, raw).as("m"))
+      .select(col("id"), col("m.n_feats"), col("m.tgt_mass"), col("m.raw_mass"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("LangGramHits compiles, matches interpreted, and equals the " +
+    "pivot + gram-explode composition it replaces") {
+    val langs = Seq("de", "en", "uk")
+    val model = Seq( // (lang, gram, n) — includes a gram two langs share
+      ("en", "the", 10L), ("en", "he ", 4L), ("de", "der", 7L),
+      ("de", "the", 2L), ("uk", "щод", 5L),
+      ("uk", "😀ab", 3L))
+    val gramMap = new java.util.HashMap[UTF8String, Array[Long]]()
+    model.foreach { case (l, g, n) =>
+      val i = langs.indexOf(l)
+      val k = UTF8String.fromString(g)
+      var a = gramMap.get(k)
+      if (a == null) { a = new Array[Long](langs.size); gramMap.put(k, a) }
+      a(i) += n
+    }
+    val e = LangGramHits(
+      BoundReference(0, StringType, nullable = true), 3, langs.size, gramMap)
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("the der")))
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("")))
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("ab"))) // < n
+    compiledVsInterpreted(e, InternalRow(UTF8String.fromString("zzzz"))) // 0 hits
+    compiledVsInterpreted(e,
+      InternalRow(UTF8String.fromString("щод😀ab")))
+    // SQL cross-check: the kernel must equal the charGramsOf explode +
+    // pivoted-model left join + per-doc sums, value for value —
+    // including multi-byte + astral code points (the gram walk is by
+    // code POINT, exactly like split(text, ""))
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the der rest"), (2L, ""), (3L, "ab"), (4L, "no hits here"),
+      (5L, "щод😀ab😀"), (6L, "the"))
+      .toDF("id", "text")
+    val modelDf = model.toDF("lang", "gram", "n")
+    val piv = modelDf.groupBy(col("gram")).pivot("lang", langs).sum("n")
+      .na.fill(0L)
+    val cs = split(col("text"), "")
+    val len = length(col("text"))
+    val gramsOf = transform(sequence(lit(1), len - 2),
+      i => concat(element_at(cs, i), element_at(cs, i + 1),
+        element_at(cs, i + 2)))
+    val grams = docs.select(col("id"),
+      explode_outer(when(len >= 3, gramsOf)
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val aggs = count(col("gram")).as("n_grams") +:
+      langs.zipWithIndex.map { case (l, i) => sum(col(s"`$l`")).as(s"h_$i") }
+    val want = grams.join(piv, Seq("gram"), "left")
+      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy("id")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val got = docs.select(col("id"),
+        LangGramHits.hits(coalesce(col("text"), lit("")), 3, langs.size,
+          gramMap).as("lh"))
+      .select(col("id"), col("lh.n_grams"),
+        col("lh.hits").getItem(0), col("lh.hits").getItem(1),
+        col("lh.hits").getItem(2))
+      .orderBy("id")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
   }
 
   test("WordShingleHashes compiles and matches interpreted") {

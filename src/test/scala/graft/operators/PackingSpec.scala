@@ -135,4 +135,53 @@ class PackingSpec extends SparkSpec {
         assert(b._3 == budget, s"non-final bin not full: $b") }
     }
   }
+
+  test("binIdSequencesEncoded (fused word-granularity path) equals " +
+    "binIdSequences over encodeIds on a real trained corpus — " +
+    "word-less docs, unmatched words, and shard offsets included") {
+    val docs = realDocs
+    val trained = graft.operators.Bpe.trainBpe(docs, "text", 6)
+    val voc = graft.operators.Bpe.vocabFromAlphabet(
+      trained.alphabet, trained.merges)
+    val viaDoc = Packing.binIdSequences(
+      graft.operators.Bpe.encodeIds(docs, "doc_id", "text",
+        trained.merges, voc, distinctWords = Some(trained.words)),
+      "doc_id", budget = 48, nShards = 3)
+    val fused = Packing.binIdSequencesEncoded(
+      graft.operators.Bpe.encodeWordIds(docs, "doc_id", "text",
+        trained.merges, voc, distinctWords = Some(trained.words)),
+      "doc_id", budget = 48, nShards = 3)
+    val a = viaDoc.orderBy("shard", "bin")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+    val b = fused.orderBy("shard", "bin")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"fused path diverged: viaDoc=${a.take(3)}... fused=${b.take(3)}...")
+  }
+
+  test("binIdSequencesEncoded: null-__ids word rows (word-less docs, " +
+    "words outside the vocab table) shift no offsets and emit nothing") {
+    // word-granularity rows as encodeWordIds emits them: doc 2 is a
+    // word-less doc (one null row), doc 3's middle word is unmatched
+    val wordRows = Seq(
+      (1L, Some(0), Some(Seq(10, 11))),
+      (1L, Some(1), Some(Seq(12))),
+      (2L, None, None),
+      (3L, Some(0), Some(Seq(30))),
+      (3L, Some(1), None), // unmatched word: excluded, moves nothing
+      (3L, Some(2), Some(Seq(31, 32, 33))),
+      (4L, Some(0), Some(Seq(40, 41, 42, 43, 44))))
+      .toDF("doc_id", "__wpos", "__ids")
+    val got = Packing.binIdSequencesEncoded(wordRows, "doc_id",
+        budget = 4, nShards = 1)
+      .orderBy("shard", "bin").as[(Long, Long, Long, Seq[Int])]
+      .collect().toSeq
+    // stream in doc order with nulls dropped:
+    // 10 11 12 | 30 31 32 33 | 40 41 42 43 | 44
+    val want = Seq(
+      (0L, 0L, 4L, Seq(10, 11, 12, 30)),
+      (0L, 1L, 4L, Seq(31, 32, 33, 40)),
+      (0L, 2L, 4L, Seq(41, 42, 43, 44)))
+    assert(got == want, s"got $got\nwant $want")
+  }
 }

@@ -479,16 +479,35 @@ class PlanAuditSpec extends SparkSpec {
       s"edit-distance join must never go all-pairs:\n$p")
   }
 
-  test("DSIR: model joins are equi-joins; the only nested-loop is the " +
-    "1-row totals broadcast") {
+  test("DSIR: scoring is MAP-ONLY (compiled DsirMass fold — no feature " +
+    "explode, no model join, no doc-keyed exchange); the model fit " +
+    "partial-aggregates map-side") {
+    // round 18: the scoring half collects the bounded (buckets-row)
+    // model and folds each doc in one compiled kernel pass — the old
+    // plan's feature explode + broadcast join + per-doc re-aggregation
+    // + 1-row totals nested-loop are all gone. The model FIT (one
+    // corpus pass, groupBy bucket) is unchanged and must still
+    // partial-aggregate.
     val p = plan("x_sample_dsir")
-    assert(!p.contains("CartesianProduct"), "no cartesian products")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
-      s"only the bounded 1-row totals may nested-loop:\n$p")
-    assert(p.contains("IdentityBroadcastMode"),
-      "totals must broadcast as the single-row build side")
-    assert(p.contains("partial_count"),
-      "feature-count models must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"map-only scoring must not join at all:\n$p")
+    val scoring = graft.SparkEntry.queries("x_sample_dsir")(spark, dir)
+      .queryExecution.analyzed
+    assert(scoring.collect {
+      case n if n.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.DsirMass])) => n
+    }.nonEmpty, "expected the compiled DsirMass kernel in the plan")
+    // the model FIT is collected at build time (bounded table), so it
+    // no longer appears in the query plan — audit its own plan
+    val fit = graft.operators.Sampling.dsirModel(
+        graft.core.Tables.documents(spark, dir), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en", 4096)
+      .queryExecution.executedPlan.toString
+    assert(fit.contains("partial_count") || fit.contains("partial_sum"),
+      s"the model fit must partial-aggregate map-side:\n$fit")
   }
 
   test("trained lang-id: profile training partial-aggregates map-side, " +
@@ -505,16 +524,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x_langid_trained")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"gram/model joins must be equi-joins:\n$p")
-    // MODEL-PIVOT shape (round 13): the corpus gram join emits one row
-    // per hit (not one per hit × language) and the per-doc
-    // |langs|-column sums partial-aggregate map-side; the old
-    // row_number argmax window is gone — the argmax is an in-row
-    // array_sort over |langs| structs, so NOTHING windows the corpus
+      s"no join may degrade to a cross product:\n$p")
+    // MAP-ONLY KERNEL shape (round 18, succeeding the round-13 pivot):
+    // scoring is one compiled LangGramHits fold per document — no
+    // corpus char-gram explode (Generate), no model join, no doc-keyed
+    // aggregate, and still no window; the only remaining exchange is
+    // the declared ORDER BY
     assert(!p.contains("row_number"),
-      s"pivot form must not window the corpus:\n$p")
-    assert(p.contains("partial_sum"),
-      s"per-doc lang sums must partial-aggregate map-side:\n$p")
+      s"argmax must stay in-row, never window the corpus:\n$p")
+    assert(p.contains("langgramhits"),
+      s"scoring must run through the compiled LangGramHits kernel:\n$p")
+    assert(!p.contains("Generate"),
+      s"scoring must not explode the corpus gram mass:\n$p")
   }
 
   test("BPE id encode: the corpus side pays one equi-join against the " +
